@@ -1,0 +1,110 @@
+"""End-to-end slice: datagen → element checks → report/violations/summary.
+
+Mirrors the reference's element-task semantics spec
+(`/root/reference/tests/test_task.py:1762-1862`): exact is_valid/ret_code
+values per planted defect, exact violation counts.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from validation_engine import (
+    ElementStage,
+    Workflow,
+    lang_matches_extension,
+    non_empty,
+    sha256_equals,
+)
+
+
+@pytest.fixture(scope="module")
+def run(spark, corpus):
+    stage = ElementStage(
+        "content_checks",
+        checks=[
+            non_empty("content"),
+            lang_matches_extension(),
+            sha256_equals(),
+        ],
+    )
+    wf = Workflow([stage], n_buckets=4)
+    res = wf.run(spark, corpus["files"].dropDuplicates(["repo", "path", "commit"]))
+    return wf, res, corpus["expected"]
+
+
+def test_report_counts(run):
+    wf, res, exp = run
+    rep = res.reports["content_checks"]
+    n_invalid = rep.filter(~F.col("is_valid")).count()
+    # empty-content rows and lang-mismatch rows are the planted invalid rows
+    # (disjoint sets; sha256 oracle always matches)
+    assert n_invalid == exp["n_empty"] + exp["n_lang_mismatch"]
+    assert rep.count() == exp["n_base"]
+
+
+def test_report_schema_contract(run):
+    wf, res, _ = run
+    rep = res.reports["content_checks"]
+    cols = rep.columns
+    # keys first, then fixed report cols (reference result.py:58-63,80-90)
+    assert cols[:3] == ["repo", "path", "commit"]
+    for c in ("is_valid", "ret_code", "comment", "exception"):
+        assert c in cols
+    assert rep.schema["is_valid"].dataType.typeName() == "boolean"
+
+
+def test_ret_code_derivation(run):
+    wf, res, _ = run
+    rep = res.reports["content_checks"]
+    # ret_code normalized: 0 valid / 1 invalid (reference result.py:104-106)
+    bad = rep.filter(
+        (F.col("is_valid") & (F.col("ret_code") != 0))
+        | (~F.col("is_valid") & (F.col("ret_code") == 0))
+    ).count()
+    assert bad == 0
+
+
+def test_violation_rows(run):
+    wf, res, exp = run
+    v = res.violations["content_checks"]
+    by_check = {r["check_id"]: r["n"] for r in
+                v.groupBy("check_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_check["non_empty_content"] == exp["n_empty"]
+    assert by_check["lang_vs_extension"] == exp["n_lang_mismatch"]
+    assert "sha256_invariant" not in by_check
+
+
+def test_comment_contains_reason(run):
+    wf, res, _ = run
+    rep = res.reports["content_checks"]
+    row = rep.filter(~F.col("is_valid")).filter(
+        F.col("comment").contains("null or empty")
+    )
+    assert row.count() > 0
+
+
+def test_summaries(run):
+    wf, res, exp = run
+    total = sum(s["n_total"] for s in res.summaries)
+    valid = sum(s["n_valid"] for s in res.summaries)
+    assert total == exp["n_base"]
+    assert total - valid == exp["n_empty"] + exp["n_lang_mismatch"]
+    # per-partition rows present (4 hash buckets)
+    assert len(res.summaries) == 4
+
+
+def test_duplicate_keys_rejected(spark, corpus):
+    # reference task.py:448-453 raises IndexError listing duplicated keys
+    stage = ElementStage("c", checks=[non_empty("content")])
+    wf = Workflow([stage])
+    with pytest.raises(IndexError, match="unique"):
+        wf.run(spark, corpus["files"])  # contains planted duplicate keys
+
+
+def test_empty_input_passthrough(spark, corpus):
+    # reference util.py:106-107 / tests/test_task.py:1843-1850
+    stage = ElementStage("c", checks=[non_empty("content")])
+    wf = Workflow([stage])
+    res = wf.run(spark, corpus["files"].limit(0))
+    assert res.reports["c"].count() == 0
+    assert res.violations["c"].count() == 0

@@ -1,0 +1,45 @@
+"""validation_engine — a PySpark-native data-validation engine.
+
+A brand-new engine with the capabilities of BlueBrain/data-validation-framework
+(reference, read-only at /root/reference), re-expressed Spark-first:
+
+* per-element pass/fail semantics (``is_valid / ret_code / comment /
+  exception``) as Column expressions — :mod:`.result`, :mod:`.checks`;
+* element / set / skippable stages — :mod:`.stage`;
+* workflow chaining with AND-of-validity dependency propagation — :mod:`.dag`;
+* resume-from-checkpoint with per-partition lineage + metrics —
+  :mod:`.checkpoint`;
+* column statistics, drift detection, dedup / similarity / text-analysis
+  pipeline operators — :mod:`.stats`, :mod:`.drift`, :mod:`.dedup`,
+  :mod:`.similarity`, :mod:`.text`.
+"""
+
+from .checkpoint import CheckpointManager
+from .checks import (
+    Check,
+    compile_checks,
+    in_set,
+    lang_matches_extension,
+    matches,
+    non_empty,
+    not_null,
+    referential_violations,
+    sha256_equals,
+    uniqueness_violations,
+    violations_to_verdicts,
+)
+from .dag import RunResult, Workflow
+from .schema import DEFAULT_KEYS, SKIP_COMMENT
+from .session import get_spark
+from .stage import ElementStage, PandasElementStage, SetStage, Stage, StageOutput
+
+__all__ = [
+    "Check", "CheckpointManager", "DEFAULT_KEYS", "ElementStage",
+    "PandasElementStage", "RunResult", "SKIP_COMMENT", "SetStage", "Stage",
+    "StageOutput", "Workflow", "compile_checks", "get_spark", "in_set",
+    "lang_matches_extension", "matches", "non_empty", "not_null",
+    "referential_violations", "sha256_equals", "uniqueness_violations",
+    "violations_to_verdicts",
+]
+
+__version__ = "0.1.0"

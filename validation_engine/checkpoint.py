@@ -1,0 +1,155 @@
+"""Checkpoint / resume: per-partition commits with lineage + metrics rows.
+
+Re-expresses luigi's target-existence memoization (`data_validation_framework/
+task.py:612-628` ``output()`` + luigi ``complete()``; resume spec
+`tests/test_task.py:230-237`) at Spark scale (north_rule: "resumable from
+checkpoint with per-partition lineage + metrics").
+
+Layout is Iceberg-SHAPED but backed by plain Parquet + a JSON manifest,
+because the sandbox pyspark 4.1.2 ships no iceberg-spark-runtime jar (SURVEY
+§7.6).  On a real cluster the same call sites switch to an Iceberg catalog
+(`.writeTo(...).createOrReplace()` / partition-level ``overwritePartitions``);
+the commit protocol below mirrors Iceberg's snapshot semantics: data files
+first, manifest last, so a killed run NEVER records a partition as committed
+before its outputs exist (SURVEY §7 risk register).
+
+```
+<root>/stages/<stage>/report/chunk=<c>/*.parquet      (idempotent overwrite)
+<root>/stages/<stage>/violations/chunk=<c>/*.parquet
+<root>/stages/<stage>/lineage/*.parquet               (append, one row per
+                                                       committed partition)
+<root>/stages/<stage>/summary/*.parquet
+<root>/stages/<stage>/MANIFEST.json                   (committed chunk ids,
+                                                       complete flag)
+```
+
+A "chunk" is a group of hash partitions committed atomically — the sandbox
+stand-in for committing one Iceberg partition of the 10^12-file corpus at a
+time.  ``n_chunks=1`` (default, benchmarks) = one commit; tests use
+``n_chunks>1`` to kill a run mid-way and prove resume skips committed chunks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class CheckpointManager:
+    def __init__(self, root: str, n_chunks: int = 1):
+        self.root = str(root)
+        self.n_chunks = int(n_chunks)
+
+    # -- paths ----------------------------------------------------------
+    def _stage_dir(self, stage: str) -> str:
+        return os.path.join(self.root, "stages", stage)
+
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self._stage_dir(stage), "MANIFEST.json")
+
+    def manifest(self, stage: str) -> dict:
+        p = self._manifest_path(stage)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"committed_chunks": [], "complete": False, "n_chunks": self.n_chunks}
+
+    def _write_manifest(self, stage: str, m: dict) -> None:
+        d = self._stage_dir(stage)
+        os.makedirs(d, exist_ok=True)
+        tmp = self._manifest_path(stage) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self._manifest_path(stage))  # atomic manifest swap
+
+    def is_complete(self, stage: str) -> bool:
+        return bool(self.manifest(stage).get("complete"))
+
+    # -- commit protocol --------------------------------------------------
+    def commit_stage(
+        self,
+        spark: SparkSession,
+        stage: str,
+        report: DataFrame,
+        violations: DataFrame,
+        run_id: str,
+    ) -> tuple[DataFrame, DataFrame]:
+        """Write report+violations chunk by chunk; manifest records each chunk
+        only AFTER its data and lineage rows are durable.  Already-committed
+        chunks are skipped (resume).  Returns the re-read (committed) outputs
+        so downstream stages consume the durable lineage barrier, not a
+        recomputation of the plan."""
+        d = self._stage_dir(stage)
+        m = self.manifest(stage)
+        committed = set(m["committed_chunks"])
+        chunk_expr = F.pmod(F.xxhash64(F.col("_vpart")), F.lit(self.n_chunks))
+
+        for c in range(self.n_chunks):
+            if c in committed:
+                continue
+            rep_c = report.filter(chunk_expr == c) if self.n_chunks > 1 else report
+            vio_c = (
+                violations.filter(chunk_expr == c) if self.n_chunks > 1 else violations
+            )
+            # 1. data files (idempotent: overwrite the chunk directory)
+            rep_c.write.mode("overwrite").parquet(os.path.join(d, "report", f"chunk={c}"))
+            vio_c.write.mode("overwrite").parquet(
+                os.path.join(d, "violations", f"chunk={c}")
+            )
+            # 2. lineage rows for every partition in this chunk (metrics)
+            lineage = (
+                spark.read.parquet(os.path.join(d, "report", f"chunk={c}"))
+                .groupBy("_vpart")
+                .agg(F.count(F.lit(1)).alias("n_rows"))
+                .select(
+                    F.lit(stage).alias("stage"),
+                    F.col("_vpart").alias("partition"),
+                    F.lit(run_id).alias("run_id"),
+                    F.lit(_now()).alias("committed_at"),
+                    F.col("n_rows"),
+                )
+            )
+            lineage.write.mode("append").parquet(os.path.join(d, "lineage"))
+            # 3. manifest LAST — the commit point
+            committed.add(c)
+            m["committed_chunks"] = sorted(committed)
+            self._write_manifest(stage, m)
+
+        return self.read_report(spark, stage), self.read_violations(spark, stage)
+
+    def commit_summary(
+        self, spark: SparkSession, stage: str, summaries: list, run_id: str
+    ) -> None:
+        from .schema import SUMMARY_SCHEMA
+
+        d = self._stage_dir(stage)
+        spark.createDataFrame(summaries, schema=SUMMARY_SCHEMA).write.mode(
+            "append"
+        ).parquet(os.path.join(d, "summary"))
+        m = self.manifest(stage)
+        m["complete"] = True
+        m["run_id"] = run_id
+        self._write_manifest(stage, m)
+
+    # -- readers ----------------------------------------------------------
+    def read_report(self, spark: SparkSession, stage: str) -> DataFrame:
+        df = spark.read.parquet(os.path.join(self._stage_dir(stage), "report"))
+        return df.drop("chunk")
+
+    def read_violations(self, spark: SparkSession, stage: str) -> DataFrame:
+        df = spark.read.parquet(os.path.join(self._stage_dir(stage), "violations"))
+        return df.drop("chunk")
+
+    def read_lineage(self, spark: SparkSession, stage: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self._stage_dir(stage), "lineage"))
+
+    def read_summary(self, spark: SparkSession, stage: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self._stage_dir(stage), "summary"))
+
+
+def _now() -> str:
+    return time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime())

@@ -1,0 +1,339 @@
+"""Declarative constraint → Column-expression compiler.
+
+The reference's entire check surface is user-supplied Python run per row or
+per frame (`data_validation_framework/task.py:653-711`).  Here every
+parity-critical check compiles to JVM-side Column expressions (whole-stage
+codegen, no Python in the hot path — BASELINE.json input_hint), producing:
+
+* a per-element report fragment (``is_valid``, ``ret_code``, ``comment``);
+* violation rows ``(keys..., check_id, reason, stage)``.
+
+Set-level constraints (uniqueness, referential integrity) compile to
+aggregation / anti-join plans with a join-back of verdicts — the Spark
+re-expression of the reference's whole-frame ``SetValidationTask``
+(`task.py:671-711`) and its duplicate-index rejection (`task.py:448-453`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .schema import DEFAULT_KEYS
+
+
+@dataclass
+class Check:
+    """One element-level constraint.
+
+    ``predicate`` is a boolean Column that is True when the element PASSES.
+    ``reason`` may be a Column (per-row reason payload) or a plain string.
+    ``warning=True`` marks failures as warnings: the element stays valid but
+    gets ``ret_code=2`` + comment (reference warning semantics,
+    `result.py:42-43`).
+    """
+
+    check_id: str
+    predicate: Column
+    reason: object = None  # str | Column
+    warning: bool = False
+
+    def reason_col(self) -> Column:
+        if self.reason is None:
+            return F.lit(f"check '{self.check_id}' failed")
+        if isinstance(self.reason, Column):
+            return self.reason
+        return F.lit(str(self.reason))
+
+
+# ---------------------------------------------------------------------------
+# Element-level check constructors (pure Column expressions)
+# ---------------------------------------------------------------------------
+
+
+def non_empty(col: str = "content", check_id: Optional[str] = None) -> Check:
+    """Content non-empty (north_star).  NULL counts as empty."""
+    cid = check_id or f"non_empty_{col}"
+    return Check(
+        cid,
+        F.col(col).isNotNull() & (F.length(F.col(col)) > 0),
+        F.concat(F.lit(f"column '{col}' is null or empty")),
+    )
+
+
+def not_null(col: str, check_id: Optional[str] = None) -> Check:
+    return Check(
+        check_id or f"not_null_{col}",
+        F.col(col).isNotNull(),
+        f"column '{col}' is null",
+    )
+
+
+def in_set(col: str, allowed: Sequence[str], check_id: Optional[str] = None) -> Check:
+    return Check(
+        check_id or f"in_set_{col}",
+        F.col(col).isin(list(allowed)),
+        F.concat(F.lit(f"column '{col}' value '"), F.col(col).cast("string"),
+                 F.lit(f"' not in allowed set")),
+    )
+
+
+def matches(col: str, pattern: str, check_id: Optional[str] = None) -> Check:
+    return Check(
+        check_id or f"matches_{col}",
+        F.col(col).rlike(pattern),
+        F.concat(F.lit(f"column '{col}' does not match /{pattern}/")),
+    )
+
+
+#: extension → expected language (north_star lang-vs-extension consistency).
+DEFAULT_EXT_LANG = {
+    "py": "python",
+    "rs": "rust",
+    "js": "javascript",
+    "c": "c",
+    "cpp": "cpp",
+    "java": "java",
+    "go": "go",
+    "md": "markdown",
+    "txt": "text",
+}
+
+
+def lang_matches_extension(
+    path_col: str = "path",
+    lang_col: str = "lang",
+    ext_lang: Optional[dict] = None,
+    check_id: str = "lang_vs_extension",
+) -> Check:
+    """lang column consistent with the file extension (north_star).
+
+    Pure column expr: extract extension with ``substring_index``, map through
+    a CASE chain (small literal map → constant-folded by Catalyst).  Unknown
+    extensions pass (no expectation).
+    """
+    ext_lang = ext_lang or DEFAULT_EXT_LANG
+    ext = F.lower(F.substring_index(F.col(path_col), ".", -1))
+    expected = F.lit(None).cast("string")
+    for e, l in reversed(list(ext_lang.items())):
+        expected = F.when(ext == e, F.lit(l)).otherwise(expected)
+    return Check(
+        check_id,
+        expected.isNull() | (F.col(lang_col) == expected),
+        F.concat(
+            F.lit("lang '"), F.coalesce(F.col(lang_col), F.lit("<null>")),
+            F.lit("' does not match extension '"), ext, F.lit("'"),
+        ),
+    )
+
+
+def sha256_equals(
+    content_col: str = "content",
+    expected_col: str = "content_sha256",
+    check_id: str = "sha256_invariant",
+) -> Check:
+    """Per-row invariant vs the reference: sha256(content) equality
+    (BASELINE.json input_hint).  ``sha2`` runs JVM-side."""
+    return Check(
+        check_id,
+        F.sha2(F.coalesce(F.col(content_col), F.lit("")), 256)
+        == F.col(expected_col),
+        "sha256(content) does not match expected digest",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compilation: checks → report fragment + violations
+# ---------------------------------------------------------------------------
+
+
+def compile_checks(
+    df: DataFrame,
+    checks: Sequence[Check],
+    stage: str,
+    keys: Sequence[str] = DEFAULT_KEYS,
+    gate_col: Optional[str] = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Compile element checks into (report_df, violations_df).
+
+    * ``is_valid`` = AND of all non-warning predicates (validity algebra,
+      reference `task.py:489-492`);
+    * ``comment``  = '; '-joined reasons of failed checks (reference comment
+      semantics: one free-text explanation per element);
+    * ``ret_code`` = 0 valid / 1 invalid / 2 warning-only failures;
+    * rows already invalid upstream (``gate_col`` False) are NOT re-checked —
+      validity gating per `util.py:172-173` — they pass through with their
+      upstream validity;
+    * violations: one row per failed (element, check), built with an
+      ``array``+``filter``+``explode`` over per-check structs so the input is
+      scanned ONCE for report and violations alike.
+    """
+    gate = F.col(gate_col) if gate_col else F.lit(True)
+
+    hard = [c for c in checks if not c.warning]
+    warn = [c for c in checks if c.warning]
+
+    passed = F.lit(True)
+    for c in hard:
+        passed = passed & F.coalesce(c.predicate, F.lit(False))
+    warn_failed = F.lit(False)
+    for c in warn:
+        warn_failed = warn_failed | ~F.coalesce(c.predicate, F.lit(True))
+
+    # reasons of failed checks, joined in declaration order; null predicate
+    # counts as failure for hard checks, pass for warnings
+    def _failed(c: Check) -> Column:
+        return ~F.coalesce(c.predicate, F.lit(c.warning))
+
+    reason_parts = [F.when(gate & _failed(c), c.reason_col()) for c in checks]
+    comment = F.concat_ws("; ", *reason_parts) if checks else F.lit("")
+    comment = F.when(comment == "", F.lit(None)).otherwise(comment)
+
+    is_valid = F.when(gate, passed).otherwise(F.lit(False))
+    ret_code = (
+        F.when(~gate, F.lit(1))
+        .when(~passed, F.lit(1))
+        .when(warn_failed, F.lit(2))
+        .otherwise(F.lit(0))
+    )
+
+    # all derived columns evaluated against the ORIGINAL frame in one
+    # withColumns so the gate reads UPSTREAM validity, not the new verdict
+    new_cols = {"is_valid": is_valid, "ret_code": ret_code.cast("int")}
+    if "comment" in df.columns:
+        # keep upstream comment when gated off, else our comment
+        new_cols["comment"] = F.when(gate, comment).otherwise(F.col("comment"))
+    else:
+        new_cols["comment"] = comment
+    report = df.withColumns(new_cols)
+    if "exception" not in df.columns:
+        report = report.withColumn("exception", F.lit(None).cast("string"))
+
+    # violations: single scan, array of structs per row → filter failed → explode
+    entries = [
+        F.when(
+            gate & _failed(c),
+            F.struct(
+                F.lit(c.check_id).alias("check_id"),
+                c.reason_col().cast("string").alias("reason"),
+            ),
+        )
+        for c in checks
+    ]
+    if entries:
+        exploded = df.select(
+            *[F.col(k) for k in keys],
+            F.explode(
+                F.filter(F.array(*entries), lambda x: x.isNotNull())
+            ).alias("_v"),
+        )
+        violations = exploded.select(
+            *keys,
+            F.col("_v.check_id").alias("check_id"),
+            F.col("_v.reason").alias("reason"),
+            F.lit(stage).alias("stage"),
+        )
+    else:
+        violations = df.select(*keys).limit(0).select(
+            *keys,
+            F.lit("").alias("check_id"),
+            F.lit("").alias("reason"),
+            F.lit(stage).alias("stage"),
+        )
+    return report, violations
+
+
+# ---------------------------------------------------------------------------
+# Set-level constraints (aggregation / join plans)
+# ---------------------------------------------------------------------------
+
+
+def uniqueness_violations(
+    df: DataFrame,
+    keys: Sequence[str] = DEFAULT_KEYS,
+    stage: str = "uniqueness",
+    check_id: str = "unique_key",
+) -> DataFrame:
+    """Duplicate-key detection as an aggregation job (reference raises
+    IndexError listing dups, `task.py:448-453`; at 10^12-file scale we emit
+    violation rows instead of collecting keys to the driver).
+
+    Shuffle: one hash aggregation on the key — map-side partial counts make
+    this cheap; AQE coalesces post-shuffle partitions.
+    """
+    dups = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+    )
+    return dups.select(
+        *keys,
+        F.lit(check_id).alias("check_id"),
+        F.concat(F.lit("duplicate key ("), F.col("_n").cast("string"),
+                 F.lit(" occurrences)")).alias("reason"),
+        F.lit(stage).alias("stage"),
+    )
+
+
+def referential_violations(
+    df: DataFrame,
+    dim: DataFrame,
+    fk: Sequence[str],
+    pk: Optional[Sequence[str]] = None,
+    keys: Sequence[str] = DEFAULT_KEYS,
+    stage: str = "referential",
+    check_id: Optional[str] = None,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Referential integrity via LEFT ANTI join (north_star; reference
+    analogue is the inconsistent-index drop, `task.py:529-537`, which we
+    report instead of silently dropping).
+
+    ``broadcast_dim=True`` hints the (usually small) distinct key dimension
+    for a broadcast hash join — no shuffle of the fact side.
+    """
+    pk = list(pk or fk)
+    fk = list(fk)
+    cid = check_id or ("fk_" + "_".join(fk))
+    dim_keys = dim.select(*[F.col(p).alias(f) for p, f in zip(pk, fk)]).dropDuplicates()
+    if broadcast_dim:
+        dim_keys = F.broadcast(dim_keys)
+    orphans = df.join(dim_keys, on=fk, how="left_anti")
+    return orphans.select(
+        *keys,
+        F.lit(cid).alias("check_id"),
+        F.concat_ws(
+            "",
+            F.lit("orphan foreign key ("),
+            F.concat_ws(", ", *[F.col(c).cast("string") for c in fk]),
+            F.lit(") not found in dimension"),
+        ).alias("reason"),
+        F.lit(stage).alias("stage"),
+    )
+
+
+def violations_to_verdicts(
+    df: DataFrame,
+    violations: DataFrame,
+    keys: Sequence[str] = DEFAULT_KEYS,
+) -> DataFrame:
+    """Join set-level violations back onto the dataset as a report
+    (reference: SetValidationTask mutates the frame in place,
+    `task.py:683-711`; we derive verdicts with a left join + aggregation of
+    reasons).  Violations are usually tiny relative to the dataset → Spark/AQE
+    picks a broadcast join; we hint it explicitly."""
+    agg = violations.groupBy(*keys).agg(
+        F.concat_ws("; ", F.collect_list("reason")).alias("_reasons")
+    )
+    joined = df.join(F.broadcast(agg), on=list(keys), how="left")
+    return (
+        joined.withColumn("is_valid", F.col("_reasons").isNull())
+        .withColumn(
+            "ret_code", F.when(F.col("is_valid"), 0).otherwise(1).cast("int")
+        )
+        .withColumn("comment", F.col("_reasons"))
+        .withColumn("exception", F.lit(None).cast("string"))
+        .drop("_reasons")
+    )

@@ -1,0 +1,328 @@
+"""Stage-DAG wiring and the driver-side scheduler.
+
+Re-expresses the reference's luigi graph (`data_validation_framework/
+task.py:310-356` ``processed_inputs``/``requires``) and its run lifecycle
+(`task.py:541-610`) Spark-first:
+
+* upstream reports are joined onto the dataset by the element KEY COLUMNS
+  (equi-join) instead of pandas index concat (`task.py:468-522`);
+* global validity is the AND of upstream ``is_valid`` (`task.py:489-492`) —
+  failed-dependency propagation;
+* elements whose key is missing from an upstream report are warned about and
+  dropped — the reference's inconsistent-index semantics (`task.py:529-537`)
+  — implemented as a left join + null-validity filter with a counted sample,
+  never a collect of all keys;
+* duplicate dataset keys raise, listing a bounded sample
+  (`task.py:448-453`);
+* per-stage outputs (report/violations/summary/lineage) are committed through
+  :mod:`.checkpoint`; a stage whose partitions are all committed is skipped on
+  resume — luigi ``complete()`` memoization (`task.py:612-628`) re-expressed
+  as a partition manifest.
+
+Scale notes (10^12-file corpus): joins are on (repo, path, commit) — high
+cardinality, well-distributed after hashing, so sort-merge join with AQE is
+the default; small upstream verdict deltas are broadcast.  Giant-repo skew is
+neutralized because the join key INCLUDES path+commit; per-repo aggregations
+in stats use salting (see :mod:`.stats`).
+"""
+
+from __future__ import annotations
+
+import logging
+import uuid
+from dataclasses import dataclass, field
+from graphlib import TopologicalSorter
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import result as R
+from .checkpoint import CheckpointManager
+from .schema import DEFAULT_KEYS, REPORT_FIXED_COLS, RESERVED_COLS
+from .stage import Stage, StageOutput
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class RunResult:
+    reports: dict  # stage name -> DataFrame
+    violations: dict  # stage name -> DataFrame
+    summaries: list  # summary row dicts across stages
+    dropped_inconsistent: dict = field(default_factory=dict)
+
+
+class Workflow:
+    """A DAG of validation stages over one dataset
+    (≈ ``ValidationWorkflow``, `task.py:714-756`).
+
+    Parameters
+    ----------
+    stages: the stages; dependencies come from each stage's ``inputs``.
+    keys: element key columns (the Spark replacement for the pandas index).
+    partition_col: expression/column name used for per-partition summaries and
+        checkpoint commit granularity.  Defaults to a hash bucket of the keys.
+    n_buckets: bucket count when ``partition_col`` is None.
+    """
+
+    def __init__(
+        self,
+        stages: Sequence[Stage],
+        keys: Sequence[str] = DEFAULT_KEYS,
+        partition_col: Optional[str] = None,
+        n_buckets: int = 8,
+        checkpoint: Optional[CheckpointManager] = None,
+        run_id: Optional[str] = None,
+        strict_duplicates: bool = True,
+    ):
+        self.stages = {s.name: s for s in stages}
+        if len(self.stages) != len(stages):
+            raise ValueError("duplicate stage names")
+        self.keys = list(keys)
+        self.partition_col = partition_col
+        self.n_buckets = int(n_buckets)
+        self.checkpoint = checkpoint
+        self.run_id = run_id or uuid.uuid4().hex[:12]
+        self.strict_duplicates = strict_duplicates
+        self._check_input_mappings()
+
+    # ------------------------------------------------------------------
+    def _check_input_mappings(self):
+        """Conflict/reserved-name validation before any job runs
+        (reference ``check_inputs``, `task.py:395-422`)."""
+        for s in self.stages.values():
+            seen = {}
+            for up, mapping in s.inputs.items():
+                for src, dst in (mapping or {}).items():
+                    if dst in RESERVED_COLS:
+                        raise ValueError(
+                            f"[{s.name}] input mapping may not target reserved "
+                            f"column '{dst}'"
+                        )
+                    if dst in seen:
+                        raise ValueError(
+                            f"[{s.name}] column '{dst}' mapped from multiple "
+                            f"inputs ({seen[dst]} and {_stage_name(up)})"
+                        )
+                    seen[dst] = _stage_name(up)
+
+    def _topo_order(self):
+        ts = TopologicalSorter()
+        for s in self.stages.values():
+            deps = [_stage_name(u) for u in s.inputs]
+            for d in deps:
+                if d not in self.stages:
+                    raise ValueError(f"[{s.name}] unknown upstream stage '{d}'")
+            ts.add(s.name, *deps)
+        return list(ts.static_order())
+
+    # ------------------------------------------------------------------
+    def _partition_expr(self):
+        if self.partition_col:
+            return F.col(self.partition_col).cast("string")
+        return F.pmod(
+            F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(self.n_buckets)
+        ).cast("string")
+
+    def _prepare_dataset(self, stage: Stage, dataset: DataFrame) -> DataFrame:
+        df = stage.transform_index(dataset)
+        if self.strict_duplicates:
+            dups = (
+                df.groupBy(*self.keys)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > 1)
+                .limit(20)
+                .collect()
+            )
+            if dups:
+                sample = [tuple(r[k] for k in self.keys) for r in dups]
+                raise IndexError(
+                    f"[{stage.name}] The keys of the dataset must be unique; "
+                    f"duplicated keys (sample): {sample}"
+                )
+        return df
+
+    def _join_inputs(
+        self, stage: Stage, dataset: DataFrame, reports: dict
+    ) -> tuple[DataFrame, DataFrame]:
+        """Replicates `_join_inputs` (`task.py:459-539`) with key equi-joins.
+
+        Returns (prepared_frame, dropped_keys_df).  prepared_frame has the
+        dataset columns + mapped upstream columns + is_valid/ret_code/comment/
+        exception seeded from upstream validity.
+        """
+        frame = dataset
+        validity_cols = []
+        for i, (up, mapping) in enumerate(stage.inputs.items()):
+            up_name = _stage_name(up)
+            rep = reports[up_name]
+            vcol = f"_valid_{i}_{up_name}"
+            sel = [F.col(k) for k in self.keys] + [F.col("is_valid").alias(vcol)]
+            for src, dst in (mapping or {}).items():
+                if src not in rep.columns:
+                    raise KeyError(
+                        f"[{stage.name}] column '{src}' not found in report of "
+                        f"'{up_name}'"
+                    )
+                sel.append(F.col(src).alias(dst))
+            frame = frame.join(rep.select(*sel), on=self.keys, how="left")
+            validity_cols.append(vcol)
+
+        if validity_cols:
+            upstream_valid = R.and_validity(validity_cols)
+            # inconsistent-key semantics (`task.py:529-537`): keys missing in
+            # any upstream report → warn + drop
+            null_mask = F.lit(False)
+            for v in validity_cols:
+                null_mask = null_mask | F.col(v).isNull()
+            dropped = frame.filter(null_mask).select(*self.keys)
+            frame = frame.filter(~null_mask)
+            frame = frame.withColumn("is_valid", upstream_valid).drop(*validity_cols)
+        else:
+            dropped = dataset.select(*self.keys).limit(0)
+            frame = frame.withColumn("is_valid", F.lit(True))
+
+        frame = (
+            frame.withColumn("ret_code", F.lit(None).cast("int"))
+            .withColumn("comment", F.lit(None).cast("string"))
+            .withColumn("exception", F.lit(None).cast("string"))
+        )
+        return frame, dropped
+
+    # ------------------------------------------------------------------
+    def run(self, spark: SparkSession, dataset: DataFrame) -> RunResult:
+        order = self._topo_order()
+        part = self._partition_expr()
+        reports, violations, summaries, dropped_all = {}, {}, [], {}
+
+        for name in order:
+            stage = self.stages[name]
+            if self.checkpoint and self.checkpoint.is_complete(name):
+                logger.info("[%s] already committed — resuming past it", name)
+                reports[name] = self.checkpoint.read_report(spark, name)
+                violations[name] = self.checkpoint.read_violations(spark, name)
+                continue
+
+            ds = self._prepare_dataset(stage, dataset)
+            frame, dropped = self._join_inputs(stage, ds, reports)
+            n_dropped = dropped.count() if stage.inputs else 0
+            if n_dropped:
+                sample = [tuple(r) for r in dropped.limit(10).collect()]
+                logger.warning(
+                    "[%s] %d elements have keys missing from upstream reports "
+                    "and were dropped (sample: %s) — inconsistent-index "
+                    "semantics",
+                    name, n_dropped, sample,
+                )
+            dropped_all[name] = n_dropped
+
+            out = stage.run(frame, keys=self.keys)
+            report = out.report.withColumn("_vpart", part)
+
+            if self.checkpoint:
+                report, viols = self.checkpoint.commit_stage(
+                    spark, name, report, out.violations.withColumn("_vpart", part),
+                    run_id=self.run_id,
+                )
+            else:
+                report = report.persist()
+                viols = out.violations
+
+            # fused consistency + per-partition summary: ONE aggregation job
+            per_part = (
+                report.groupBy("_vpart")
+                .agg(
+                    F.count(F.lit(1)).alias("n_total"),
+                    F.count(F.when(F.col("is_valid"), 1)).alias("n_valid"),
+                    F.count(F.when(F.col("ret_code") > 1, 1)).alias("n_warning"),
+                    F.count(F.when(F.col("is_valid").isNull(), 1)).alias("null_valid"),
+                    F.count(
+                        F.when(F.col("is_valid") & (F.col("ret_code") == 1), 1)
+                    ).alias("valid_but_1"),
+                    F.count(
+                        F.when(~F.col("is_valid") & (F.col("ret_code") == 0), 1)
+                    ).alias("invalid_but_0"),
+                    F.count(
+                        F.when(
+                            (F.col("ret_code") > 1)
+                            & (F.col("comment").isNull() | (F.col("comment") == "")),
+                            1,
+                        )
+                    ).alias("warning_no_comment"),
+                )
+                .collect()
+            )
+            totals = {
+                k: sum(r[k] for r in per_part)
+                for k in (
+                    "n_total", "n_valid", "n_warning", "null_valid",
+                    "valid_but_1", "invalid_but_0", "warning_no_comment",
+                )
+            }
+            R.enforce_consistency(totals, stage=name)
+            stage_summaries = [
+                {
+                    "stage": name,
+                    "partition": r["_vpart"],
+                    "n_total": r["n_total"],
+                    "n_valid": r["n_valid"],
+                    "n_warning": r["n_warning"],
+                    "stats": None,
+                }
+                for r in per_part
+            ]
+            summaries.extend(stage_summaries)
+            logger.info(
+                "SUMMARY %s: %d / %d passed", name, totals["n_valid"], totals["n_total"]
+            )
+            if self.checkpoint:
+                self.checkpoint.commit_summary(
+                    spark, name, stage_summaries, run_id=self.run_id
+                )
+            reports[name] = report.drop("_vpart")
+            violations[name] = viols.drop("_vpart") if "_vpart" in viols.columns else viols
+
+        return RunResult(
+            reports=reports,
+            violations=violations,
+            summaries=summaries,
+            dropped_inconsistent=dropped_all,
+        )
+
+    # ------------------------------------------------------------------
+    def gathered_report(self, dataset: DataFrame, result: RunResult) -> DataFrame:
+        """Workflow-level gathered report (`gather_inputs=True`,
+        `task.py:510-527`): dataset keys + global is_valid (AND of all stages)
+        + one STRUCT per stage holding that stage's report columns —
+        loss-free Spark equivalent of the reference's two-level
+        ``(task_name, column)`` MultiIndex (`tests/test_task.py:1928-1958`).
+        """
+        out = dataset.select(*self.keys)
+        validity = []
+        for name, rep in result.reports.items():
+            cols = [c for c in rep.columns if c not in self.keys]
+            struct = F.struct(*[F.col(c).alias(c) for c in cols]).alias(name)
+            vcol = f"_v_{name}"
+            out = out.join(
+                rep.select(*self.keys, F.col("is_valid").alias(vcol), struct),
+                on=self.keys,
+                how="left",
+            )
+            validity.append(vcol)
+        out = out.withColumn(
+            "is_valid",
+            F.coalesce(R.and_validity(validity), F.lit(False)),
+        ).drop(*validity)
+        return out
+
+    def all_violations(self, result: RunResult) -> DataFrame:
+        """Union of every stage's violation rows (`unionByName`)."""
+        dfs = list(result.violations.values())
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+
+def _stage_name(s) -> str:
+    return s.name if isinstance(s, Stage) else str(s)

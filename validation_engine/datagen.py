@@ -1,0 +1,150 @@
+"""Deterministic synthetic source-code corpus with planted defects.
+
+Implements FIXTURES.md F1: the canonical input table
+``(repo, path, commit, lang, content)`` (BASELINE.json input_hint) plus a
+per-row ``content_sha256`` oracle column, generated with a fixed seed so every
+planted defect count is EXACT and tests can assert exact violation counts
+(reference tests assert exact report contents, `tests/test_task.py:1794-1803`).
+
+Planted defects (disjoint row sets, exact counts returned in ``expected``):
+
+* duplicate ``(repo, path, commit)`` keys       → uniqueness check
+* orphan repo / commit values absent from dims  → referential integrity
+* empty ``content``                             → non-empty check
+* lang ↔ extension mismatches                   → lang-vs-ext check
+* one drifted repo (different token distribution and lengths) → KS/chi² drift
+
+Repo sizes are Zipf-skewed — one giant repo — to exercise salting/AQE skew
+handling.  Generation is vectorized numpy; sha256 via hashlib on the driver
+at test scale (the engine recomputes it with JVM-side ``sha2`` at any scale).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+EXTS = ["py", "rs", "js", "md", "txt"]
+EXT_LANG = {"py": "python", "rs": "rust", "js": "javascript", "md": "markdown", "txt": "text"}
+
+_VOCAB = (
+    "def class return import for while if else try except lambda yield "
+    "fn let mut impl struct enum match pub use mod trait "
+    "function var const new this typeof async await export "
+    "data table row column value index key hash sort merge join scan filter"
+).split()
+
+_DRIFT_VOCAB = (
+    "quantum flux neutrino lattice boson hadron spinor tensor gauge "
+    "entropy manifold geodesic fermion quark lepton photon"
+).split()
+
+
+def gen_codefiles(
+    n_rows: int = 5000,
+    seed: int = 42,
+    n_repos: int = 40,
+    n_dup: int = 25,
+    n_empty: int = 50,
+    n_lang_mismatch: int = 100,
+    n_orphan_repos: int = 2,
+    n_orphan_commits: int = 3,
+    drift_repo_rank: int = 1,
+) -> dict:
+    """Return ``{"files": pdf, "repo_dim": pdf, "commit_dim": pdf,
+    "expected": {...}}`` — all pandas, deterministic for a given seed."""
+    rng = np.random.default_rng(seed)
+
+    # Zipf-skewed repo sizes: repo_0000 is the giant
+    weights = 1.0 / np.arange(1, n_repos + 1)
+    weights /= weights.sum()
+    repo_idx = rng.choice(n_repos, size=n_rows, p=weights)
+    repos = np.array([f"repo_{i:04d}" for i in range(n_repos)])[repo_idx]
+
+    exts = rng.choice(EXTS, size=n_rows)
+    dirs = rng.integers(0, 20, size=n_rows)
+    names = rng.integers(0, 100000, size=n_rows)
+    paths = np.array(
+        [f"src/d{d}/f{m}.{e}" for d, m, e in zip(dirs, names, exts)]
+    )
+
+    # a handful of commits per repo, 40-hex, deterministic
+    commit_of = {}
+    commits = np.empty(n_rows, dtype=object)
+    batch = rng.integers(0, 5, size=n_rows)
+    for i in range(n_rows):
+        key = (repos[i], int(batch[i]))
+        if key not in commit_of:
+            commit_of[key] = hashlib.sha1(f"{key}".encode()).hexdigest() * 2
+        commits[i] = commit_of[key][:40]
+
+    langs = np.array([EXT_LANG[e] for e in exts], dtype=object)
+
+    drift_repo = f"repo_{drift_repo_rank - 1:04d}"
+    lengths = rng.integers(5, 60, size=n_rows)
+    contents = np.empty(n_rows, dtype=object)
+    for i in range(n_rows):
+        if repos[i] == drift_repo:
+            toks = rng.choice(_DRIFT_VOCAB, size=int(lengths[i]) + 40)
+        else:
+            toks = rng.choice(_VOCAB, size=int(lengths[i]))
+        contents[i] = " ".join(toks)
+
+    pdf = pd.DataFrame(
+        {"repo": repos, "path": paths, "commit": commits, "lang": langs, "content": contents}
+    )
+    # de-duplicate any accidental key collisions so planted counts are exact
+    pdf = pdf.drop_duplicates(subset=["repo", "path", "commit"]).reset_index(drop=True)
+    n = len(pdf)
+
+    # disjoint defect row sets
+    all_idx = rng.permutation(n)
+    empty_idx = all_idx[:n_empty]
+    mism_idx = all_idx[n_empty : n_empty + n_lang_mismatch]
+    dup_idx = all_idx[n_empty + n_lang_mismatch : n_empty + n_lang_mismatch + n_dup]
+
+    pdf.loc[empty_idx, "content"] = ""
+    wrong = {"python": "rust", "rust": "javascript", "javascript": "python",
+             "markdown": "python", "text": "rust"}
+    pdf.loc[mism_idx, "lang"] = pdf.loc[mism_idx, "lang"].map(wrong)
+
+    dups = pdf.loc[dup_idx].copy()
+    pdf = pd.concat([pdf, dups], ignore_index=True)
+
+    pdf["content_sha256"] = [
+        hashlib.sha256(c.encode()).hexdigest() for c in pdf["content"]
+    ]
+
+    # dimension tables with planted orphans (remove dim entries, NOT rows)
+    uniq_repos = sorted(pdf["repo"].unique())
+    orphan_repos = [r for r in uniq_repos if r != drift_repo][-n_orphan_repos:]
+    repo_dim = pd.DataFrame({"repo": [r for r in uniq_repos if r not in orphan_repos]})
+    uniq_commits = sorted(pdf["commit"].unique())
+    orphan_commits = uniq_commits[-n_orphan_commits:]
+    commit_dim = pd.DataFrame({"commit": [c for c in uniq_commits if c not in orphan_commits]})
+
+    expected = {
+        "n_rows": len(pdf),
+        "n_base": n,
+        "n_dup_keys": len(dups.drop_duplicates(subset=["repo", "path", "commit"])),
+        "n_dup_rows": len(dups),
+        "n_empty": int((pdf["content"] == "").sum()),
+        "n_lang_mismatch": n_lang_mismatch,
+        "orphan_repos": orphan_repos,
+        "orphan_commits": orphan_commits,
+        "n_orphan_repo_rows": int(pdf["repo"].isin(orphan_repos).sum()),
+        "n_orphan_commit_rows": int(pdf["commit"].isin(orphan_commits).sum()),
+        "drift_repo": drift_repo,
+    }
+    return {"files": pdf, "repo_dim": repo_dim, "commit_dim": commit_dim, "expected": expected}
+
+
+def to_spark(spark, data: dict) -> dict:
+    """Materialize the generated pandas frames as Spark DataFrames."""
+    out = {}
+    for k in ("files", "repo_dim", "commit_dim"):
+        out[k] = spark.createDataFrame(data[k])
+    out["expected"] = data["expected"]
+    return out

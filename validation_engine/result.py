@@ -1,0 +1,151 @@
+"""Validity algebra: ret_code normalization, consistency checks, column order.
+
+Re-expresses the reference's ``ValidationResult`` / ``ValidationResultSet``
+semantics (`data_validation_framework/result.py:31-121`) as Column
+expressions over a report DataFrame:
+
+* ``ret_code`` is derived from ``is_valid`` when null — 0 for valid, 1 for
+  invalid (`result.py:104-106`, `task.py:703-705`);
+* ``is_valid=True`` with ``ret_code==1`` or ``is_valid=False`` with
+  ``ret_code==0`` is inconsistent and raises ``ValueError``
+  (`result.py:38-41`, `task.py:694-699`);
+* ``ret_code > 1`` is a warning and requires a comment (`result.py:42-43`,
+  `task.py:700-701`);
+* ``is_valid`` must never be null (`result.py:117-118`);
+* report columns are ordered: keys, fixed cols, then declared output columns
+  (`result.py:80-90,121`).
+
+Everything here is driver-side plan construction plus at most one
+aggregation job — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame, functions as F
+
+from .schema import DEFAULT_KEYS, REPORT_FIXED_COLS
+
+logger = logging.getLogger(__name__)
+
+
+class ValidationError(ValueError):
+    """Raised on is_valid/ret_code inconsistency (reference `task.py:697-699`)."""
+
+
+def ensure_report_columns(df: DataFrame, output_columns=None) -> DataFrame:
+    """Add any missing fixed/declared columns with defaults.
+
+    Mirrors ``ValidationResultSet.format_data`` (`result.py:92-102`):
+    missing fixed columns get nulls (``is_valid`` has no default and must be
+    present), missing output columns get their declared default literal.
+    """
+    cols = set(df.columns)
+    if "is_valid" not in cols:
+        raise ValidationError("report is missing required column 'is_valid'")
+    out = df
+    for c in ("ret_code", "comment", "exception"):
+        if c not in cols:
+            typ = "int" if c == "ret_code" else "string"
+            out = out.withColumn(c, F.lit(None).cast(typ))
+    for name, default in (output_columns or {}).items():
+        if name not in cols:
+            out = out.withColumn(name, F.lit(default))
+    return out
+
+
+def normalize_ret_code(df: DataFrame) -> DataFrame:
+    """Fill null ret_code from is_valid: valid→0, invalid→1 (`result.py:104-106`)."""
+    return df.withColumn(
+        "ret_code",
+        F.coalesce(
+            F.col("ret_code"),
+            F.when(F.col("is_valid"), F.lit(0)).otherwise(F.lit(1)),
+        ).cast("int"),
+    )
+
+
+def consistency_counts(df: DataFrame) -> dict:
+    """One aggregation job computing every consistency violation count.
+
+    Fused into a single ``agg`` (SURVEY §4: "summaries and consistency checks
+    share a job") instead of the reference's sequence of eager asserts.
+    """
+    row = df.agg(
+        F.count(F.when(F.col("is_valid").isNull(), 1)).alias("null_valid"),
+        F.count(
+            F.when(F.col("is_valid") & (F.col("ret_code") == 1), 1)
+        ).alias("valid_but_1"),
+        F.count(
+            F.when(~F.col("is_valid") & (F.col("ret_code") == 0), 1)
+        ).alias("invalid_but_0"),
+        F.count(
+            F.when(
+                (F.col("ret_code") > 1)
+                & (F.col("comment").isNull() | (F.col("comment") == "")),
+                1,
+            )
+        ).alias("warning_no_comment"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("is_valid"), 1)).alias("n_valid"),
+        F.count(F.when(F.col("ret_code") > 1, 1)).alias("n_warning"),
+    ).collect()[0]
+    return row.asDict()
+
+
+def enforce_consistency(counts: dict, stage: str = "?") -> None:
+    """Raise/warn exactly as the reference does (`task.py:694-701`,
+    `result.py:38-43,117-118`), from precomputed counts."""
+    if counts["null_valid"]:
+        raise ValidationError(
+            f"[{stage}] the 'is_valid' column must not contain null values "
+            f"({counts['null_valid']} found)"
+        )
+    if counts["valid_but_1"]:
+        raise ValidationError(
+            f"[{stage}] the 'ret_code' values are not consistent with the "
+            f"'is_valid' values: {counts['valid_but_1']} valid rows have "
+            "ret_code == 1"
+        )
+    if counts["invalid_but_0"]:
+        raise ValidationError(
+            f"[{stage}] the 'ret_code' values are not consistent with the "
+            f"'is_valid' values: {counts['invalid_but_0']} invalid rows have "
+            "ret_code == 0"
+        )
+    if counts["warning_no_comment"]:
+        logger.warning(
+            "[%s] %d rows have ret_code > 1 (warning) but no comment; "
+            "a comment should explain the warning",
+            stage,
+            counts["warning_no_comment"],
+        )
+
+
+def order_report_columns(df: DataFrame, keys=DEFAULT_KEYS, output_columns=None) -> DataFrame:
+    """Select keys, fixed cols, declared outputs, then any remaining columns.
+
+    Reference comparator: known report cols first, then str-named, then the
+    rest (`result.py:80-90`).
+    """
+    declared = list(output_columns or {})
+    known = list(keys) + list(REPORT_FIXED_COLS) + declared
+    rest = [c for c in df.columns if c not in known]
+    ordered = [c for c in known if c in df.columns] + sorted(rest)
+    return df.select(*ordered)
+
+
+def and_validity(cols) -> F.Column:
+    """Conjunction of upstream validity columns (`task.py:489-492`).
+
+    This is the failed-dependency propagation primitive: an element invalid in
+    ANY upstream stage is invalid in the downstream dataset.  Null upstream
+    validity (element absent from an upstream report) stays null so the caller
+    can apply inconsistent-index semantics (`task.py:529-537`).
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in cols]
+    out = cols[0]
+    for c in cols[1:]:
+        out = out & c
+    return out

@@ -1,0 +1,102 @@
+"""Fixed StructType schemas for the validation engine.
+
+The reference (BlueBrain/data-validation-framework) infers schemas from CSV
+(`data_validation_framework/task.py:287-293`) and types its report columns by
+convention (`data_validation_framework/result.py:58-63`).  We make every
+contract explicit: input table, per-stage report, violations, summary and
+lineage tables all have declared StructTypes so Catalyst can prune/push down
+and so checkpointed Parquet round-trips losslessly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+#: Default element-key columns (BASELINE.json input_hint).  The reference uses
+#: the pandas index as the element key (`task.py:38`, `__index_label__`).
+DEFAULT_KEYS = ("repo", "path", "commit")
+
+#: Fixed report columns, in order (reference: `result.py:58-63` out_cols).
+REPORT_FIXED_COLS = ("is_valid", "ret_code", "comment", "exception")
+
+#: Reserved names a stage's output_columns may not use
+#: (reference: `task.py:412-416`).
+RESERVED_COLS = frozenset(REPORT_FIXED_COLS)
+
+#: Comment set on rows skipped by a skippable stage (reference: `task.py:39`).
+SKIP_COMMENT = "Skipped by user."
+
+#: Canonical input table (BASELINE.json input_hint): one row per file version
+#: in a corpus of source-code repositories.
+INPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), False),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+
+def report_schema(keys=DEFAULT_KEYS, key_types=None, output_columns=None):
+    """Report schema for one stage: keys + fixed cols + declared outputs.
+
+    Mirrors the reference report frame (`result.py:58-63`): ``is_valid`` is
+    never null (`result.py:117-118`), ``ret_code``/``comment``/``exception``
+    are nullable.
+    """
+    key_types = key_types or {k: T.StringType() for k in keys}
+    fields = [T.StructField(k, key_types[k], False) for k in keys]
+    fields += [
+        T.StructField("is_valid", T.BooleanType(), False),
+        T.StructField("ret_code", T.IntegerType(), True),
+        T.StructField("comment", T.StringType(), True),
+        T.StructField("exception", T.StringType(), True),
+    ]
+    for name, dtype in (output_columns or {}).items():
+        fields.append(T.StructField(name, dtype, True))
+    return T.StructType(fields)
+
+
+def violations_schema(keys=DEFAULT_KEYS, key_types=None):
+    """Violation rows: one per (element, failed check).
+
+    Reference analogue: failure comments per element in the report
+    (`report.py:109-147` groups them); at 10^12-file scale a dedicated
+    violations table is appended instead.
+    """
+    key_types = key_types or {k: T.StringType() for k in keys}
+    fields = [T.StructField(k, key_types[k], False) for k in keys]
+    fields += [
+        T.StructField("check_id", T.StringType(), False),
+        T.StructField("reason", T.StringType(), True),
+        T.StructField("stage", T.StringType(), False),
+    ]
+    return T.StructType(fields)
+
+
+#: Per-stage, per-partition pass/fail summary.  Reference analogue: the
+#: "SUMMARY task: X / Y passed" success hook (`task.py:596-597,644-650`).
+SUMMARY_SCHEMA = T.StructType(
+    [
+        T.StructField("stage", T.StringType(), False),
+        T.StructField("partition", T.StringType(), False),
+        T.StructField("n_total", T.LongType(), False),
+        T.StructField("n_valid", T.LongType(), False),
+        T.StructField("n_warning", T.LongType(), False),
+        T.StructField("stats", T.MapType(T.StringType(), T.DoubleType()), True),
+    ]
+)
+
+#: Per-partition commit lineage enabling resume-from-checkpoint.  Reference
+#: analogue: luigi target-existence memoization (`task.py:612-628`).
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("stage", T.StringType(), False),
+        T.StructField("partition", T.StringType(), False),
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("committed_at", T.StringType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+    ]
+)

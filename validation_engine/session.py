@@ -1,0 +1,59 @@
+"""SparkSession builder with scale-oriented defaults.
+
+The reference's only tuning surface is ``nb_processes``
+(`data_validation_framework/task.py:205-209`).  Ours is Spark configuration:
+AQE (runtime coalesce + skew-join splitting), Arrow for the few pandas-UDF
+stages, and sane shuffle-partition defaults.  On a real cluster these same
+settings ride along ``spark-submit --py-files``; locally we pin
+``local[N]`` masters for the N-vs-4N scaling protocol (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONFS = {
+    # runtime re-planning: post-shuffle coalesce + skew-join splitting
+    # (north_rule: AQE skew-join hints for giant-repo skew)
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow batches for pandas UDF stages (drift tests); never row-at-a-time
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # idempotent partition-level re-writes on resume
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # keep ANSI off: validation must CLASSIFY bad data, not crash on it
+    # (a malformed cast should produce an invalid row, not kill the job)
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def get_spark(
+    app_name: str = "validation-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_MASTER", None)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # ≈ cores for local mode; on a cluster pass 2-4× total cores
+        n = master[len("local["):-1] if master.startswith("local[") else str(cpus)
+        shuffle_partitions = (os.cpu_count() or 8) if n == "*" else int(n)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in {**DEFAULT_CONFS, **(extra_conf or {})}.items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,270 @@
+"""Validation stages: element-level, set-level, pandas-vectorized, skippable.
+
+Re-expresses the reference task classes
+(`data_validation_framework/task.py:128-829`) as plan-building Stage objects:
+
+* ``ElementStage``  ≈ ``ElementValidationTask`` (`task.py:653-668`) with the
+  validation function replaced by declarative :class:`~.checks.Check` column
+  expressions — codegen'd JVM-side, no per-row Python (`util.py:170-184`
+  becomes ``F.when`` gating).
+* ``PandasElementStage`` — escape hatch for genuinely-Python element logic as
+  an Arrow-vectorized ``mapInPandas`` batch function with the reference's
+  exception-capture contract (`util.py:178-183`): a failing batch falls back
+  to per-row retry INSIDE the executor so one bad row poisons neither the
+  batch nor the job, and the traceback lands in the ``exception`` column.
+* ``SetStage``      ≈ ``SetValidationTask`` (`task.py:671-711`): whole-table
+  verdict; an exception from the user function marks ALL rows invalid with
+  the traceback (`task.py:687-692`).
+* ``skip=True``     ≈ ``SkippableMixin`` (`task.py:773-829`): valid rows get
+  comment 'Skipped by user.', the check itself runs zero jobs.
+
+A stage consumes a *prepared frame* (dataset columns + upstream-joined
+``is_valid/ret_code/comment/exception`` — wiring lives in :mod:`.dag`) and
+returns a report DataFrame plus violation rows.
+"""
+
+from __future__ import annotations
+
+import traceback
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from . import result as R
+from .checks import Check, compile_checks
+from .schema import DEFAULT_KEYS, RESERVED_COLS, SKIP_COMMENT
+
+
+@dataclass
+class StageOutput:
+    report: DataFrame
+    violations: DataFrame
+    #: per-partition summary rows (list of dicts), filled by the DAG runner
+    summary: Optional[list] = None
+
+
+def _check_output_columns(output_columns, stage_name):
+    """Reserved-name rejection (reference `task.py:412-416`)."""
+    bad = RESERVED_COLS.intersection(output_columns or {})
+    if bad:
+        raise ValueError(
+            f"[{stage_name}] output_columns may not use reserved names: {sorted(bad)}"
+        )
+
+
+class Stage:
+    """Base validation stage (≈ ``BaseValidationTask``, `task.py:128-641`).
+
+    Parameters
+    ----------
+    name: unique stage id (≈ luigi task_name).
+    inputs: ``{upstream_stage: {upstream_col: local_col}}`` — which upstream
+        report columns this stage consumes, renamed (reference 'mapping'
+        syntax, `task.py:326-342,424-440`).
+    output_columns: ``{col: default}`` extra report columns this stage emits
+        (`task.py:187-190`).
+    skip: SkippableMixin equivalent (`task.py:773-829`).
+    """
+
+    def __init__(self, name, inputs=None, output_columns=None, skip=False):
+        self.name = name
+        self.inputs = dict(inputs or {})
+        self.output_columns = dict(output_columns or {})
+        self.skip = bool(skip)
+        _check_output_columns(self.output_columns, name)
+
+    # hooks (reference `task.py:295-308`)
+    def transform_index(self, df: DataFrame) -> DataFrame:
+        return df
+
+    def pre_process(self, df: DataFrame) -> DataFrame:
+        return df
+
+    def post_process(self, df: DataFrame) -> DataFrame:
+        return df
+
+    # ---- implemented by subclasses ----
+    def _process(self, frame: DataFrame, keys) -> tuple[DataFrame, DataFrame]:
+        raise NotImplementedError
+
+    def run(self, frame: DataFrame, keys: Sequence[str] = DEFAULT_KEYS) -> StageOutput:
+        """frame: dataset + is_valid/ret_code/comment/exception (upstream)."""
+        frame = self.pre_process(frame)
+        if self.skip:
+            # zero validation jobs: pass through upstream validity, comment
+            # valid rows (reference element `task.py:773-777` /
+            # set `task.py:780-786` wrappers)
+            report = frame.withColumn(
+                "comment",
+                F.when(F.col("is_valid"), F.lit(SKIP_COMMENT)).otherwise(
+                    F.col("comment")
+                ),
+            )
+            empty_v = _empty_violations(frame, keys, self.name)
+            report, violations = report, empty_v
+        else:
+            report, violations = self._process(frame, keys)
+        report = R.ensure_report_columns(report, self.output_columns)
+        report = R.normalize_ret_code(report)
+        report = self.post_process(report)
+        report = R.order_report_columns(report, keys, self.output_columns)
+        # restrict to report columns only (reference `_report_cols`,
+        # task.py:574-578): dataset payload columns (e.g. `content`) must NOT
+        # be duplicated into every stage's report — at 10^12-file scale that
+        # would rewrite the corpus once per stage
+        report_cols = [c for c in list(keys) + list(R.REPORT_FIXED_COLS)
+                       + list(self.output_columns) if c in report.columns]
+        report = report.select(*report_cols)
+        return StageOutput(report=report, violations=violations)
+
+
+def _empty_violations(df, keys, stage):
+    return (
+        df.select(*keys)
+        .limit(0)
+        .select(
+            *keys,
+            F.lit("").alias("check_id"),
+            F.lit("").alias("reason"),
+            F.lit(stage).alias("stage"),
+        )
+    )
+
+
+class ElementStage(Stage):
+    """Element-level checks as Column expressions (the fast path).
+
+    Replaces the reference's per-row ``validation_function(row, ...)``
+    (`task.py:653-668`, `util.py:170-184`) with compiled predicates.  Rows
+    already invalid upstream are gated off exactly like `util.py:172-173`.
+    """
+
+    def __init__(self, name, checks: Sequence[Check], **kw):
+        super().__init__(name, **kw)
+        self.checks = list(checks)
+
+    def _process(self, frame, keys):
+        return compile_checks(
+            frame, self.checks, stage=self.name, keys=keys, gate_col="is_valid"
+        )
+
+
+class PandasElementStage(Stage):
+    """Arrow-vectorized element stage for logic Column exprs can't express.
+
+    ``fn(pdf: pandas.DataFrame) -> pandas.DataFrame`` receives a batch of
+    upstream-VALID rows and returns, index-aligned, any of
+    ``is_valid/ret_code/comment`` plus declared output columns.  Exceptions:
+    vectorized attempt per batch; on failure, per-row retry inside the
+    executor, failing rows get ``is_valid=False, ret_code=1, exception=tb``
+    (reference `util.py:176-183`).  No driver round-trip, Arrow both ways.
+    """
+
+    def __init__(self, name, fn: Callable, output_types: Optional[dict] = None, **kw):
+        super().__init__(name, **kw)
+        self.fn = fn
+        # {col: spark type DDL string} for declared output columns
+        self.output_types = dict(output_types or {})
+
+    def _process(self, frame, keys):
+        import pandas as pd
+
+        fn = self.fn
+        out_cols = list(self.output_columns)
+        out_types = self.output_types
+        defaults = self.output_columns
+
+        in_fields = frame.schema.fields
+        schema = T.StructType(
+            list(in_fields)
+            + [
+                T.StructField(c, T._parse_datatype_string(out_types.get(c, "string")), True)
+                for c in out_cols
+                if c not in frame.columns
+            ]
+        )
+        result_cols = [f.name for f in schema.fields]
+
+        def apply_batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            for c in out_cols:
+                if c not in pdf.columns:
+                    pdf[c] = defaults.get(c)
+            gate = pdf["is_valid"].fillna(False).astype(bool)
+            sub = pdf[gate]
+            if len(sub):
+                try:
+                    res = fn(sub.copy())
+                    for c in res.columns:
+                        pdf.loc[res.index, c] = res[c]
+                except Exception:  # vectorized failed → per-row retry
+                    for idx in sub.index:
+                        row = sub.loc[[idx]]
+                        try:
+                            res = fn(row.copy())
+                            for c in res.columns:
+                                pdf.loc[idx, c] = res[c]
+                        except Exception:
+                            pdf.loc[idx, "is_valid"] = False
+                            pdf.loc[idx, "ret_code"] = 1
+                            pdf.loc[idx, "exception"] = traceback.format_exc()
+            pdf["is_valid"] = pdf["is_valid"].fillna(False).astype(bool)
+            return pdf[result_cols]
+
+        def runner(it):
+            for pdf in it:
+                yield apply_batch(pdf)
+
+        report = frame.mapInPandas(runner, schema=schema)
+        # violations derived from newly-invalid rows (had upstream validity,
+        # failed here); reasons come from the comment column
+        violations = (
+            report.filter(~F.col("is_valid") & F.col("exception").isNotNull())
+            .select(
+                *keys,
+                F.lit(f"{self.name}_exception").alias("check_id"),
+                F.col("exception").alias("reason"),
+                F.lit(self.name).alias("stage"),
+            )
+        )
+        return report, violations
+
+
+class SetStage(Stage):
+    """Whole-table validation (≈ ``SetValidationTask``, `task.py:671-711`).
+
+    ``fn(frame: DataFrame, keys) -> DataFrame`` returns the report plan
+    (same keys, updated is_valid/ret_code/comment + output columns).  If the
+    user function raises while building the plan, ALL rows are marked invalid
+    and the traceback fans out to every row (`task.py:687-692`).
+    """
+
+    def __init__(self, name, fn: Callable, violations_fn: Optional[Callable] = None, **kw):
+        super().__init__(name, **kw)
+        self.fn = fn
+        self.violations_fn = violations_fn
+
+    def _process(self, frame, keys):
+        try:
+            report = self.fn(frame, keys)
+        except Exception:
+            tb = traceback.format_exc()
+            report = (
+                frame.withColumn("is_valid", F.lit(False))
+                .withColumn("ret_code", F.lit(1).cast("int"))
+                .withColumn("exception", F.lit(tb))
+            )
+            return report, _empty_violations(frame, keys, self.name)
+        if self.violations_fn is not None:
+            violations = self.violations_fn(frame, keys)
+        else:
+            violations = (
+                report.filter(~F.col("is_valid"))
+                .select(
+                    *keys,
+                    F.lit(self.name).alias("check_id"),
+                    F.coalesce(F.col("comment"), F.lit("invalid")).alias("reason"),
+                    F.lit(self.name).alias("stage"),
+                )
+            )
+        return report, violations
