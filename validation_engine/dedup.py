@@ -1,0 +1,311 @@
+"""Deduplication operators for web/corpus-scale training-data pipelines.
+
+Five families, each expressed so the heavy lifting stays JVM-side:
+
+* exact           — hash-groupBy on the content digest (one shuffle of
+                    (digest, key) pairs, never the content itself)
+* MinHash + LSH   — shingle → minhash signature → band → bucket join;
+                    candidate generation is an equi-join on band keys, so the
+                    only pairwise work happens inside buckets
+* SimHash         — 64-bit signed-projection fingerprint via explode +
+                    64 bit-aggregations; near-dups = banded hamming join
+* n-gram Jaccard  — exact Jaccard over token shingles for candidate pairs
+                    (verification stage after LSH, or standalone at small scale)
+* embedding cosine— near-dup by cosine ≥ τ using random-hyperplane LSH
+                    buckets (see :mod:`.similarity` for the search variants)
+
+Scale notes: every operator shuffles fixed-width hashes/signatures, not
+documents.  MinHash banding keeps the candidate set ~linear for realistic
+similarity thresholds; the verify join re-reads only candidate documents.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical documents: (digest, n_docs, keeper, doc_ids).
+
+    ``sha2(text)`` is computed map-side; the shuffle carries (digest, id)."""
+    digest = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+    return (
+        df.select(digest.alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keeper"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one representative (min id) per identical content — a window-free
+    formulation: min(id) per digest, broadcast-joined back."""
+    digest = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("_digest")
+    with_d = df.withColumn("_digest", F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256))
+    keepers = with_d.groupBy("_digest").agg(F.min(id_col).alias(id_col))
+    return with_d.join(keepers, ["_digest", id_col], "left_semi").drop("_digest")
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def token_shingles(col, k: int = 3) -> Column:
+    """Token k-gram shingles as an array<string> — pure array intrinsics:
+    transform over a 0..n-k index sequence, slice+concat per position."""
+    col = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(F.lower(col)), r"\s+")
+    n = F.size(toks)
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        )
+    )
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 16, use_md5: bool = False) -> Column:
+    """MinHash signature as array<string|bigint>, one min per hash function.
+
+    Hash family: ``xxhash64(i || shingle)`` (fast path) or
+    ``substr(md5(i || '|' || shingle), 1, 16)`` — the md5 variant exists so a
+    DuckDB oracle can reproduce the signature bit-for-bit (md5 is the one
+    digest both engines share; lexicographic min over lowercase hex is
+    engine-independent).
+    """
+    mins = []
+    for i in range(n_hashes):
+        if use_md5:
+            h = F.array_min(
+                F.transform(
+                    shingles,
+                    lambda s, i=i: F.substring(
+                        F.md5(F.concat(F.lit(f"{i}|"), s)), 1, 16
+                    ),
+                )
+            )
+        else:
+            h = F.array_min(
+                F.transform(
+                    shingles, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}|"), s))
+                )
+            )
+        mins.append(h)
+    return F.array(*mins)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    use_md5: bool = False,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH.
+
+    rows/band = n_hashes/bands; two docs collide if ANY band matches.
+    Plan shape: one scan to signatures (map-only) → explode bands (×bands) →
+    self-equi-join on (band_idx, band_key) → distinct pairs.  AQE handles the
+    skew of megapopular bands; pathological bands (boilerplate) can be
+    capped upstream with a frequency filter.
+    """
+    rows = n_hashes // bands
+    assert rows * bands == n_hashes, "bands must divide n_hashes"
+    sig = minhash_signature(token_shingles(text_col, k), n_hashes, use_md5)
+    with_sig = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    banded = with_sig.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws(
+                        ",", F.transform(F.slice("_sig", b * rows + 1, rows), lambda x: x.cast("string"))
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact token-shingle Jaccard for candidate pairs: join shingle arrays
+    onto both sides, intersect/union with array intrinsics.  Only candidate
+    documents are re-read (semi-join pushdown at the source)."""
+    sh = df.select(
+        F.col(id_col).alias("_id"), token_shingles(text_col, k).alias("_sh")
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold."""
+    cand = minhash_lsh_candidates(df, id_col, text_col, k, n_hashes, bands)
+    return jaccard_pairs(df, cand, id_col, text_col, k, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document: explode tokens, per-bit signed counts,
+    reassemble the sign vector into a bigint.  Two-phase hash agg on the doc
+    id; the shuffle carries (id, 64 small ints)."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    per_doc = toks.groupBy("_id").agg(*bit_aggs)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return per_doc.select(F.col("_id").alias(id_col), sig.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: split the 64-bit signature into ``n_bands`` chunks;
+    any pair within hamming ≤ n_bands-1 shares at least one exact chunk →
+    equi-join per chunk, then exact hamming via bit_count(xor)."""
+    sigs = simhash(df, id_col, text_col)
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    banded = sigs.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("_id", "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=["band", "chunk"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    seed: int = 42,
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """Near-dup pairs by cosine ≥ threshold using random-hyperplane LSH.
+
+    Sign-bit sketch buckets candidates (equi-join), exact cosine verifies
+    with ``zip_with``/``aggregate`` array math — no UDF.
+    """
+    from .similarity import hyperplane_signature, cosine_expr
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    sig = hyperplane_signature(F.col(vec_col), dim, n_planes, seed)
+    v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_b"))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a._b") == F.col("b._b"))
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(cosine_expr(F.col("a._v"), F.col("b._v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,210 @@
+"""Distribution-drift detection across partitions (north_star).
+
+No reference analogue (the reference has no statistics at all); required by
+BASELINE.json: "detects distribution drift across partitions via KS/chi-square
+tests in vectorized pandas/Arrow UDFs".
+
+Two designs, both scale-safe:
+
+1. **Histogram chi-square (pure Spark, preferred at 10^12 rows)** —
+   ``chi_square_drift``: bucketize the value column JVM-side, aggregate
+   per-(partition, bucket) counts (two-phase hash agg, tiny shuffle), then
+   compute the chi-square statistic per partition against the global
+   histogram with array expressions.  No Python at all.
+
+2. **KS test (grouped-agg pandas UDF)** — ``ks_drift``: per-partition
+   empirical CDF vs a reference sample, Arrow-vectorized numpy
+   (scipy is not installed in the sandbox; the KS statistic is hand-rolled).
+   The per-group data must fit an executor — use for bounded partitions or on
+   a sample (``sample_frac``).
+
+P-value machinery: asymptotic approximations implemented in numpy
+(Kolmogorov distribution Q(λ)≈2Σ(-1)^{k-1}e^{-2k²λ²}; Wilson–Hilferty
+chi-square tail approx), good to ~1e-3 — enough to threshold drift.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+
+# ---------------------------------------------------------------------------
+# 1. chi-square over bucketized histograms — no Python in the hot path
+# ---------------------------------------------------------------------------
+
+
+def partition_histogram(
+    df: DataFrame,
+    value_col,
+    partition_col: str,
+    n_buckets: int = 32,
+    lo: Optional[float] = None,
+    hi: Optional[float] = None,
+) -> DataFrame:
+    """Per-(partition, bucket) counts of a numeric expression.
+
+    ``lo``/``hi`` default to the global min/max (one cheap extra scan — at
+    real scale pass known bounds to keep it single-pass).
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    if lo is None or hi is None:
+        row = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).collect()[0]
+        lo = float(row["lo"]) if lo is None else lo
+        hi = float(row["hi"]) if hi is None else hi
+    span = max(hi - lo, 1e-12)
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor((v.cast("double") - F.lit(lo)) / F.lit(span) * n_buckets),
+    ).cast("int")
+    return (
+        df.select(F.col(partition_col).alias("partition"), bucket.alias("bucket"))
+        .groupBy("partition", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def chi_square_drift(
+    df: DataFrame,
+    value_col,
+    partition_col: str,
+    n_buckets: int = 32,
+    lo: Optional[float] = None,
+    hi: Optional[float] = None,
+) -> DataFrame:
+    """Chi-square statistic per partition vs the global (pooled) histogram.
+
+    Returns ``(partition, n, chi2, dof, p_value, drifted)``.  Everything
+    after the tiny per-bucket aggregate is array math over at most
+    ``n_partitions × n_buckets`` rows — broadcastable, driver-light.
+    """
+    hist = partition_histogram(df, value_col, partition_col, n_buckets, lo, hi)
+    hist = hist.persist()
+    glob = hist.groupBy("bucket").agg(F.sum("n").alias("gn"))
+    tot = hist.agg(F.sum("n").alias("N")).collect()[0]["N"]
+    # chi2 = Σ_b (obs - exp)^2 / exp, with exp_b = gn_b * pn / N
+    pn = hist.groupBy("partition").agg(F.sum("n").alias("pn"))
+    e = (
+        hist.join(F.broadcast(glob), "bucket")
+        .join(F.broadcast(pn), "partition")
+        .withColumn("exp", F.col("gn") * F.col("pn") / F.lit(float(tot)))
+        .withColumn("term", F.pow(F.col("n") - F.col("exp"), 2) / F.col("exp"))
+    )
+    out = e.groupBy("partition").agg(
+        F.max("pn").alias("n"),
+        F.round(F.sum("term"), 6).alias("chi2"),
+        (F.count(F.lit(1)) - 1).cast("int").alias("dof"),
+    )
+    pval = _chi2_sf_udf()
+    out = out.withColumn("p_value", F.round(pval(F.col("chi2"), F.col("dof")), 8))
+    hist.unpersist()
+    return out.withColumn("drifted", F.col("p_value") < 0.001)
+
+
+def _chi2_sf_udf():
+    """Chi-square survival function via Wilson–Hilferty normal approximation —
+    vectorized pandas UDF (Arrow), numpy-only."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def chi2_sf(chi2: pd.Series, dof: pd.Series) -> pd.Series:
+        k = dof.to_numpy(dtype=float)
+        x = chi2.to_numpy(dtype=float)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = ((x / np.maximum(k, 1e-12)) ** (1.0 / 3.0) - (1 - 2.0 / (9 * k))) / np.sqrt(
+                2.0 / (9 * k)
+            )
+        # normal tail via erfc
+        p = 0.5 * _erfc_vec(z / math.sqrt(2.0))
+        p = np.where(x <= 0, 1.0, p)
+        return pd.Series(np.clip(p, 0.0, 1.0))
+
+    return chi2_sf
+
+
+def _erfc_vec(z):
+    """Vectorized complementary error function (Abramowitz–Stegun 7.1.26)."""
+    sign = np.sign(z)
+    az = np.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * az)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    erf = 1.0 - poly * np.exp(-az * az)
+    erf = sign * erf
+    return 1.0 - erf
+
+
+# ---------------------------------------------------------------------------
+# 2. KS test as a grouped-agg pandas UDF
+# ---------------------------------------------------------------------------
+
+
+def ks_drift(
+    df: DataFrame,
+    value_col: str,
+    partition_col: str,
+    reference: Optional[Sequence[float]] = None,
+    sample_frac: Optional[float] = None,
+    alpha: float = 0.001,
+) -> DataFrame:
+    """Two-sample KS test per partition vs a reference sample.
+
+    ``reference``: a (small) numpy-able sample of the baseline distribution;
+    default = a 100k-capped uniform sample of the whole input (one extra job).
+    Per-partition values are gathered by ``applyInPandas`` — Arrow batches,
+    numpy sort, no scipy.
+    """
+    import pandas as pd
+
+    if sample_frac:
+        df = df.sample(fraction=sample_frac, seed=42)
+    if reference is None:
+        n = df.count()
+        frac = min(1.0, 100_000 / max(n, 1))
+        reference = [
+            r[0]
+            for r in df.sample(fraction=frac, seed=42).select(value_col).collect()
+        ]
+    ref = np.sort(np.asarray(reference, dtype=float))
+
+    schema = T.StructType(
+        [
+            T.StructField("partition", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("ks_stat", T.DoubleType()),
+            T.StructField("p_value", T.DoubleType()),
+            T.StructField("drifted", T.BooleanType()),
+        ]
+    )
+
+    def ks_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        part = str(pdf["_part"].iloc[0])
+        x = np.sort(pdf["_val"].to_numpy(dtype=float))
+        n1, n2 = len(x), len(ref)
+        if n1 == 0 or n2 == 0:
+            return pd.DataFrame(
+                [[part, n1, float("nan"), float("nan"), False]], columns=schema.names
+            )
+        # D = max |F1 - F2| over the merged support
+        allv = np.concatenate([x, ref])
+        cdf1 = np.searchsorted(x, allv, side="right") / n1
+        cdf2 = np.searchsorted(ref, allv, side="right") / n2
+        d = float(np.max(np.abs(cdf1 - cdf2)))
+        ne = n1 * n2 / (n1 + n2)
+        lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * d
+        p = 2.0 * sum((-1) ** (k - 1) * math.exp(-2 * k * k * lam * lam) for k in range(1, 101))
+        p = min(max(p, 0.0), 1.0)
+        return pd.DataFrame([[part, n1, round(d, 6), round(p, 8), p < alpha]],
+                            columns=schema.names)
+
+    prep = df.select(
+        F.col(partition_col).cast("string").alias("_part"),
+        F.col(value_col).cast("double").alias("_val"),
+    )
+    return prep.groupBy("_part").applyInPandas(ks_group, schema=schema)

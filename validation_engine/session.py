@@ -38,6 +38,15 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    # UDFs defined inside this package are pickled BY REFERENCE, so Python
+    # workers must be able to import validation_engine.  On a cluster that is
+    # `spark-submit --py-files validation_engine.zip`; in local mode the
+    # workers inherit PYTHONPATH from this process:
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = pkg_root + (os.pathsep + pp if pp else "")
+
     master = master or os.environ.get("SPARK_MASTER", None)
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:

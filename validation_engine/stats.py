@@ -1,0 +1,158 @@
+"""Column statistics as single-pass Spark aggregations (north_star §2.3).
+
+The reference delegates all statistics to user pandas code
+(`data_validation_framework/task.py:671-711` SetValidationTask).  Here they
+are declarative Spark aggregations — one shuffle, map-side partial
+aggregation, whole-stage codegen, no Python:
+
+* null rate per column            → ``avg(col.isNull().cast("double"))``
+* distinct count                  → ``approx_count_distinct`` (HLL) with an
+                                    exact variant for oracle checking
+* length / token distributions    → ``length``, ``size(split(...))``,
+                                    ``percentile_approx``
+* per-group (e.g. per-repo) stats → two-phase SALTED aggregation for skewed
+                                    groups (north_rule: giant repos)
+
+All functions return DataFrames (lazy plans) so Catalyst fuses them with
+downstream filters/joins.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+#: whitespace-ish tokenizer used consistently across stats/text/dedup so the
+#: DuckDB oracles can reproduce it with plain string_split semantics
+TOKEN_SPLIT_RE = r"\s+"
+
+
+def null_rates(df: DataFrame, cols: Optional[Sequence[str]] = None) -> DataFrame:
+    """One row with a null-rate column per input column — single scan."""
+    cols = list(cols or df.columns)
+    aggs = [
+        F.round(F.avg(F.col(c).isNull().cast("double")), 6).alias(f"null_rate_{c}")
+        for c in cols
+    ]
+    return df.agg(*aggs)
+
+
+def distinct_counts(
+    df: DataFrame, cols: Sequence[str], exact: bool = False, rsd: float = 0.02
+) -> DataFrame:
+    """Distinct count per column.  ``exact=False`` (default) uses HLL
+    (``approx_count_distinct``) — constant memory at 10^12 rows; exact mode
+    exists for small-scale oracle comparison."""
+    if exact:
+        aggs = [F.count_distinct(F.col(c)).alias(f"distinct_{c}") for c in cols]
+    else:
+        aggs = [
+            F.approx_count_distinct(F.col(c), rsd).alias(f"distinct_{c}")
+            for c in cols
+        ]
+    return df.agg(*aggs)
+
+
+def length_stats(
+    df: DataFrame,
+    col: str,
+    group_by: Optional[Sequence[str]] = None,
+    percentiles: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Length distribution of a string column, optionally per group.
+
+    ``percentile_approx`` (t-digest style GK sketch) keeps this a streaming
+    aggregation — no global sort at scale.
+    """
+    length = F.length(F.col(col))
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(length).cast("bigint").alias("len_min"),
+        F.max(length).cast("bigint").alias("len_max"),
+        F.round(F.avg(length), 6).alias("len_avg"),
+        F.percentile_approx(length, list(percentiles), 10000).alias("len_pctl"),
+    ]
+    if group_by:
+        return df.groupBy(*group_by).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def token_stats(
+    df: DataFrame, col: str, group_by: Optional[Sequence[str]] = None
+) -> DataFrame:
+    """Token-count distribution using a whitespace split — JVM-side regex."""
+    ntok = F.when(F.length(F.trim(F.col(col))) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col(col)), TOKEN_SPLIT_RE))
+    ).cast("bigint")
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(ntok).alias("tok_min"),
+        F.max(ntok).alias("tok_max"),
+        F.round(F.avg(ntok), 6).alias("tok_avg"),
+        F.sum(ntok).alias("tok_total"),
+    ]
+    if group_by:
+        return df.groupBy(*group_by).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def token_histogram(df: DataFrame, col: str, lowercase: bool = True) -> DataFrame:
+    """Global token frequency histogram (``map<string,long>`` analogue as
+    rows).  explode → two-phase hash agg; partial aggregation makes the
+    shuffle carry only (token, partial_count) pairs."""
+    tok = F.explode(F.split(F.trim(F.col(col)), TOKEN_SPLIT_RE)).alias("token")
+    out = df.filter(F.length(F.trim(F.col(col))) > 0).select(tok)
+    if lowercase:
+        out = out.select(F.lower(F.col("token")).alias("token"))
+    return out.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+
+
+def salted_group_stats(
+    df: DataFrame,
+    group_col: str,
+    value_expr,
+    n_salts: int = 16,
+    agg_name: str = "value",
+) -> DataFrame:
+    """Two-phase salted aggregation for skew-heavy groups (north_rule).
+
+    Phase 1 groups by ``(group_col, salt)`` — the giant repo's rows spread
+    over ``n_salts`` reducers; phase 2 merges the tiny per-salt partials.
+    Emits count/sum/min/max per group (avg derivable).  For algebraic
+    aggregates only (count/sum/min/max); use AQE skew handling for joins.
+    """
+    # deterministic salt (hash of row content, not rand) so reruns agree
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    phase1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(group_col, "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(value_expr).alias("_sum"),
+            F.min(value_expr).alias("_min"),
+            F.max(value_expr).alias("_max"),
+        )
+    )
+    return phase1.groupBy(group_col).agg(
+        F.sum("_n").alias(f"{agg_name}_count"),
+        F.sum("_sum").alias(f"{agg_name}_sum"),
+        F.min("_min").alias(f"{agg_name}_min"),
+        F.max("_max").alias(f"{agg_name}_max"),
+    )
+
+
+def column_profile(df: DataFrame, cols: Optional[Sequence[str]] = None) -> DataFrame:
+    """Per-column profile rows: (column, null_rate, approx_distinct) — the
+    north_star per-stage column statistics, one scan over the input via a
+    single multi-agg then an unpivot-style stack."""
+    cols = list(cols or df.columns)
+    aggs = []
+    for c in cols:
+        aggs.append(F.avg(F.col(c).isNull().cast("double")).alias(f"nr_{c}"))
+        aggs.append(F.approx_count_distinct(F.col(c)).alias(f"dc_{c}"))
+    row = df.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', `nr_{c}`, `dc_{c}`" for c in cols)
+    return row.selectExpr(
+        f"stack({len(cols)}, {stack_args}) as (column, null_rate, approx_distinct)"
+    )
