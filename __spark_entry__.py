@@ -1,38 +1,804 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship validation workflow on sf0.001;
+``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
+training-data ops); ``oracle_sql()`` gives the DuckDB twin for each
+SQL-expressible query.  Column names/types are aligned between both engines
+(aggregates aliased identically, int sums cast to BIGINT, order-dependent
+float sums routed through exact DECIMAL arithmetic).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+# local-mode Python workers must import validation_engine for package UDFs
+_pp = os.environ.get("PYTHONPATH", "")
+if _REPO not in _pp.split(os.pathsep):
+    os.environ["PYTHONPATH"] = _REPO + (os.pathsep + _pp if _pp else "")
+
+import pyspark.sql.functions as F  # noqa: E402
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+#: allowed document languages (observed domain of the documents table)
+DOC_LANGS = ["en", "es", "fr", "de", "zh"]
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-language validation summary of the documents table via
+    the engine's ElementStage + Workflow (report → groupBy summary)."""
+    from validation_engine import ElementStage, Workflow, in_set, non_empty, Check
+
+    sf = "/root/testdata/sf0.001"
+    docs = _t(spark, sf, "documents")
+    stage = ElementStage(
+        "doc_checks",
+        checks=[
+            non_empty("text"),
+            in_set("lang", DOC_LANGS),
+            Check(
+                "n_chars_consistent",
+                F.col("n_chars") == F.length("text"),
+                "n_chars does not equal length(text)",
+            ),
+        ],
+    )
+    wf = Workflow([stage], keys=["doc_id"], partition_col="lang")
+    res = wf.run(spark, docs)
+    rep = res.reports["doc_checks"].join(docs.select("doc_id", "lang"), "doc_id")
+    return (
+        rep.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("is_valid"), 1)).alias("n_valid"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — each (spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------------
+
+
+def q_element_report_documents(spark, sf):
+    """Element-stage per-row report (O11/O13 semantics, §2.3 checks)."""
+    from validation_engine import ElementStage, Workflow, in_set, non_empty, Check
+
+    docs = _t(spark, sf, "documents")
+    stage = ElementStage(
+        "doc_checks",
+        checks=[
+            non_empty("text"),
+            in_set("lang", DOC_LANGS),
+            Check(
+                "n_chars_consistent",
+                F.col("n_chars") == F.length("text"),
+                "n_chars does not equal length(text)",
+            ),
+        ],
+    )
+    res = Workflow([stage], keys=["doc_id"]).run(spark, docs)
+    rep = res.reports["doc_checks"]
+    return rep.select("doc_id", "is_valid", "ret_code", "comment")
+
+
+def q_summary_by_lang(spark, sf):
+    """Set-level pass/fail summary grouped by a partition column (O15)."""
+    docs = _t(spark, sf, "documents")
+    ok = (
+        F.col("text").isNotNull()
+        & (F.length("text") > 0)
+        & F.col("lang").isin(DOC_LANGS)
+        & (F.col("n_chars") == F.length("text"))
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(ok, 1)).alias("n_valid"),
+        F.count(F.when(~ok, 1)).alias("n_invalid"),
+    )
+
+
+def q_uniqueness_lineitem(spark, sf):
+    """Uniqueness constraint violations (O9 / north_star uniqueness)."""
+    from validation_engine.checks import uniqueness_violations
+
+    li = _t(spark, sf, "lineitem")
+    v = uniqueness_violations(li, keys=["l_orderkey", "l_linenumber"])
+    return v.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.regexp_extract("reason", r"(\d+)", 1).cast("bigint").alias("n_dup"),
+    )
+
+
+def q_referential_orders_customer(spark, sf):
+    """Referential integrity via anti-join (north_star): orphan orders."""
+    from validation_engine.checks import referential_violations
+
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    v = referential_violations(
+        orders, cust, fk=["o_custkey"], pk=["c_custkey"], keys=["o_orderkey"]
+    )
+    return v.select("o_orderkey", "check_id")
+
+
+def q_referential_counts(spark, sf):
+    """Orphan-count summary across FK relations — single row."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    supp = _t(spark, sf, "supplier")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    a = li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == part.p_partkey, "left_anti").count()
+    b = li.join(F.broadcast(supp.select("s_suppkey")), li.l_suppkey == supp.s_suppkey, "left_anti").count()
+    c = orders.join(F.broadcast(cust.select("c_custkey")), orders.o_custkey == cust.c_custkey, "left_anti").count()
+    return spark.createDataFrame(
+        [(a, b, c)], "orphan_lineitem_part bigint, orphan_lineitem_supp bigint, orphan_orders_cust bigint"
+    )
+
+
+def q_null_rates_documents(spark, sf):
+    from validation_engine.stats import null_rates
+
+    return null_rates(_t(spark, sf, "documents"), ["text", "lang", "source"])
+
+
+def q_distinct_counts_lineitem(spark, sf):
+    from validation_engine.stats import distinct_counts
+
+    return distinct_counts(
+        _t(spark, sf, "lineitem"),
+        ["l_returnflag", "l_linestatus", "l_partkey", "l_orderkey"],
+        exact=True,
+    )
+
+
+def q_length_stats_by_lang(spark, sf):
+    docs = _t(spark, sf, "documents")
+    length = F.length("text")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(length).cast("bigint").alias("len_min"),
+        F.max(length).cast("bigint").alias("len_max"),
+        F.sum(length).cast("bigint").alias("len_sum"),
+    )
+
+
+def q_token_stats_by_lang(spark, sf):
+    docs = _t(spark, sf, "documents")
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    return docs.groupBy("lang").agg(
+        F.min(ntok).alias("tok_min"),
+        F.max(ntok).alias("tok_max"),
+        F.sum(ntok).cast("bigint").alias("tok_total"),
+    )
+
+
+def q_token_histogram_top(spark, sf):
+    from validation_engine.stats import token_histogram
+
+    h = token_histogram(_t(spark, sf, "documents"), "text")
+    return h.orderBy(F.desc("n"), F.asc("token")).limit(20)
+
+
+def q1_pricing_summary(spark, sf):
+    """TPC-H Q1 shape over lineitem; DECIMAL-exact sums cast to double so the
+    result is bit-identical across engines regardless of sum order."""
+    li = _t(spark, sf, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    disc_price = (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,6)")
+    charge = (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")) * (F.lit(1).cast("decimal(18,2)") + dec("l_tax"))).cast("decimal(28,6)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_top_orders(spark, sf):
+    """TPC-H Q3 shape: 3-way join, revenue top-10 (broadcast dims)."""
+    cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    rev = (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,6)")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        j.groupBy("o_orderkey")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_revenue_by_nation(spark, sf):
+    """TPC-H Q5 shape: 5-way join with broadcast dimension chain."""
+    region = _t(spark, sf, "region")
+    nation = _t(spark, sf, "nation")
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    rev = (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,6)")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return j.groupBy("n_name").agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+def q_window_event_ranks(spark, sf):
+    """Window functions: latest 3 events per user (user_id < 50)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", "rnk")
+    )
+
+
+def q_hourly_event_rollup(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def q_dedup_exact_documents(spark, sf):
+    from validation_engine.dedup import exact_dedup
+
+    docs = _t(spark, sf, "documents")
+    kept = exact_dedup(docs, "doc_id", "text")
+    return spark.createDataFrame(
+        [(docs.count(), kept.count())], "n_docs bigint, n_after_dedup bigint"
+    )
+
+
+def q_minhash_signatures(spark, sf):
+    """MinHash signatures (md5 family, k=2 shingles) — engine-reproducible."""
+    from validation_engine.dedup import minhash_signature, token_shingles
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    docs = docs.filter(F.size(toks) >= 2)
+    sig = minhash_signature(token_shingles("text", 2), 4, use_md5=True)
+    return docs.select(
+        "doc_id",
+        sig[0].alias("h0"), sig[1].alias("h1"), sig[2].alias("h2"), sig[3].alias("h3"),
+    )
+
+
+def q_minhash_lsh_pairs(spark, sf):
+    """Banded MinHash LSH candidates → exact Jaccard (md5 family)."""
+    from validation_engine.dedup import jaccard_pairs, minhash_lsh_candidates
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    cand = minhash_lsh_candidates(
+        docs, "doc_id", "text", k=2, n_hashes=4, bands=2, use_md5=True
+    )
+    out = jaccard_pairs(docs, cand, "doc_id", "text", k=2)
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def q_ngram_jaccard_pairs(spark, sf):
+    """Exact n-gram (k=3) Jaccard over all pairs sharing a shingle (doc_id<60)."""
+    from validation_engine.dedup import jaccard_pairs, token_shingles
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 60)
+    sh = docs.select(F.col("doc_id").alias("_id"), F.explode(token_shingles("text", 3)).alias("s"))
+    a, b = sh.alias("a"), sh.alias("b")
+    cand = (
+        a.join(b, "s")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    return jaccard_pairs(docs, cand, "doc_id", "text", k=3, threshold=0.02).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def q_langid_by_lang(spark, sf):
+    from validation_engine.text import language_id
+
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.select(F.col("lang"), language_id("text").alias("lang_id"))
+        .groupBy("lang", "lang_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_quality_documents(spark, sf):
+    from validation_engine.text import quality_score
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+def q_token_count_bpe(spark, sf):
+    from validation_engine.text import token_count
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return docs.select("doc_id", token_count("text", "bpe").alias("n_bpe"))
+
+
+def q_fingerprint_md5(spark, sf):
+    """Whitespace-invariant md5 document fingerprint (oracle-matched twin of
+    the engine's xxhash64 fingerprint)."""
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    norm = F.concat_ws(" ", F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def q_chi2_drift_by_source(spark, sf):
+    """Chi-square drift of text length across source partitions (no-UDF
+    variant: histogram + expected-count exprs; p-value left to ks/chi2 ops)."""
+    from validation_engine.drift import partition_histogram
+
+    docs = _t(spark, sf, "documents")
+    hist = partition_histogram(docs, F.length("text"), "source", n_buckets=16)
+    tot = hist.agg(F.sum("n")).collect()[0][0]
+    glob = hist.groupBy("bucket").agg(F.sum("n").alias("gn"))
+    pn = hist.groupBy("partition").agg(F.sum("n").alias("pn"))
+    e = (
+        hist.join(F.broadcast(glob), "bucket")
+        .join(F.broadcast(pn), "partition")
+        .withColumn("exp", F.col("gn") * F.col("pn") / F.lit(float(tot)))
+        .withColumn("term", F.pow(F.col("n") - F.col("exp"), 2) / F.col("exp"))
+    )
+    return e.groupBy("partition").agg(
+        F.max("pn").cast("bigint").alias("n"),
+        F.round(F.sum("term"), 4).alias("chi2"),
+        (F.count(F.lit(1)) - 1).cast("int").alias("dof"),
+    )
+
+
+def q_embedding_topk(spark, sf):
+    """Brute-force cosine top-k (ANN baseline)."""
+    from validation_engine.similarity import brute_force_topk
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    out = brute_force_topk(emb, q, k=10)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine_r"))
+
+
+def q_embedding_centroid_by_label(spark, sf):
+    """Per-label mean-embedding norm — vectorized array aggregation."""
+    emb = _t(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    sums = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.element_at("embedding", i + 1).cast("double")).alias(f"s{i}")
+            for i in range(0, dim, 8)  # every 8th component keeps it compact
+        ],
+    )
+    comps = [f"s{i}" for i in range(0, dim, 8)]
+    sq = None
+    for c in comps:
+        t = (F.col(c) / F.col("n")) * (F.col(c) / F.col("n"))
+        sq = t if sq is None else sq + t
+    return sums.select("label", "n", F.round(F.sqrt(sq), 6).alias("centroid_norm_8"))
+
+
+# --- non-SQL-expressible ops (rows-only driver check) ---
+
+
+def q_simhash_documents(spark, sf):
+    from validation_engine.dedup import simhash
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return simhash(docs, "doc_id", "text")
+
+
+def q_ks_drift_by_source(spark, sf):
+    from validation_engine.drift import ks_drift
+
+    docs = _t(spark, sf, "documents").withColumn("len", F.length("text"))
+    return ks_drift(docs, "len", "source")
+
+
+def q_ivf_topk(spark, sf):
+    from validation_engine.similarity import ivf_build, ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    cents = ivf_build(emb, n_centroids=8)
+    return ivf_topk(emb, cents, q, k=10, n_probe=8)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "element_report_documents": q_element_report_documents,
+        "summary_by_lang": q_summary_by_lang,
+        "uniqueness_lineitem": q_uniqueness_lineitem,
+        "referential_orders_customer": q_referential_orders_customer,
+        "referential_counts": q_referential_counts,
+        "null_rates_documents": q_null_rates_documents,
+        "distinct_counts_lineitem": q_distinct_counts_lineitem,
+        "length_stats_by_lang": q_length_stats_by_lang,
+        "token_stats_by_lang": q_token_stats_by_lang,
+        "token_histogram_top": q_token_histogram_top,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_orders": q3_top_orders,
+        "q5_revenue_by_nation": q5_revenue_by_nation,
+        "window_event_ranks": q_window_event_ranks,
+        "hourly_event_rollup": q_hourly_event_rollup,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "langid_by_lang": q_langid_by_lang,
+        "quality_documents": q_quality_documents,
+        "token_count_bpe": q_token_count_bpe,
+        "fingerprint_md5": q_fingerprint_md5,
+        "chi2_drift_by_source": q_chi2_drift_by_source,
+        "embedding_topk": q_embedding_topk,
+        "embedding_centroid_by_label": q_embedding_centroid_by_label,
+        "simhash_documents": q_simhash_documents,
+        "ks_drift_by_source": q_ks_drift_by_source,
+        "ivf_topk": q_ivf_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_DOC_OK = (
+    "(text IS NOT NULL AND length(text) > 0 "
+    "AND lang IN ('en','es','fr','de','zh') AND n_chars = length(text))"
+)
+
+# shared SQL fragments for tokenization identical to Spark's
+_TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+
+def _minhash_sql(k: int, n_hashes: int, id_filter: str) -> str:
+    """Shingle + md5-minhash CTE block reproducing the engine's signature."""
+    mins = ",\n      ".join(
+        f"min(substr(md5('{i}|' || s), 1, 16)) AS h{i}" for i in range(n_hashes)
+    )
+    shingle = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents WHERE {id_filter}
+    ), sh AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(t) - {k - 1}),
+                            i -> {shingle}) AS shingles
+      FROM toks WHERE len(t) >= {k}
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), sig AS (
+      SELECT doc_id,
+      {mins}
+      FROM ex GROUP BY doc_id
+    )"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql = {}
+
+    sql["element_report_documents"] = f"""
+    SELECT doc_id,
+           {_DOC_OK} AS is_valid,
+           CAST(CASE WHEN {_DOC_OK} THEN 0 ELSE 1 END AS INTEGER) AS ret_code,
+           CASE WHEN {_DOC_OK} THEN NULL ELSE concat_ws('; ',
+             CASE WHEN NOT (text IS NOT NULL AND length(text) > 0)
+                  THEN 'column ''text'' is null or empty' END,
+             CASE WHEN NOT coalesce(lang IN ('en','es','fr','de','zh'), false)
+                  THEN 'column ''lang'' value ''' || CAST(lang AS VARCHAR) || ''' not in allowed set' END,
+             CASE WHEN NOT coalesce(n_chars = length(text), false)
+                  THEN 'n_chars does not equal length(text)' END) END AS comment
+    FROM documents
     """
-    return {}
+
+    sql["summary_by_lang"] = f"""
+    SELECT lang,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN {_DOC_OK} THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(SUM(CASE WHEN NOT {_DOC_OK} THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid
+    FROM documents GROUP BY lang
+    """
+
+    sql["uniqueness_lineitem"] = """
+    SELECT l_orderkey, l_linenumber, COUNT(*) AS n_dup
+    FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+    """
+
+    sql["referential_orders_customer"] = """
+    SELECT o.o_orderkey, 'fk_o_custkey' AS check_id
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    """
+
+    sql["referential_counts"] = """
+    SELECT
+      (SELECT COUNT(*) FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+       WHERE p.p_partkey IS NULL) AS orphan_lineitem_part,
+      (SELECT COUNT(*) FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       WHERE s.s_suppkey IS NULL) AS orphan_lineitem_supp,
+      (SELECT COUNT(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+       WHERE c.c_custkey IS NULL) AS orphan_orders_cust
+    """
+
+    sql["null_rates_documents"] = """
+    SELECT round(avg(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_rate_text,
+           round(avg(CASE WHEN lang IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_rate_lang,
+           round(avg(CASE WHEN source IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_rate_source
+    FROM documents
+    """
+
+    sql["distinct_counts_lineitem"] = """
+    SELECT COUNT(DISTINCT l_returnflag) AS distinct_l_returnflag,
+           COUNT(DISTINCT l_linestatus) AS distinct_l_linestatus,
+           COUNT(DISTINCT l_partkey) AS distinct_l_partkey,
+           COUNT(DISTINCT l_orderkey) AS distinct_l_orderkey
+    FROM lineitem
+    """
+
+    sql["length_stats_by_lang"] = """
+    SELECT lang, COUNT(*) AS n_rows,
+           CAST(MIN(length(text)) AS BIGINT) AS len_min,
+           CAST(MAX(length(text)) AS BIGINT) AS len_max,
+           CAST(SUM(length(text)) AS BIGINT) AS len_sum
+    FROM documents GROUP BY lang
+    """
+
+    sql["token_stats_by_lang"] = f"""
+    SELECT lang,
+           CAST(MIN(len({_TOKS.replace("lower(text)", "text")})) AS BIGINT) AS tok_min,
+           CAST(MAX(len({_TOKS.replace("lower(text)", "text")})) AS BIGINT) AS tok_max,
+           CAST(SUM(len({_TOKS.replace("lower(text)", "text")})) AS BIGINT) AS tok_total
+    FROM documents GROUP BY lang
+    """
+
+    sql["token_histogram_top"] = r"""
+    SELECT lower(tok) AS token, COUNT(*) AS n
+    FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents WHERE length(trim(text)) > 0)
+    GROUP BY lower(tok) ORDER BY n DESC, token ASC LIMIT 20
+    """
+
+    sql["q1_pricing_summary"] = """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+      COUNT(*) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """
+
+    sql["q3_top_orders"] = """
+    SELECT o.o_orderkey,
+      CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey
+    ORDER BY revenue DESC, o.o_orderkey ASC LIMIT 10
+    """
+
+    sql["q5_revenue_by_nation"] = """
+    SELECT n.n_name,
+      CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name
+    """
+
+    sql["window_event_ranks"] = """
+    SELECT user_id, event_id, rnk FROM (
+      SELECT user_id, event_id,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS INTEGER) AS rnk
+      FROM events WHERE user_id < 50
+    ) WHERE rnk <= 3
+    """
+
+    sql["hourly_event_rollup"] = """
+    SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """
+
+    sql["dedup_exact_documents"] = """
+    SELECT COUNT(*) AS n_docs, COUNT(DISTINCT coalesce(text, '')) AS n_after_dedup
+    FROM documents
+    """
+
+    sql["minhash_signatures"] = (
+        _minhash_sql(2, 4, "doc_id < 50")
+        + "\n    SELECT doc_id, h0, h1, h2, h3 FROM sig"
+    )
+
+    # LSH bands: band0 = (h0,h1), band1 = (h2,h3); candidates share a band;
+    # verify with exact k=2 shingle Jaccard
+    sql["minhash_lsh_pairs"] = (
+        _minhash_sql(2, 4, "doc_id < 300")
+        + """,
+    bands AS (
+      SELECT doc_id, 0 AS band, h0 || ',' || h1 AS key FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, h2 || ',' || h3 AS key FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+      WHERE a.doc_id < b.doc_id
+    ), shset AS (
+      SELECT doc_id, list_distinct(shingles) AS sh FROM sh
+    )
+    SELECT id_a, id_b,
+           round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+    FROM cand JOIN shset x ON cand.id_a = x.doc_id
+              JOIN shset y ON cand.id_b = y.doc_id
+    """
+    )
+
+    sql["ngram_jaccard_pairs"] = (
+        _minhash_sql(3, 1, "doc_id < 60").rsplit(", sig AS", 1)[0]
+        + """,
+    shset AS (
+      SELECT doc_id, list_distinct(shingles) AS sh FROM sh
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ex a JOIN ex b ON a.s = b.s WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b,
+             round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+      FROM cand JOIN shset x ON cand.id_a = x.doc_id
+                JOIN shset y ON cand.id_b = y.doc_id
+    ) WHERE jaccard >= 0.02
+    """
+    )
+
+    # language-id: marker-hit argmax with earliest-language tie-break
+    markers = {
+        "en": ["the", "and", "of", "to", "is"],
+        "es": ["el", "la", "de", "que", "los"],
+        "fr": ["le", "la", "les", "des", "est"],
+        "de": ["der", "die", "und", "das", "ist"],
+        "zh": ["的", "是", "了", "在", "我"],
+    }
+    score = {
+        l: f"len(list_filter({_TOKS}, x -> x IN ({', '.join(repr(m) for m in ms)})))"
+        for l, ms in markers.items()
+    }
+    sql["langid_by_lang"] = f"""
+    SELECT lang, lang_id, COUNT(*) AS n FROM (
+      SELECT lang,
+        CASE WHEN m <= 0 THEN 'und'
+             WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es'
+             WHEN s_fr = m THEN 'fr' WHEN s_de = m THEN 'de'
+             ELSE 'zh' END AS lang_id
+      FROM (
+        SELECT lang, s_en, s_es, s_fr, s_de, s_zh,
+               greatest(s_en, s_es, s_fr, s_de, s_zh) AS m
+        FROM (SELECT lang, {score['en']} AS s_en, {score['es']} AS s_es,
+                     {score['fr']} AS s_fr, {score['de']} AS s_de,
+                     {score['zh']} AS s_zh
+              FROM documents)
+      )
+    ) GROUP BY lang, lang_id
+    """
+
+    stop = "'the','and','of','to','in','is','a','that','it','for','on','with','as','at','by','an','be','this','are','or'"
+    sql["quality_documents"] = f"""
+    SELECT doc_id, round(
+      0.3 * (CASE WHEN length(text) < 10 THEN 0.0
+                  WHEN length(text) > 100000 THEN 0.2
+                  WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0
+                  ELSE 0.6 END)
+      + 0.3 * least(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                    / greatest(CAST(length(text) AS DOUBLE), 1.0) * 1.25, 1.0)
+      + 0.2 * least(CAST(len(list_filter({_TOKS}, x -> x IN ({stop}))) AS DOUBLE)
+                    / greatest(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 1.0) * 5.0, 1.0)
+      + 0.2 * (CASE WHEN CAST(length(text) AS DOUBLE) / greatest(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 1.0) BETWEEN 3 AND 12 THEN 1.0 ELSE 0.3 END)
+    , 6) AS quality
+    FROM documents WHERE doc_id < 200
+    """
+
+    sql["token_count_bpe"] = r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
+    FROM documents WHERE doc_id < 200
+    """
+
+    sql["fingerprint_md5"] = f"""
+    SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS fp
+    FROM documents WHERE doc_id < 200
+    """
+
+    sql["chi2_drift_by_source"] = """
+    WITH bounds AS (
+      SELECT CAST(MIN(length(text)) AS DOUBLE) AS lo, CAST(MAX(length(text)) AS DOUBLE) AS hi FROM documents
+    ), hist AS (
+      SELECT source AS partition,
+             CAST(least(15, floor((CAST(length(text) AS DOUBLE) - lo) / greatest(hi - lo, 1e-12) * 16)) AS INTEGER) AS bucket,
+             COUNT(*) AS n
+      FROM documents, bounds GROUP BY 1, 2
+    ), gh AS (
+      SELECT bucket, SUM(n) AS gn FROM hist GROUP BY bucket
+    ), pn AS (
+      SELECT partition, SUM(n) AS pn FROM hist GROUP BY partition
+    ), tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM hist)
+    SELECT h.partition,
+           CAST(MAX(p.pn) AS BIGINT) AS n,
+           round(SUM(pow(h.n - (g.gn * p.pn / t.t), 2) / (g.gn * p.pn / t.t)), 4) AS chi2,
+           CAST(COUNT(*) - 1 AS INTEGER) AS dof
+    FROM hist h JOIN gh g ON h.bucket = g.bucket
+                JOIN pn p ON h.partition = p.partition, tot t
+    GROUP BY h.partition
+    """
+
+    sql["embedding_topk"] = """
+    SELECT vec_id, round(cosine, 4) AS cosine_r FROM (
+      SELECT e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])) AS cosine
+      FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ) ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """
+
+    dim_step = ", ".join(
+        f"SUM(CAST(embedding[{i + 1}] AS DOUBLE)) AS s{i}" for i in range(0, 64, 8)
+    )
+    norm = " + ".join(f"(s{i}/n)*(s{i}/n)" for i in range(0, 64, 8))
+    sql["embedding_centroid_by_label"] = f"""
+    SELECT label, n, round(sqrt({norm}), 6) AS centroid_norm_8 FROM (
+      SELECT label, COUNT(*) AS n, {dim_step} FROM embeddings GROUP BY label
+    )
+    """
+
+    return sql

@@ -1,0 +1,137 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric mirrors BASELINE.json: validated rows/sec over the full
+constraint suite (element checks + uniqueness + referential + stats + drift)
+on a deterministic synthesized code-file corpus sized to the scale factor,
+plus representative join/agg/dedup/similarity queries on the driver testdata.
+
+Scaling-efficiency protocol (BASELINE.md): run this same script twice,
+SPARK_GRAFT_CPUS=8 and =32; see BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf() -> float:
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def bench_validate_suite(spark, n_files: int) -> dict:
+    """Full constraint suite over a synthesized code-file corpus (the
+    BASELINE.json headline).  Returns timings + rows/sec."""
+    from validation_engine import (
+        CheckpointManager, ElementStage, Workflow,
+        lang_matches_extension, non_empty, sha256_equals,
+    )
+    from validation_engine.checks import referential_violations, uniqueness_violations
+    from validation_engine.datagen import spark_codefiles
+    from validation_engine.drift import chi_square_drift
+    from validation_engine.stats import column_profile
+
+    files = spark_codefiles(spark, n_files, n_dup=0)
+    # materialize the input once so we time validation, not generation
+    files = files.persist()
+    n = files.count()
+
+    ckpt = tempfile.mkdtemp(prefix="ve_bench_ckpt_")
+    t0 = time.time()
+    stage = ElementStage(
+        "checks",
+        checks=[non_empty("content"), lang_matches_extension(), sha256_equals()],
+    )
+    wf = Workflow(
+        [stage], n_buckets=64,
+        checkpoint=CheckpointManager(ckpt, n_chunks=1),
+        strict_duplicates=False,
+    )
+    res = wf.run(spark, files)
+    n_invalid = sum(s["n_total"] - s["n_valid"] for s in res.summaries)
+
+    dims = files.select("repo").distinct()
+    n_uniq_viol = uniqueness_violations(files).count()
+    n_ref_viol = referential_violations(files, dims, fk=["repo"]).count()
+    profile = column_profile(files, ["repo", "lang", "content"]).count()
+    drift = chi_square_drift(files, F.length("content"), "lang", n_buckets=24).count()
+    wall = time.time() - t0
+    files.unpersist()
+    return {
+        "n_rows": n,
+        "sec": round(wall, 3),
+        "rows_per_sec": round(n / wall, 1),
+        "n_invalid": n_invalid,
+        "n_uniqueness_violations": n_uniq_viol,
+        "n_referential_violations": n_ref_viol,
+        "_sink_counts": profile + drift,
+    }
+
+
+def main() -> None:
+    from validation_engine.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(
+        "ve-bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf = _sf()
+    n_files = max(int(6_000_000 * sf), 10_000)
+
+    queries: dict[str, float] = {}
+
+    # headline: full validation suite on the synthesized corpus
+    suite = bench_validate_suite(spark, n_files)
+    queries["validate_suite"] = suite["sec"]
+
+    # representative engine queries on the driver testdata
+    qs = entrymod.queries()
+    for name in (
+        "q1_pricing_summary", "q3_top_orders", "q5_revenue_by_nation",
+        "uniqueness_lineitem", "hourly_event_rollup", "window_event_ranks",
+        "token_histogram_top", "minhash_lsh_pairs", "langid_by_lang",
+        "chi2_drift_by_source", "embedding_topk", "simhash_documents",
+    ):
+        t0 = time.time()
+        n = qs[name](spark, SF_DIR).count()
+        queries[name] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "validated rows/sec (files/sec), full constraint suite",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "rows_per_sec": suite["rows_per_sec"],
+                "suite_rows": suite["n_rows"],
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,103 @@
+"""Local stand-in for the driver's CORRECTNESS gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark at sf0.01 and its
+``oracle_sql()`` twin on DuckDB, comparing row count, column names and an
+order-insensitive value hash (columns sorted by name, rows sorted, values
+stringified with stable float formatting).
+"""
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+import __spark_entry__ as entrymod
+from validation_engine.session import get_spark
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> str:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+
+    def cell(v):
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            return "<null>"
+        if pd.isna(v) if not isinstance(v, (list, np.ndarray, dict)) else False:
+            return "<null>"
+        if isinstance(v, (float, np.floating)):
+            return f"{float(v):.10g}"
+        if isinstance(v, (np.integer,)):
+            return str(int(v))
+        return str(v)
+
+    rows = sorted("|".join(cell(v) for v in r) for r in df.itertuples(index=False))
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+
+def main(only=None):
+    spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    qs = entrymod.queries()
+    osql = entrymod.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in osql:
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            ddf = con.execute(osql[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(sdf) != len(ddf):
+            problems.append(f"rows {len(sdf)} vs {len(ddf)}")
+        if sorted(sdf.columns) != sorted(ddf.columns):
+            problems.append(f"cols {sorted(sdf.columns)} vs {sorted(ddf.columns)}")
+        if not problems and canon(sdf) != canon(ddf):
+            problems.append("value-hash mismatch")
+            merged = sdf.sort_values(list(sdf.columns)).reset_index(drop=True)
+            merged2 = ddf[sdf.columns].sort_values(list(sdf.columns)).reset_index(drop=True)
+            for i in range(min(len(merged), len(merged2))):
+                if canon(merged.iloc[[i]]) != canon(merged2.iloc[[i]]):
+                    problems.append(
+                        f"first diff row {i}: spark={merged.iloc[i].to_dict()} duck={merged2.iloc[i].to_dict()}"
+                    )
+                    break
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            n_fail += 1
+        else:
+            print(f"OK    {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} ok, {n_fail} failed")
+    spark.stop()
+    return n_fail
+
+
+if __name__ == "__main__":
+    sys.exit(1 if main(set(sys.argv[1:]) or None) else 0)

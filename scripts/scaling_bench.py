@@ -1,0 +1,111 @@
+"""Two-cluster-size scaling evidence (north_rule: ≥0.8 efficiency N→4N).
+
+A real two-size cluster is unavailable in the sandbox; per BASELINE.md the
+criterion is evidenced by running the IDENTICAL job at two local[...]
+parallelism levels on the same input.
+
+Methodology notes (all verified on this box, see BENCH/BASELINE.md):
+
+* the machine exposes 32 logical CPUs but ~16 physical cores (hyperthread
+  pairs): a pure-CPU probe saturates at ~22 busy cores, so 8→32 threads can
+  physically yield at most ~2×.  The in-envelope N→4N pair is therefore
+  **local[2] → local[8]**; local[32] is reported as well to show hardware
+  saturation, with /proc/stat busy-core readings as evidence.
+* whole-stage-codegen compilation is a per-plan CONSTANT (~2-4 s) that
+  amortizes to zero at real scale; each level warms the plan shape on a
+  small input first, then measures a FRESH plan (new lineage — Spark reuses
+  shuffle outputs of an already-collected DataFrame object) on the full input.
+
+The measured job is the engine's full element-check suite + summary
+aggregation over the deterministic synthesized code-file corpus:
+generate (map) → checks (codegen'd exprs incl. sha256) → per-partition agg.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+N_ROWS = int(os.environ.get("SCALING_ROWS", "4000000"))
+LEVELS = [int(x) for x in os.environ.get("SCALING_LEVELS", "2,8,32").split(",")]
+
+
+def cpu_total():
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:8]
+    return sum(int(x) for x in parts), int(parts[3])
+
+
+def suite_plan(spark, n, cpus):
+    from validation_engine import (
+        ElementStage, lang_matches_extension, non_empty, sha256_equals,
+    )
+    from validation_engine.datagen import spark_codefiles
+
+    files = spark_codefiles(spark, n, n_dup=0)
+    stage = ElementStage(
+        "checks",
+        checks=[non_empty("content"), lang_matches_extension(), sha256_equals()],
+    )
+    frame = files.withColumns(
+        {
+            "is_valid": F.lit(True),
+            "ret_code": F.lit(None).cast("int"),
+            "comment": F.lit(None).cast("string"),
+            "exception": F.lit(None).cast("string"),
+            "_vpart": F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(64)).cast("string"),
+        }
+    )
+    out = stage.run(frame, keys=["repo", "path", "commit"])
+    return out.report.groupBy("_vpart").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("is_valid"), 1)).alias("n_valid"),
+    )
+
+
+def probe(cpus: int, n: int) -> dict:
+    from validation_engine.session import get_spark
+
+    spark = get_spark(
+        f"scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus * 2
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm codegen with the same plan shape on a small input
+    suite_plan(spark, max(n // 40, 10_000), cpus).collect()
+    t0 = time.time()
+    c0, i0 = cpu_total()
+    rows = suite_plan(spark, n, cpus).collect()
+    dt = time.time() - t0
+    c1, i1 = cpu_total()
+    busy = ((c1 - c0) - (i1 - i0)) / 100 / dt
+    n_total = sum(r["n_total"] for r in rows)
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "rows": n_total,
+        "sec": round(dt, 2),
+        "rows_per_sec": round(n_total / dt, 1),
+        "busy_cores": round(busy, 1),
+    }
+
+
+def main():
+    results = [probe(c, N_ROWS) for c in LEVELS]
+    out = {"job": "full element-check suite (generate→validate→aggregate)",
+           "n_rows": N_ROWS, "levels": results}
+    by = {r["cpus"]: r["rows_per_sec"] for r in results}
+    if 2 in by and 8 in by:
+        out["efficiency_2_to_8"] = round((by[8] / by[2]) / 4, 3)
+    if 8 in by and 32 in by:
+        out["efficiency_8_to_32"] = round((by[32] / by[8]) / 4, 3)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -205,6 +205,9 @@ class Workflow:
 
             ds = self._prepare_dataset(stage, dataset)
             frame, dropped = self._join_inputs(stage, ds, reports)
+            # partition tag computed on the full frame (dataset columns still
+            # present) and carried through report AND violations
+            frame = frame.withColumn("_vpart", part)
             n_dropped = dropped.count() if stage.inputs else 0
             if n_dropped:
                 sample = [tuple(r) for r in dropped.limit(10).collect()]
@@ -217,16 +220,17 @@ class Workflow:
             dropped_all[name] = n_dropped
 
             out = stage.run(frame, keys=self.keys)
-            report = out.report.withColumn("_vpart", part)
+            report = out.report
+            viols = out.violations
+            if "_vpart" not in viols.columns:
+                viols = viols.withColumn("_vpart", F.lit("all"))
 
             if self.checkpoint:
                 report, viols = self.checkpoint.commit_stage(
-                    spark, name, report, out.violations.withColumn("_vpart", part),
-                    run_id=self.run_id,
+                    spark, name, report, viols, run_id=self.run_id
                 )
             else:
                 report = report.persist()
-                viols = out.violations
 
             # fused consistency + per-partition summary: ONE aggregation job
             per_part = (

@@ -141,6 +141,57 @@ def gen_codefiles(
     return {"files": pdf, "repo_dim": repo_dim, "commit_dim": commit_dim, "expected": expected}
 
 
+def spark_codefiles(spark, n_rows: int, n_repos: int = 200, seed: int = 42,
+                    n_dup: int = 100):
+    """Fully DISTRIBUTED deterministic code-file corpus: ``spark.range`` +
+    column expressions only (no driver-side data, no Python workers), so it
+    scales to any row count — this is the bench input generator.
+
+    Same shape as :func:`gen_codefiles`: Zipf-ish repo skew (log-uniform
+    rank), ~2% lang↔ext mismatches, ~1% empty content, ``content_sha256``
+    oracle column, ``n_dup`` exact duplicate keys appended.
+    """
+    from pyspark.sql import functions as F
+
+    exts = list(EXT_LANG)
+    langs = [EXT_LANG[e] for e in exts]
+    wrong = {"python": "rust", "rust": "javascript", "javascript": "python",
+             "markdown": "python", "text": "rust"}
+    vocab = F.array(*[F.lit(w) for w in _VOCAB])
+    nv = len(_VOCAB)
+
+    df = spark.range(n_rows)
+    h = lambda salt: F.xxhash64(F.col("id") + F.lit(seed), F.lit(salt))
+    u = (F.pmod(h(1), 1_000_000).cast("double") / 1_000_000.0)
+    # log-uniform rank → repo_0000 is the giant repo
+    rank = F.floor(F.pow(F.lit(float(n_repos)), u)) - 1
+    repo = F.concat(F.lit("repo_"), F.lpad(rank.cast("string"), 4, "0"))
+    ext = F.element_at(F.array(*[F.lit(e) for e in exts]), (F.pmod(h(2), len(exts)) + 1).cast("int"))
+    right_lang = F.element_at(F.array(*[F.lit(l) for l in langs]), (F.pmod(h(2), len(exts)) + 1).cast("int"))
+    wrong_lang = F.element_at(
+        F.array(*[F.lit(wrong[l]) for l in langs]), (F.pmod(h(2), len(exts)) + 1).cast("int")
+    )
+    lang = F.when(F.pmod(h(3), 50) == 0, wrong_lang).otherwise(right_lang)
+    path = F.concat(F.lit("src/d"), F.pmod(h(4), 20).cast("string"),
+                    F.lit("/f"), F.col("id").cast("string"), F.lit("."), ext)
+    commit = F.substring(
+        F.concat(F.md5(F.concat(repo, F.pmod(h(5), 5).cast("string"))),
+                 F.md5(repo)), 1, 40)
+    n_tok = (F.pmod(h(6), 56) + 5).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(1), n_tok),
+        lambda i: F.element_at(vocab, (F.pmod(F.xxhash64(F.col("id"), i), nv) + 1).cast("int")),
+    )
+    content = F.when(F.pmod(h(7), 100) == 0, F.lit("")).otherwise(F.concat_ws(" ", words))
+    out = df.select(
+        repo.alias("repo"), path.alias("path"), commit.alias("commit"),
+        lang.alias("lang"), content.alias("content"),
+    ).withColumn("content_sha256", F.sha2(F.col("content"), 256))
+    if n_dup:
+        out = out.unionAll(out.limit(n_dup))
+    return out
+
+
 def to_spark(spark, data: dict) -> dict:
     """Materialize the generated pandas frames as Spark DataFrames."""
     out = {}

@@ -86,24 +86,15 @@ def minhash_signature(shingles: Column, n_hashes: int = 16, use_md5: bool = Fals
     digest both engines share; lexicographic min over lowercase hex is
     engine-independent).
     """
-    mins = []
-    for i in range(n_hashes):
+    # NB: the per-element lambda must take exactly ONE argument — a two-arg
+    # lambda is interpreted by F.transform as (element, array_index)
+    def hash_fn(i: int):
+        prefix = F.lit(f"{i}|")
         if use_md5:
-            h = F.array_min(
-                F.transform(
-                    shingles,
-                    lambda s, i=i: F.substring(
-                        F.md5(F.concat(F.lit(f"{i}|"), s)), 1, 16
-                    ),
-                )
-            )
-        else:
-            h = F.array_min(
-                F.transform(
-                    shingles, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}|"), s))
-                )
-            )
-        mins.append(h)
+            return lambda s: F.substring(F.md5(F.concat(prefix, s)), 1, 16)
+        return lambda s: F.xxhash64(F.concat(prefix, s))
+
+    mins = [F.array_min(F.transform(shingles, hash_fn(i))) for i in range(n_hashes)]
     return F.array(*mins)
 
 

@@ -114,17 +114,23 @@ class Stage:
         # be duplicated into every stage's report — at 10^12-file scale that
         # would rewrite the corpus once per stage
         report_cols = [c for c in list(keys) + list(R.REPORT_FIXED_COLS)
-                       + list(self.output_columns) if c in report.columns]
+                       + list(self.output_columns) + ["_vpart"]
+                       if c in report.columns]
         report = report.select(*report_cols)
         return StageOutput(report=report, violations=violations)
 
 
+def _vkeys(df, keys):
+    return list(keys) + (["_vpart"] if "_vpart" in df.columns else [])
+
+
 def _empty_violations(df, keys, stage):
+    vk = _vkeys(df, keys)
     return (
-        df.select(*keys)
+        df.select(*vk)
         .limit(0)
         .select(
-            *keys,
+            *vk,
             F.lit("").alias("check_id"),
             F.lit("").alias("reason"),
             F.lit(stage).alias("stage"),
@@ -221,7 +227,7 @@ class PandasElementStage(Stage):
         violations = (
             report.filter(~F.col("is_valid") & F.col("exception").isNotNull())
             .select(
-                *keys,
+                *_vkeys(report, keys),
                 F.lit(f"{self.name}_exception").alias("check_id"),
                 F.col("exception").alias("reason"),
                 F.lit(self.name).alias("stage"),
@@ -261,7 +267,7 @@ class SetStage(Stage):
             violations = (
                 report.filter(~F.col("is_valid"))
                 .select(
-                    *keys,
+                    *_vkeys(report, keys),
                     F.lit(self.name).alias("check_id"),
                     F.coalesce(F.col("comment"), F.lit("invalid")).alias("reason"),
                     F.lit(self.name).alias("stage"),
