@@ -3,7 +3,13 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_TESTS = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_TESTS))
+# user-defined validation functions (test modules) are pickled by reference;
+# Spark's local Python workers must be able to import them
+_pp = os.environ.get("PYTHONPATH", "")
+if _TESTS not in _pp.split(os.pathsep):
+    os.environ["PYTHONPATH"] = _TESTS + (os.pathsep + _pp if _pp else "")
 
 from validation_engine.session import get_spark  # noqa: E402
 

@@ -1,0 +1,281 @@
+"""Reference-parity semantics, ported from the reference's behavioral spec
+(`/root/reference/tests/test_task.py`, `test_util.py`, `test_result.py`).
+
+Element vs set semantics, exception capture, validity gating, skip,
+failed-dependency propagation, inconsistent keys, ret_code consistency,
+column ordering, output-column defaults, checkpoint resume.
+"""
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from validation_engine import (
+    Check,
+    CheckpointManager,
+    ElementStage,
+    PandasElementStage,
+    SetStage,
+    SKIP_COMMENT,
+    Workflow,
+    non_empty,
+)
+from validation_engine.result import ValidationError
+
+KEYS = ["repo", "path", "commit"]
+
+
+def _df(spark, rows, extra_cols=()):
+    """Tiny keyed frame: rows = list of dicts with a/b + auto keys."""
+    data = []
+    for i, r in enumerate(rows):
+        data.append({"repo": "r", "path": f"p{i}", "commit": "c", **r})
+    return spark.createDataFrame(pd.DataFrame(data))
+
+
+# --- element semantics (tests/test_task.py:1762-1862) ---
+
+
+def element_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    # valid if a<=1; invalid with comment if a<=2; raise otherwise
+    out = pd.DataFrame(index=pdf.index)
+    if (pdf["a"] > 2).any():
+        raise ValueError("The value should be <= 2")
+    out["is_valid"] = pdf["a"] <= 1
+    out["comment"] = ["a > 1" if a > 1 else None for a in pdf["a"]]
+    return out
+
+
+def test_element_pass_fail_exception_rows(spark):
+    df = _df(spark, [{"a": 1, "b": 4}, {"a": 2, "b": 5}, {"a": 3, "b": 6}])
+    stage = PandasElementStage("elem", element_fn)
+    res = Workflow([stage]).run(spark, df)
+    rep = {r["path"]: r for r in res.reports["elem"].collect()}
+    assert [rep[f"p{i}"]["is_valid"] for i in range(3)] == [True, False, False]
+    assert [rep[f"p{i}"]["ret_code"] for i in range(3)] == [0, 1, 1]
+    assert rep["p1"]["comment"] == "a > 1" and rep["p1"]["exception"] is None
+    assert rep["p2"]["exception"] is not None
+    assert "The value should be <= 2" in rep["p2"]["exception"]
+    assert rep["p0"]["comment"] is None
+
+
+def test_validity_gating_invalid_rows_untouched(spark):
+    # reference util.py:172-173 / test_util.py:78-124: rows already invalid
+    # upstream are not passed to the function
+    df = _df(spark, [{"a": i, "b": b} for i, b in enumerate([4, 5, 6, 7])])
+    up = PandasElementStage(
+        "up", lambda pdf: pd.DataFrame({"is_valid": pdf["b"] != 5}, index=pdf.index)
+    )
+    seen = []
+
+    def fn(pdf):
+        if (pdf["b"] == 5).any():
+            raise AssertionError("gated row leaked into the check fn")
+        if (pdf["b"] == 6).any():
+            raise ValueError("b is 6")
+        return pd.DataFrame({"is_valid": True, "new_data": pdf["b"] * 10}, index=pdf.index)
+
+    down = PandasElementStage(
+        "down", fn, inputs={"up": {}}, output_columns={"new_data": None},
+        output_types={"new_data": "bigint"},
+    )
+    res = Workflow([up, down]).run(spark, df)
+    rep = {r["path"]: r for r in res.reports["down"].collect()}
+    assert rep["p1"]["is_valid"] is False and rep["p1"]["exception"] is None
+    assert rep["p2"]["is_valid"] is False and "b is 6" in rep["p2"]["exception"]
+    assert rep["p0"]["new_data"] == 40 and rep["p3"]["new_data"] == 70
+    assert rep["p1"]["new_data"] is None
+
+
+# --- set semantics (task.py:683-711) ---
+
+
+def test_set_stage_exception_fans_out(spark):
+    df = _df(spark, [{"a": 1}, {"a": 2}])
+
+    def bad(frame, keys):
+        raise RuntimeError("whole-set failure")
+
+    res = Workflow([SetStage("s", bad)]).run(spark, df)
+    rows = res.reports["s"].collect()
+    assert all(not r["is_valid"] for r in rows)
+    assert all("whole-set failure" in r["exception"] for r in rows)
+    assert all(r["ret_code"] == 1 for r in rows)
+
+
+def test_set_stage_ret_code_consistency_error(spark):
+    df = _df(spark, [{"a": 1}, {"a": 2}])
+
+    def inconsistent(frame, keys):
+        return frame.withColumn("is_valid", F.lit(True)).withColumn(
+            "ret_code", F.lit(1).cast("int")
+        )
+
+    with pytest.raises(ValidationError, match="not consistent"):
+        Workflow([SetStage("s", inconsistent)]).run(spark, df)
+
+    def inconsistent2(frame, keys):
+        return frame.withColumn("is_valid", F.lit(False)).withColumn(
+            "ret_code", F.lit(0).cast("int")
+        )
+
+    with pytest.raises(ValidationError, match="not consistent"):
+        Workflow([SetStage("s2", inconsistent2)]).run(spark, df)
+
+
+def test_warning_ret_code_requires_comment_logged(spark, caplog):
+    df = _df(spark, [{"a": 1}])
+
+    def warn_no_comment(frame, keys):
+        return frame.withColumn("is_valid", F.lit(True)).withColumn(
+            "ret_code", F.lit(2).cast("int")
+        )
+
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="validation_engine.result"):
+        res = Workflow([SetStage("s", warn_no_comment)]).run(spark, df)
+    assert any("comment" in m for m in caplog.messages)
+    assert res.reports["s"].collect()[0]["ret_code"] == 2
+
+
+# --- skip (task.py:773-829) ---
+
+
+def test_skip_comments_valid_rows_only(spark):
+    df = _df(spark, [{"a": 1, "content": "x"}, {"a": 2, "content": ""}])
+    up = ElementStage("up", checks=[non_empty("content")])
+    skipped = PandasElementStage(
+        "skipped",
+        lambda pdf: (_ for _ in ()).throw(AssertionError("must not run")),
+        inputs={"up": {}},
+        skip=True,
+    )
+    res = Workflow([up, skipped]).run(spark, df)
+    rep = {r["path"]: r for r in res.reports["skipped"].collect()}
+    assert rep["p0"]["is_valid"] is True and rep["p0"]["comment"] == SKIP_COMMENT
+    assert rep["p1"]["is_valid"] is False and rep["p1"]["comment"] != SKIP_COMMENT
+
+
+# --- dependency propagation + inconsistent keys (task.py:489-537) ---
+
+
+def test_and_propagation_across_two_upstreams(spark):
+    df = _df(spark, [{"a": i} for i in range(4)])
+    u1 = SetStage("u1", lambda f, k: f.withColumn("is_valid", F.col("a") != 1))
+    u2 = SetStage("u2", lambda f, k: f.withColumn("is_valid", F.col("a") != 2))
+    down = ElementStage("down", checks=[], inputs={"u1": {}, "u2": {}})
+    res = Workflow([u1, u2, down]).run(spark, df)
+    rep = {r["path"]: r["is_valid"] for r in res.reports["down"].collect()}
+    assert rep == {"p0": True, "p1": False, "p2": False, "p3": True}
+
+
+def test_inconsistent_keys_warned_and_dropped(spark):
+    df = _df(spark, [{"a": i} for i in range(4)])
+    up = SetStage("up", lambda f, k: f.withColumn("is_valid", F.lit(True)))
+
+    class ShiftedStage(ElementStage):
+        def transform_index(self, d):
+            # dataset keys shifted vs upstream report → 1 key has no upstream
+            return d.withColumn(
+                "path", F.when(F.col("path") == "p0", "p_unknown").otherwise(F.col("path"))
+            )
+
+    down = ShiftedStage("down", checks=[], inputs={"up": {}})
+    res = Workflow([up, down]).run(spark, df)
+    assert res.dropped_inconsistent["down"] == 1
+    assert res.reports["down"].count() == 3
+
+
+# --- report shape (result.py:58-90, task.py:187-190) ---
+
+
+def test_output_columns_defaults_and_order(spark):
+    df = _df(spark, [{"a": 1}])
+    stage = SetStage(
+        "s",
+        lambda f, k: f.withColumn("is_valid", F.lit(True)),
+        output_columns={"extra": "default_val", "zz": None},
+    )
+    res = Workflow([stage]).run(spark, df)
+    rep = res.reports["s"]
+    assert rep.columns == KEYS + ["is_valid", "ret_code", "comment", "exception", "extra", "zz"]
+    assert rep.collect()[0]["extra"] == "default_val"
+
+
+def test_reserved_output_column_rejected(spark):
+    with pytest.raises(ValueError, match="reserved"):
+        ElementStage("s", checks=[], output_columns={"ret_code": 0})
+
+
+# --- gathered workflow report (task.py:510-527) ---
+
+
+def test_gathered_report_structs(spark):
+    df = _df(spark, [{"a": 1, "content": "x"}, {"a": 2, "content": ""}])
+    s1 = ElementStage("s1", checks=[non_empty("content")])
+    s2 = ElementStage("s2", checks=[], inputs={"s1": {}})
+    wf = Workflow([s1, s2])
+    res = wf.run(spark, df)
+    g = wf.gathered_report(df, res)
+    assert {f.name for f in g.schema.fields} == {"repo", "path", "commit", "s1", "s2", "is_valid"}
+    rows = {r["path"]: r for r in g.collect()}
+    assert rows["p1"]["is_valid"] is False
+    assert rows["p1"]["s1"]["ret_code"] == 1
+    assert rows["p0"]["s2"]["is_valid"] is True
+
+
+# --- checkpoint resume (task.py:612-628 / north_rule) ---
+
+
+class KillAfter(CheckpointManager):
+    """Simulates a crash after N chunk commits (SURVEY §5 resume test)."""
+
+    def __init__(self, root, n_chunks, kill_after):
+        super().__init__(root, n_chunks)
+        self.kill_after = kill_after
+
+    def _write_manifest(self, stage, m):
+        super()._write_manifest(stage, m)
+        if not m.get("complete") and len(m["committed_chunks"]) >= self.kill_after:
+            raise KeyboardInterrupt("simulated kill")
+
+
+def test_resume_skips_committed_chunks(spark, tmp_path, corpus):
+    files = corpus["files"].dropDuplicates(KEYS).limit(500)
+    stage = ElementStage("chk", checks=[non_empty("content")])
+    root = str(tmp_path / "ckpt")
+
+    wf1 = Workflow(
+        [stage], n_buckets=8,
+        checkpoint=KillAfter(root, n_chunks=4, kill_after=2), run_id="run1",
+    )
+    with pytest.raises(KeyboardInterrupt):
+        wf1.run(spark, files)
+
+    m = CheckpointManager(root, 4).manifest("chk")
+    assert len(m["committed_chunks"]) == 2 and not m["complete"]
+
+    # resume with a fresh manager/run id: only the 2 missing chunks commit
+    wf2 = Workflow(
+        [stage], n_buckets=8,
+        checkpoint=CheckpointManager(root, n_chunks=4), run_id="run2",
+    )
+    res = wf2.run(spark, files)
+    assert res.reports["chk"].count() == 500
+
+    lineage = CheckpointManager(root, 4).read_lineage(spark, "chk")
+    runs = {r["run_id"] for r in lineage.collect()}
+    assert runs == {"run1", "run2"}
+    by_run = {
+        r["run_id"]: r["n"]
+        for r in lineage.groupBy("run_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # run1 committed some partitions, run2 the rest; no partition twice
+    total_parts = lineage.select("partition").distinct().count()
+    assert by_run["run1"] + by_run["run2"] == lineage.count() == total_parts
+
+    # a third run is a no-op resume (stage already complete)
+    wf3 = Workflow([stage], n_buckets=8, checkpoint=CheckpointManager(root, 4))
+    res3 = wf3.run(spark, files)
+    assert res3.reports["chk"].count() == 500

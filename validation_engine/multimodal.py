@@ -1,0 +1,192 @@
+"""Multimodal (image/audio/video) column plumbing for training-data pipelines.
+
+Media are opaque ``binary`` columns + typed metadata structs; all transforms
+are Arrow-batched ``mapInPandas`` / pandas UDFs over those bytes.  The actual
+codec work (image decode, resampling, frame extraction) requires libraries
+not present in this container, so the codec layer is STUBBED behind
+``DecodeBackend`` — a deterministic fake backend makes the Spark-side
+plumbing (schema, batching, partition sizing, UDF signatures) real and
+testable, and a real backend (PIL/ffmpeg/torchaudio) drops in on a cluster
+without touching the plan shape.
+
+Scale notes: media rows are WIDE (MBs) — the batch size is capped by bytes,
+not rows (``spark.sql.execution.arrow.maxRecordsPerBatch`` alone is wrong for
+mixed sizes; we also re-chunk inside the UDF), and derived features are
+written as separate narrow tables keyed by the media key so downstream
+analytics never re-shuffles the blobs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+#: metadata struct carried alongside every media blob
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("format", T.StringType(), True),       # png|wav|mp4|...
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sha256", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+class DecodeBackend:
+    """Codec interface.  Real implementations (PIL, ffmpeg, torchaudio) are
+    NOT available in this container — install one on the cluster and pass it
+    to the operators below."""
+
+    def decode_image(self, data: bytes) -> "np.ndarray":
+        raise NotImplementedError(
+            "no image codec in this environment; use FakeDecodeBackend for "
+            "plumbing tests or provide a PIL-backed backend on a cluster"
+        )
+
+    def resize(self, img: "np.ndarray", w: int, h: int) -> "np.ndarray":
+        raise NotImplementedError
+
+    def sample_frames(self, data: bytes, every_ms: int) -> list:
+        raise NotImplementedError
+
+
+class FakeDecodeBackend(DecodeBackend):
+    """Deterministic fake: 'decodes' bytes into a pseudo-image whose pixels
+    are a seeded hash expansion of the payload — stable across runs/executors
+    so tests can assert exact feature values."""
+
+    def decode_image(self, data: bytes) -> np.ndarray:
+        h = hashlib.sha256(data).digest()
+        rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
+        w, hgt = 16 + h[8] % 16, 16 + h[9] % 16
+        return rng.integers(0, 256, size=(hgt, w, 3), dtype=np.uint8)
+
+    def resize(self, img: np.ndarray, w: int, h: int) -> np.ndarray:
+        # nearest-neighbour via index sampling — numpy only
+        ys = (np.arange(h) * img.shape[0] // h).clip(0, img.shape[0] - 1)
+        xs = (np.arange(w) * img.shape[1] // w).clip(0, img.shape[1] - 1)
+        return img[ys][:, xs]
+
+    def sample_frames(self, data: bytes, every_ms: int) -> list:
+        n = 1 + (len(data) % 4)
+        return [self.decode_image(data + bytes([i])) for i in range(n)]
+
+
+def image_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    bytes_col: str = "data",
+    backend: Optional[DecodeBackend] = None,
+    embed_dim: int = 8,
+    max_batch_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Decode → feature-extract pipeline over binary image columns.
+
+    ``mapInPandas`` with byte-aware re-chunking: a single Arrow batch of
+    mixed-size blobs is split so no decode chunk exceeds ``max_batch_bytes``
+    of payload — the knob that matters at 100 TB, where one batch of 4K
+    videos would otherwise OOM an executor.
+    """
+    backend = backend or FakeDecodeBackend()
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            start = 0
+            while start < len(pdf):
+                size = 0
+                end = start
+                while end < len(pdf) and size < max_batch_bytes:
+                    size += len(pdf[bytes_col].iloc[end] or b"")
+                    end += 1
+                chunk = pdf.iloc[start:end]
+                rows = []
+                for mid, data in zip(chunk[id_col], chunk[bytes_col]):
+                    data = bytes(data or b"")
+                    sha = hashlib.sha256(data).hexdigest()
+                    try:
+                        img = backend.decode_image(data)
+                        small = backend.resize(img, embed_dim, embed_dim)
+                        luma = float(
+                            (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]).mean()
+                        )
+                        emb = (small.mean(axis=2).mean(axis=0) / 255.0).astype("float32")
+                        rows.append(
+                            (mid, sha, len(data), img.shape[1], img.shape[0], luma, emb.tolist())
+                        )
+                    except NotImplementedError:
+                        rows.append((mid, sha, len(data), None, None, None, None))
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "media_id", "sha256", "n_bytes", "width", "height",
+                        "mean_luma", "embedding",
+                    ],
+                )
+                start = end
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(bytes_col).alias(bytes_col)
+    ).mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def media_integrity_checks(
+    bytes_col: str = "data",
+    meta_col: str = "meta",
+    expected_sha_col: Optional[str] = None,
+):
+    """Pure-expression media checks (no decode): non-empty payload, sane
+    metadata, optional sha256 invariant.  Returns a list of Checks pluggable
+    into an ElementStage — the blobs never leave the JVM."""
+    from .checks import Check
+
+    checks = [
+        Check(
+            "media_non_empty",
+            F.col(bytes_col).isNotNull() & (F.length(F.col(bytes_col)) > 0),
+            "media payload is null or empty",
+        ),
+        Check(
+            "media_type_known",
+            F.col(f"{meta_col}.media_type").isin("image", "audio", "video"),
+            "unknown media_type",
+        ),
+        Check(
+            "media_dims_sane",
+            (F.col(f"{meta_col}.media_type") != "image")
+            | (
+                (F.col(f"{meta_col}.width") > 0)
+                & (F.col(f"{meta_col}.height") > 0)
+                & (F.col(f"{meta_col}.width") <= 65536)
+                & (F.col(f"{meta_col}.height") <= 65536)
+            ),
+            "image dimensions out of range",
+        ),
+    ]
+    if expected_sha_col:
+        checks.append(
+            Check(
+                "media_sha256",
+                F.sha2(F.col(bytes_col), 256) == F.col(expected_sha_col),
+                "media sha256 mismatch",
+            )
+        )
+    return checks

@@ -1,0 +1,91 @@
+"""Run reports: markdown/JSON summaries from the summary + violations tables.
+
+Replaces the reference's Sphinx/rst2pdf PDF pipeline
+(`data_validation_framework/report.py:151-205`, `rst_tools.py`) with a
+driver-light markdown report rendered from the (small) per-stage summary and
+a bounded sample of violations — the user-facing intent (which elements
+passed, which failed and why, per stage) without a LaTeX toolchain.
+
+The grouping mirrors `report.py:109-147`: validated / validated-with-warnings
+/ failed, with sorted element ids (bounded samples — never a full collect at
+10^12-file scale).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dag import RunResult, Workflow
+
+
+def run_report_dict(
+    wf: Workflow, result: RunResult, max_examples: int = 10
+) -> dict:
+    """Structured run report: per-stage totals + bounded violation samples."""
+    stages = {}
+    for name, rep in result.reports.items():
+        stage_summ = [s for s in result.summaries if s["stage"] == name]
+        n_total = sum(s["n_total"] for s in stage_summ)
+        n_valid = sum(s["n_valid"] for s in stage_summ)
+        n_warning = sum(s["n_warning"] for s in stage_summ)
+        viols = result.violations[name]
+        by_check = [
+            (r["check_id"], r["n"])
+            for r in viols.groupBy("check_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"))
+            .collect()
+        ]
+        examples = [
+            {k: r[k] for k in viols.columns if k != "_vpart"}
+            for r in viols.orderBy(*wf.keys).limit(max_examples).collect()
+        ]
+        stages[name] = {
+            "n_total": n_total,
+            "n_valid": n_valid,
+            "n_invalid": n_total - n_valid,
+            "n_warning": n_warning,
+            "violations_by_check": dict(by_check),
+            "violation_examples": examples,
+            "partitions": len(stage_summ),
+            "dropped_inconsistent_keys": result.dropped_inconsistent.get(name, 0),
+        }
+    return {"run_id": wf.run_id, "keys": wf.keys, "stages": stages}
+
+
+def run_report_markdown(wf: Workflow, result: RunResult, max_examples: int = 10) -> str:
+    d = run_report_dict(wf, result, max_examples)
+    lines = [f"# Validation run `{d['run_id']}`", ""]
+    for name, s in d["stages"].items():
+        status = "✅" if s["n_invalid"] == 0 else "❌"
+        lines += [
+            f"## {status} {name}",
+            "",
+            f"- **{s['n_valid']} / {s['n_total']}** passed"
+            f" ({s['n_warning']} warnings, {s['partitions']} partitions,"
+            f" {s['dropped_inconsistent_keys']} inconsistent keys dropped)",
+        ]
+        if s["violations_by_check"]:
+            lines.append("- violations by check:")
+            for cid, n in s["violations_by_check"].items():
+                lines.append(f"  - `{cid}`: {n}")
+        if s["violation_examples"]:
+            lines.append("- examples (sorted by key, bounded):")
+            for ex in s["violation_examples"]:
+                key = ", ".join(str(ex[k]) for k in d["keys"])
+                lines.append(f"  - ({key}) `{ex['check_id']}`: {ex['reason']}")
+        lines.append("")
+    return "\n".join(lines)
+
+
+def write_run_report(
+    wf: Workflow, result: RunResult, path: str, max_examples: int = 10
+) -> None:
+    md = run_report_markdown(wf, result, max_examples)
+    with open(path, "w") as f:
+        f.write(md)
+    with open(path.rsplit(".", 1)[0] + ".json", "w") as f:
+        json.dump(run_report_dict(wf, result, max_examples), f, indent=2, default=str)

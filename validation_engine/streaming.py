@@ -1,0 +1,103 @@
+"""Structured-Streaming validation: the engine's checks over readStream.
+
+The reference is strictly batch (luigi).  This module extends the same
+check/report contract to Structured Streaming so the engine can validate an
+arriving corpus incrementally:
+
+* ``streaming_report``     — element checks compiled onto a streaming
+  DataFrame (identical expressions; Catalyst doesn't care about the source);
+* ``streaming_summary``    — windowed per-partition pass/fail counts with a
+  watermark for late data;
+* ``run_stream_to_parquet``— report + violations sinks with checkpointing
+  (exactly-once file sink), the streaming analogue of
+  :mod:`.checkpoint`'s batch commits.
+
+All checks stay whole-stage-codegen'd; stateful custom logic would use
+``applyInPandasWithState`` (not needed for the current check surface).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from .checks import Check, compile_checks
+from .schema import DEFAULT_KEYS
+
+
+def streaming_report(
+    stream_df: DataFrame,
+    checks: Sequence[Check],
+    stage: str,
+    keys: Sequence[str] = DEFAULT_KEYS,
+) -> tuple[DataFrame, DataFrame]:
+    """Compile element checks onto a streaming frame → (report, violations).
+
+    Same compiler as batch (`compile_checks`); upstream gating is seeded True
+    because streams validate fresh data.
+    """
+    frame = stream_df.withColumns(
+        {
+            "is_valid": F.lit(True),
+            "ret_code": F.lit(None).cast("int"),
+            "comment": F.lit(None).cast("string"),
+            "exception": F.lit(None).cast("string"),
+        }
+    )
+    report, violations = compile_checks(
+        frame, checks, stage=stage, keys=keys, gate_col="is_valid"
+    )
+    return report, violations
+
+
+def streaming_summary(
+    report: DataFrame,
+    ts_col: str,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    partition_col: Optional[str] = None,
+) -> DataFrame:
+    """Windowed pass/fail counts with late-data watermark.
+
+    Output mode 'append' compatible: aggregation keyed on (window [, part]).
+    """
+    grouped = [F.window(F.col(ts_col), window).alias("window")]
+    if partition_col:
+        grouped.append(F.col(partition_col))
+    return (
+        report.withWatermark(ts_col, watermark)
+        .groupBy(*grouped)
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("is_valid"), 1)).alias("n_valid"),
+            F.count(F.when(F.col("ret_code") > 1, 1)).alias("n_warning"),
+        )
+    )
+
+
+def run_stream_to_parquet(
+    report: DataFrame,
+    violations: DataFrame,
+    out_dir: str,
+    trigger_once: bool = True,
+):
+    """Start report+violations file sinks with streaming checkpoints.
+
+    ``trigger_once`` processes all available input then stops — the pattern
+    for incremental batch over a growing Iceberg/file corpus (and what the
+    tests use).  Returns the two StreamingQuery handles.
+    """
+    qs = []
+    for name, df in (("report", report), ("violations", violations)):
+        w = (
+            df.writeStream.format("parquet")
+            .option("path", os.path.join(out_dir, name))
+            .option("checkpointLocation", os.path.join(out_dir, f"_ckpt_{name}"))
+            .outputMode("append")
+        )
+        if trigger_once:
+            w = w.trigger(availableNow=True)
+        qs.append(w.start())
+    return qs
