@@ -1,0 +1,20 @@
+#!/bin/sh
+# Build the --py-files archive for cluster submission (north_rule:
+# "run via spark-submit --py-files on multi-executor clusters").
+#
+#   ./scripts/make_pyfiles_zip.sh [out.zip]
+#   spark-submit --master yarn --num-executors N \
+#       --py-files validation_engine.zip -m validation_engine.cli \
+#       --input ... --config workflow.json --checkpoint ...
+set -eu
+OUT="${1:-validation_engine.zip}"
+cd "$(dirname "$0")/.."
+rm -f "$OUT"
+python - "$OUT" <<'EOF'
+import sys, zipfile, pathlib
+out = sys.argv[1]
+with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+    for p in sorted(pathlib.Path("validation_engine").rglob("*.py")):
+        z.write(p, p.as_posix())
+print(f"wrote {out}")
+EOF

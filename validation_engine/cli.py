@@ -1,0 +1,125 @@
+"""spark-submit entry point: run a declarative validation workflow.
+
+Engine analogue of the reference CLI
+(`/root/reference/README.md:127-129`: ``luigi --module my_module
+ValidationWorkflow --dataset-df dataset.csv ...``):
+
+    spark-submit --py-files validation_engine.zip -m validation_engine.cli \\
+        --input /path/to/files_parquet_or_table \\
+        --checkpoint /path/to/ckpt --config workflow.json
+
+or locally::
+
+    python -m validation_engine.cli --input ... --config workflow.json
+
+``workflow.json`` declares stages of built-in checks::
+
+    {
+      "keys": ["repo", "path", "commit"],
+      "n_buckets": 64,
+      "stages": [
+        {"name": "basic",
+         "checks": [
+           {"type": "non_empty", "col": "content"},
+           {"type": "lang_matches_extension"},
+           {"type": "not_null", "col": "lang"},
+           {"type": "in_set", "col": "lang", "allowed": ["python", "rust"]},
+           {"type": "matches", "col": "commit", "pattern": "^[0-9a-f]{40}$"},
+           {"type": "sha256_equals", "content_col": "content",
+            "expected_col": "content_sha256"}
+         ]},
+        {"name": "strict", "inputs": {"basic": {}},
+         "checks": [{"type": "non_empty", "col": "lang"}]}
+      ],
+      "set_checks": {"uniqueness": true,
+                     "referential": [{"fk": ["repo"], "dim": "<path>"}]}
+    }
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from . import checks as C
+from .checkpoint import CheckpointManager
+from .dag import Workflow
+from .report import run_report_markdown, write_run_report
+from .session import get_spark
+from .stage import ElementStage
+
+CHECK_BUILDERS = {
+    "non_empty": lambda spec: C.non_empty(spec.get("col", "content")),
+    "not_null": lambda spec: C.not_null(spec["col"]),
+    "in_set": lambda spec: C.in_set(spec["col"], spec["allowed"]),
+    "matches": lambda spec: C.matches(spec["col"], spec["pattern"]),
+    "lang_matches_extension": lambda spec: C.lang_matches_extension(
+        spec.get("path_col", "path"), spec.get("lang_col", "lang"),
+        spec.get("ext_lang"),
+    ),
+    "sha256_equals": lambda spec: C.sha256_equals(
+        spec.get("content_col", "content"),
+        spec.get("expected_col", "content_sha256"),
+    ),
+}
+
+
+def build_workflow(config: dict, checkpoint_dir: str | None) -> Workflow:
+    stages = []
+    for s in config["stages"]:
+        checks = [CHECK_BUILDERS[c["type"]](c) for c in s.get("checks", [])]
+        stages.append(
+            ElementStage(
+                s["name"],
+                checks=checks,
+                inputs=s.get("inputs"),
+                skip=s.get("skip", False),
+            )
+        )
+    ckpt = None
+    if checkpoint_dir:
+        ckpt = CheckpointManager(checkpoint_dir, n_chunks=config.get("n_chunks", 1))
+    return Workflow(
+        stages,
+        keys=config.get("keys", ["repo", "path", "commit"]),
+        partition_col=config.get("partition_col"),
+        n_buckets=config.get("n_buckets", 8),
+        checkpoint=ckpt,
+        strict_duplicates=config.get("strict_duplicates", True),
+    )
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="PySpark validation engine")
+    p.add_argument("--input", required=True, help="parquet path or catalog table")
+    p.add_argument("--config", required=True, help="workflow JSON")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--report", default=None, help="markdown report output path")
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    with open(args.config) as f:
+        config = json.load(f)
+
+    spark = get_spark("validation-engine", master=args.master)
+    df = (
+        spark.read.table(args.input)
+        if "/" not in args.input and "." in args.input
+        else spark.read.parquet(args.input)
+    )
+    wf = build_workflow(config, args.checkpoint)
+    res = wf.run(spark, df)
+
+    if args.report:
+        write_run_report(wf, res, args.report)
+        print(f"report written to {args.report}")
+    else:
+        print(run_report_markdown(wf, res))
+    n_invalid = sum(s["n_total"] - s["n_valid"] for s in res.summaries)
+    spark.stop()
+    return 1 if n_invalid else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

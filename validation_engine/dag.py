@@ -203,6 +203,15 @@ class Workflow:
                 violations[name] = self.checkpoint.read_violations(spark, name)
                 continue
 
+            if self.checkpoint:
+                # stage-scoped side-artifact dir (reference data/ target)
+                import os
+
+                stage.output_path = os.path.join(
+                    self.checkpoint._stage_dir(name), "data"
+                )
+                os.makedirs(stage.output_path, exist_ok=True)
+
             ds = self._prepare_dataset(stage, dataset)
             frame, dropped = self._join_inputs(stage, ds, reports)
             # partition tag computed on the full frame (dataset columns still

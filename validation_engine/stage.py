@@ -72,6 +72,9 @@ class Stage:
         self.inputs = dict(inputs or {})
         self.output_columns = dict(output_columns or {})
         self.skip = bool(skip)
+        #: stage-scoped side-artifact directory (reference ``data/`` target,
+        #: `task.py:622-627`); set by the Workflow when checkpointing
+        self.output_path = None
         _check_output_columns(self.output_columns, name)
 
     # hooks (reference `task.py:295-308`)
@@ -174,9 +177,17 @@ class PandasElementStage(Stage):
         self.output_types = dict(output_types or {})
 
     def _process(self, frame, keys):
+        import functools
+        import inspect
+
         import pandas as pd
 
         fn = self.fn
+        # reference validation functions receive the side-artifact dir as
+        # ``output_path`` (README.md:42-52); bind it when the fn wants it
+        if self.output_path is not None and "output_path" in inspect.signature(fn).parameters:
+            fn = functools.partial(fn, output_path=self.output_path)
+        key_list = list(keys)
         out_cols = list(self.output_columns)
         out_types = self.output_types
         defaults = self.output_columns
@@ -201,6 +212,13 @@ class PandasElementStage(Stage):
             if len(sub):
                 try:
                     res = fn(sub.copy())
+                    if any(k in res.columns for k in key_list):
+                        # key-invariant enforcement (reference IndexError on
+                        # index mutation, task.py:606-610)
+                        raise RuntimeError(
+                            "the validation function must not modify the key "
+                            f"columns {key_list}"
+                        )
                     for c in res.columns:
                         pdf.loc[res.index, c] = res[c]
                 except Exception:  # vectorized failed → per-row retry
@@ -251,8 +269,16 @@ class SetStage(Stage):
         self.violations_fn = violations_fn
 
     def _process(self, frame, keys):
+        import inspect
+
+        kwargs = {}
+        if (
+            self.output_path is not None
+            and "output_path" in inspect.signature(self.fn).parameters
+        ):
+            kwargs["output_path"] = self.output_path
         try:
-            report = self.fn(frame, keys)
+            report = self.fn(frame, keys, **kwargs)
         except Exception:
             tb = traceback.format_exc()
             report = (

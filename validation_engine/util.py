@@ -1,0 +1,91 @@
+"""Utility parity pieces: column-presence checks, tagged run directories.
+
+* ``check_missing_columns`` / ``report_missing_columns`` re-express the
+  reference's two-level column validation
+  (`data_validation_framework/util.py:187-214, 217-229`): required columns
+  may be plain names, ``(parent, child)`` tuples, or ``{parent: [children]}``
+  dicts — the two-level form maps to Spark struct columns (our gathered
+  per-stage structs, SURVEY §2 O22/O23).
+* ``tagged_result_dir`` re-expresses ``TagResultOutputMixin``
+  (`task.py:46-90`): timestamped run directory with ``_N`` conflict suffix.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Iterable, Union
+
+from pyspark.sql import DataFrame, types as T
+
+logger = logging.getLogger(__name__)
+
+ColumnSpec = Union[str, tuple, dict]
+
+
+def _struct_children(schema: T.StructType, parent: str) -> set:
+    for f in schema.fields:
+        if f.name == parent and isinstance(f.dataType, T.StructType):
+            return {c.name for c in f.dataType.fields}
+    return set()
+
+
+def check_missing_columns(df: DataFrame, required_columns: Iterable[ColumnSpec]) -> list:
+    """Return the list of missing column specs (empty = all present).
+
+    Mirrors `util.py:187-214`: str → top-level column; tuple →
+    ``(struct_col, field)``; dict → ``{struct_col: [fields...]}``.
+    """
+    missing = []
+    top = set(df.columns)
+    for spec in required_columns:
+        if isinstance(spec, str):
+            if spec not in top:
+                missing.append(spec)
+        elif isinstance(spec, tuple):
+            parent, child = spec
+            if child not in _struct_children(df.schema, parent):
+                missing.append(spec)
+        elif isinstance(spec, dict):
+            for parent, children in spec.items():
+                have = _struct_children(df.schema, parent)
+                for child in children:
+                    if child not in have:
+                        missing.append((parent, child))
+        else:
+            raise TypeError(f"unsupported column spec: {spec!r}")
+    return missing
+
+
+def report_missing_columns(df: DataFrame, required_columns: Iterable[ColumnSpec]):
+    """Raise KeyError listing missing columns (reference `util.py:217-229`)."""
+    missing = check_missing_columns(df, required_columns)
+    if missing:
+        raise KeyError(f"Missing columns in the DataFrame: {missing}")
+    return missing
+
+
+def tagged_result_dir(base: str, tag: bool = True, fmt: str = "%Y%m%d-%Hh%Mm%Ss") -> str:
+    """Create a run-versioned output directory.
+
+    ``tag=True`` appends a timestamp; on collision a ``_N`` suffix is added
+    with a warning — exactly the reference's conflict loop
+    (`task.py:77-87`).  Returns the created path.
+    """
+    if not tag:
+        os.makedirs(base, exist_ok=True)
+        return base
+    stamp = time.strftime(fmt, time.gmtime())
+    path = f"{base.rstrip('/')}_{stamp}"
+    n = 0
+    candidate = path
+    while os.path.exists(candidate):
+        n += 1
+        candidate = f"{path}_{n}"
+    if n:
+        logger.warning(
+            "The tagged output directory %s already exists, using %s", path, candidate
+        )
+    os.makedirs(candidate)
+    return candidate
