@@ -75,14 +75,16 @@ class CheckpointManager:
         spark: SparkSession,
         stage: str,
         report: DataFrame,
-        violations: DataFrame,
+        deriver,
         run_id: str,
     ) -> tuple[DataFrame, DataFrame]:
-        """Write report+violations chunk by chunk; manifest records each chunk
-        only AFTER its data and lineage rows are durable.  Already-committed
-        chunks are skipped (resume).  Returns the re-read (committed) outputs
-        so downstream stages consume the durable lineage barrier, not a
-        recomputation of the plan."""
+        """Write the report chunk by chunk; VIOLATIONS are derived from the
+        already-written chunk files (``deriver(committed_chunk_df)``) so each
+        stage scans the input corpus exactly once.  The manifest records a
+        chunk only AFTER its data and lineage rows are durable.
+        Already-committed chunks are skipped (resume).  Returns the re-read
+        (committed) outputs so downstream stages consume the durable lineage
+        barrier, not a recomputation of the plan."""
         d = self._stage_dir(stage)
         m = self.manifest(stage)
         committed = set(m["committed_chunks"])
@@ -92,18 +94,15 @@ class CheckpointManager:
             if c in committed:
                 continue
             rep_c = report.filter(chunk_expr == c) if self.n_chunks > 1 else report
-            vio_c = (
-                violations.filter(chunk_expr == c) if self.n_chunks > 1 else violations
-            )
             # 1. data files (idempotent: overwrite the chunk directory)
             rep_c.write.mode("overwrite").parquet(os.path.join(d, "report", f"chunk={c}"))
-            vio_c.write.mode("overwrite").parquet(
+            committed_rep = spark.read.parquet(os.path.join(d, "report", f"chunk={c}"))
+            deriver(committed_rep).write.mode("overwrite").parquet(
                 os.path.join(d, "violations", f"chunk={c}")
             )
             # 2. lineage rows for every partition in this chunk (metrics)
             lineage = (
-                spark.read.parquet(os.path.join(d, "report", f"chunk={c}"))
-                .groupBy("_vpart")
+                committed_rep.groupBy("_vpart")
                 .agg(F.count(F.lit(1)).alias("n_rows"))
                 .select(
                     F.lit(stage).alias("stage"),
@@ -138,7 +137,7 @@ class CheckpointManager:
     # -- readers ----------------------------------------------------------
     def read_report(self, spark: SparkSession, stage: str) -> DataFrame:
         df = spark.read.parquet(os.path.join(self._stage_dir(stage), "report"))
-        return df.drop("chunk")
+        return df.drop("chunk", "_viol")
 
     def read_violations(self, spark: SparkSession, stage: str) -> DataFrame:
         df = spark.read.parquet(os.path.join(self._stage_dir(stage), "violations"))

@@ -183,6 +183,9 @@ def compile_checks(
     ok_cols = {}
     for i, c in enumerate(checks):
         ok_cols[f"_ok_{i}"] = F.coalesce(c.predicate, F.lit(c.warning))
+    # snapshot the upstream gate: is_valid is overwritten below, but the
+    # violation entries must still be gated on UPSTREAM validity
+    ok_cols["_gate"] = gate
     staged = df.withColumns(ok_cols)
 
     def _ok(i) -> Column:
@@ -221,14 +224,13 @@ def compile_checks(
         new_cols["comment"] = F.when(gate, comment).otherwise(F.col("comment"))
     else:
         new_cols["comment"] = comment
-    report = staged.withColumns(new_cols).drop(*ok_cols)
-    if "exception" not in df.columns:
-        report = report.withColumn("exception", F.lit(None).cast("string"))
-
-    # violations: single scan, array of structs per row → filter failed → explode
+    # failed-check payload rides the report as a hidden array column so the
+    # input is scanned ONCE per stage: the checkpoint writes the report,
+    # then violations explode out of the (already materialized) report
+    # instead of re-running every check against the corpus
     entries = [
         F.when(
-            gate & ~_ok(i),
+            F.col("_gate") & ~_ok(i),
             F.struct(
                 F.lit(c.check_id).alias("check_id"),
                 c.reason_col().cast("string").alias("reason"),
@@ -236,30 +238,34 @@ def compile_checks(
         )
         for i, c in enumerate(checks)
     ]
-    # carry the engine's partition column into violations when present so
-    # per-partition checkpointing covers them too
-    vkeys = list(keys) + (["_vpart"] if "_vpart" in df.columns else [])
     if entries:
-        exploded = staged.select(
-            *[F.col(k) for k in vkeys],
-            F.explode(
-                F.filter(F.array(*entries), lambda x: x.isNotNull())
-            ).alias("_v"),
+        new_cols["_viol"] = F.filter(F.array(*entries), lambda x: x.isNotNull())
+    else:
+        new_cols["_viol"] = F.lit(None).cast(
+            "array<struct<check_id:string,reason:string>>"
         )
-        violations = exploded.select(
+    report = staged.withColumns(new_cols).drop(*ok_cols)
+    if "exception" not in df.columns:
+        report = report.withColumn("exception", F.lit(None).cast("string"))
+    violations = violations_from_report(report, stage, keys)
+    return report, violations
+
+
+def violations_from_report(report: DataFrame, stage: str, keys=DEFAULT_KEYS) -> DataFrame:
+    """Explode the hidden ``_viol`` payload of a (materialized) report into
+    violation rows.  Carries ``_vpart`` when present so per-partition
+    checkpointing covers violations too."""
+    vkeys = list(keys) + (["_vpart"] if "_vpart" in report.columns else [])
+    return (
+        report.filter(F.size(F.col("_viol")) > 0)
+        .select(*vkeys, F.explode("_viol").alias("_v"))
+        .select(
             *vkeys,
             F.col("_v.check_id").alias("check_id"),
             F.col("_v.reason").alias("reason"),
             F.lit(stage).alias("stage"),
         )
-    else:
-        violations = df.select(*vkeys).limit(0).select(
-            *vkeys,
-            F.lit("").alias("check_id"),
-            F.lit("").alias("reason"),
-            F.lit(stage).alias("stage"),
-        )
-    return report, violations
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -230,16 +230,18 @@ class Workflow:
 
             out = stage.run(frame, keys=self.keys)
             report = out.report
-            viols = out.violations
-            if "_vpart" not in viols.columns:
-                viols = viols.withColumn("_vpart", F.lit("all"))
 
             if self.checkpoint:
                 report, viols = self.checkpoint.commit_stage(
-                    spark, name, report, viols, run_id=self.run_id
+                    spark, name, report, out.deriver, run_id=self.run_id
                 )
             else:
+                # single corpus scan: violations derive from the persisted
+                # report, not from a second pass over the source
                 report = report.persist()
+                viols = out.deriver(report)
+            if "_vpart" not in viols.columns:
+                viols = viols.withColumn("_vpart", F.lit("all"))
 
             # fused consistency + per-partition summary: ONE aggregation job
             per_part = (
@@ -292,7 +294,7 @@ class Workflow:
                 self.checkpoint.commit_summary(
                     spark, name, stage_summaries, run_id=self.run_id
                 )
-            reports[name] = report.drop("_vpart")
+            reports[name] = report.drop("_vpart", "_viol")
             violations[name] = viols.drop("_vpart") if "_vpart" in viols.columns else viols
 
         return RunResult(

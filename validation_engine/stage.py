@@ -40,6 +40,10 @@ from .schema import DEFAULT_KEYS, RESERVED_COLS, SKIP_COMMENT
 class StageOutput:
     report: DataFrame
     violations: DataFrame
+    #: derives violation rows from a MATERIALIZED report (committed parquet /
+    #: persisted df) so the corpus is scanned once per stage — the checkpoint
+    #: uses this instead of `violations` (which recomputes from the source)
+    deriver: Optional[Callable] = None
     #: per-partition summary rows (list of dicts), filled by the DAG runner
     summary: Optional[list] = None
 
@@ -88,7 +92,8 @@ class Stage:
         return df
 
     # ---- implemented by subclasses ----
-    def _process(self, frame: DataFrame, keys) -> tuple[DataFrame, DataFrame]:
+    def _process(self, frame: DataFrame, keys) -> tuple[DataFrame, Callable]:
+        """Return (report, deriver) where deriver(report_df) → violations."""
         raise NotImplementedError
 
     def run(self, frame: DataFrame, keys: Sequence[str] = DEFAULT_KEYS) -> StageOutput:
@@ -104,10 +109,9 @@ class Stage:
                     F.col("comment")
                 ),
             )
-            empty_v = _empty_violations(frame, keys, self.name)
-            report, violations = report, empty_v
+            deriver = lambda rep: _empty_violations(rep, keys, self.name)  # noqa: E731
         else:
-            report, violations = self._process(frame, keys)
+            report, deriver = self._process(frame, keys)
         report = R.ensure_report_columns(report, self.output_columns)
         report = R.normalize_ret_code(report)
         report = self.post_process(report)
@@ -117,10 +121,12 @@ class Stage:
         # be duplicated into every stage's report — at 10^12-file scale that
         # would rewrite the corpus once per stage
         report_cols = [c for c in list(keys) + list(R.REPORT_FIXED_COLS)
-                       + list(self.output_columns) + ["_vpart"]
+                       + list(self.output_columns) + ["_vpart", "_viol"]
                        if c in report.columns]
         report = report.select(*report_cols)
-        return StageOutput(report=report, violations=violations)
+        return StageOutput(
+            report=report, violations=deriver(report), deriver=deriver
+        )
 
 
 def _vkeys(df, keys):
@@ -154,9 +160,12 @@ class ElementStage(Stage):
         self.checks = list(checks)
 
     def _process(self, frame, keys):
-        return compile_checks(
+        from .checks import violations_from_report
+
+        report, _ = compile_checks(
             frame, self.checks, stage=self.name, keys=keys, gate_col="is_valid"
         )
+        return report, lambda rep: violations_from_report(rep, self.name, keys)
 
 
 class PandasElementStage(Stage):
@@ -240,18 +249,21 @@ class PandasElementStage(Stage):
                 yield apply_batch(pdf)
 
         report = frame.mapInPandas(runner, schema=schema)
+
         # violations derived from newly-invalid rows (had upstream validity,
-        # failed here); reasons come from the comment column
-        violations = (
-            report.filter(~F.col("is_valid") & F.col("exception").isNotNull())
-            .select(
-                *_vkeys(report, keys),
+        # failed here); reasons come from the exception column — computed
+        # against the MATERIALIZED report, never a second mapInPandas pass
+        def deriver(rep):
+            return rep.filter(
+                ~F.col("is_valid") & F.col("exception").isNotNull()
+            ).select(
+                *_vkeys(rep, keys),
                 F.lit(f"{self.name}_exception").alias("check_id"),
                 F.col("exception").alias("reason"),
                 F.lit(self.name).alias("stage"),
             )
-        )
-        return report, violations
+
+        return report, deriver
 
 
 class SetStage(Stage):
@@ -286,17 +298,19 @@ class SetStage(Stage):
                 .withColumn("ret_code", F.lit(1).cast("int"))
                 .withColumn("exception", F.lit(tb))
             )
-            return report, _empty_violations(frame, keys, self.name)
+            return report, lambda rep: _empty_violations(rep, keys, self.name)
+
         if self.violations_fn is not None:
-            violations = self.violations_fn(frame, keys)
-        else:
-            violations = (
-                report.filter(~F.col("is_valid"))
-                .select(
-                    *_vkeys(report, keys),
-                    F.lit(self.name).alias("check_id"),
-                    F.coalesce(F.col("comment"), F.lit("invalid")).alias("reason"),
-                    F.lit(self.name).alias("stage"),
-                )
+            # user-supplied violations compute from the input frame
+            violations_fn, name = self.violations_fn, self.name
+            return report, lambda rep: violations_fn(frame, keys)
+
+        def deriver(rep):
+            return rep.filter(~F.col("is_valid")).select(
+                *_vkeys(rep, keys),
+                F.lit(self.name).alias("check_id"),
+                F.coalesce(F.col("comment"), F.lit("invalid")).alias("reason"),
+                F.lit(self.name).alias("stage"),
             )
-        return report, violations
+
+        return report, deriver
