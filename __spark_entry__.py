@@ -423,6 +423,164 @@ def q_embedding_centroid_by_label(spark, sf):
     return sums.select("label", "n", F.round(F.sqrt(sq), 6).alias("centroid_norm_8"))
 
 
+def q6_filtered_revenue(spark, sf):
+    """TPC-H Q6 shape: pushdown-heavy filtered aggregate."""
+    li = _t(spark, sf, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * F.col("l_discount").cast("decimal(18,2)")).cast("decimal(28,6)")
+    return (
+        li.filter(
+            (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.05)
+            & (F.col("l_quantity") < 10)
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q_orders_with_5plus_items(spark, sf):
+    """Semi-join/HAVING shape: orders with at least 5 lineitems."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("n_items") >= 5)
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("n_items").alias("n_items_total"))
+    )
+
+
+def q_customers_without_orders(spark, sf):
+    """Anti-join: customers with no orders, counted per segment."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    return (
+        cust.join(orders.select("o_custkey"),
+                  cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q_rollup_orders(spark, sf):
+    """Grouping-sets coverage: ROLLUP(status, priority) counts + sums."""
+    orders = _t(spark, sf, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+def q_set_ops_users(spark, sf):
+    """INTERSECT/EXCEPT coverage over key domains."""
+    ev = _t(spark, sf, "events").select(F.col("user_id").alias("k"))
+    cust = _t(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
+    inter = ev.intersect(cust).count()
+    only_ev = ev.distinct().exceptAll(cust.distinct()).count()
+    return spark.createDataFrame([(inter, only_ev)], "n_intersect bigint, n_events_only bigint")
+
+
+def q_window_lag_delta(spark, sf):
+    """lag() window: per-user value delta between consecutive events."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+    )
+
+
+def q_window_rolling_sum(spark, sf):
+    """Rolling frame window: 3-row sum of value per user (user_id < 20)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("roll3"),
+    )
+
+
+def q_asof_latest_event(spark, sf):
+    """As-of join: latest event ts per order at/before the order date
+    (composed from a range join + max aggregation — Spark-native as-of)."""
+    ev = _t(spark, sf, "events").select("user_id", "ts")
+    orders = _t(spark, sf, "orders").filter(F.col("o_orderkey") < 2000)
+    j = orders.join(
+        ev,
+        (orders.o_custkey == ev.user_id) & (ev.ts <= orders.o_orderdate),
+        "left",
+    )
+    return j.groupBy("o_orderkey").agg(F.max("ts").alias("asof_ts"))
+
+
+def q_sessionize_events(spark, sf):
+    """Sessionization: count 30-minute-gap sessions per user (custom stateful
+    op expressed with lag + windowed cumulative logic)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 200)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    marked = ev.select(
+        "user_id",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_session"),
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum("new_session").cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_stats_agg_lineitem(spark, sf):
+    """Statistical aggregates: stddev/corr per return flag (round 4)."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_top2_parts_per_brand(spark, sf):
+    """Top-k per group via row_number window."""
+    from pyspark.sql import Window
+
+    part = _t(spark, sf, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("p_brand", "p_partkey", "rnk")
+    )
+
+
+def q_embedding_norms(spark, sf):
+    """Vector norm per embedding (array fold, first 100 ids)."""
+    from validation_engine.similarity import norm_expr
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 100)
+    return emb.select(
+        "vec_id", F.round(norm_expr(F.col("embedding")), 6).alias("norm")
+    )
+
+
 # --- non-SQL-expressible ops (rows-only driver check) ---
 
 
@@ -466,6 +624,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_revenue_by_nation": q5_revenue_by_nation,
         "window_event_ranks": q_window_event_ranks,
         "hourly_event_rollup": q_hourly_event_rollup,
+        "q6_filtered_revenue": q6_filtered_revenue,
+        "orders_with_5plus_items": q_orders_with_5plus_items,
+        "customers_without_orders": q_customers_without_orders,
+        "rollup_orders": q_rollup_orders,
+        "set_ops_users": q_set_ops_users,
+        "window_lag_delta": q_window_lag_delta,
+        "window_rolling_sum": q_window_rolling_sum,
+        "asof_latest_event": q_asof_latest_event,
+        "sessionize_events": q_sessionize_events,
+        "stats_agg_lineitem": q_stats_agg_lineitem,
+        "top2_parts_per_brand": q_top2_parts_per_brand,
+        "embedding_norms": q_embedding_norms,
         "dedup_exact_documents": q_dedup_exact_documents,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -648,6 +818,99 @@ def oracle_sql() -> dict[str, str]:
     SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2
+    """
+
+    sql["q6_filtered_revenue"] = """
+    SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_discount >= 0.02 AND l_discount <= 0.05 AND l_quantity < 10
+    """
+
+    sql["orders_with_5plus_items"] = """
+    SELECT COUNT(*) AS n_orders, CAST(SUM(n_items) AS BIGINT) AS n_items_total
+    FROM (SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem
+          GROUP BY l_orderkey HAVING COUNT(*) >= 5)
+    """
+
+    sql["customers_without_orders"] = """
+    SELECT c.c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+      ON c.c_custkey = o.o_custkey
+    WHERE o.o_custkey IS NULL GROUP BY c.c_mktsegment
+    """
+
+    sql["rollup_orders"] = """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """
+
+    sql["set_ops_users"] = """
+    SELECT
+      (SELECT COUNT(*) FROM (SELECT user_id AS k FROM events
+                             INTERSECT SELECT c_custkey FROM customer)) AS n_intersect,
+      (SELECT COUNT(*) FROM (SELECT DISTINCT user_id AS k FROM events
+                             EXCEPT SELECT DISTINCT c_custkey FROM customer)) AS n_events_only
+    """
+
+    sql["window_lag_delta"] = """
+    SELECT user_id, event_id,
+           round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta
+    FROM events WHERE user_id < 20
+    """
+
+    sql["window_rolling_sum"] = """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll3
+    FROM events WHERE user_id < 20
+    """
+
+    sql["asof_latest_event"] = """
+    SELECT o.o_orderkey, MAX(e.ts) AS asof_ts
+    FROM orders o LEFT JOIN events e
+      ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+    WHERE o.o_orderkey < 2000
+    GROUP BY o.o_orderkey
+    """
+
+    sql["sessionize_events"] = """
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM (
+      SELECT user_id,
+             CASE WHEN prev_ts IS NULL
+                       OR (epoch(ts) - epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END AS new_session
+      FROM (SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events WHERE user_id < 200)
+    ) GROUP BY user_id
+    """
+
+    sql["stats_agg_lineitem"] = """
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """
+
+    sql["top2_parts_per_brand"] = """
+    SELECT p_brand, p_partkey, rnk FROM (
+      SELECT p_brand, p_partkey,
+             CAST(row_number() OVER (PARTITION BY p_brand
+                    ORDER BY p_retailprice DESC, p_partkey ASC) AS INTEGER) AS rnk
+      FROM part
+    ) WHERE rnk <= 2
+    """
+
+    sql["embedding_norms"] = """
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS norm
+    FROM embeddings WHERE vec_id < 100
     """
 
     sql["dedup_exact_documents"] = """
