@@ -1,0 +1,125 @@
+"""Unit tests for the validity algebra, column checks and dedup knobs
+(ported from the reference's `tests/test_result.py` / `test_util.py`)."""
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from validation_engine import result as R
+from validation_engine.util import (
+    check_missing_columns,
+    report_missing_columns,
+    tagged_result_dir,
+)
+
+
+def _report(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows),
+        schema="repo string, path string, commit string, is_valid boolean, ret_code int, comment string, exception string",
+    )
+
+
+def rowd(path, is_valid, ret_code=None, comment=None, exception=None):
+    return {
+        "repo": "r", "path": path, "commit": "c",
+        "is_valid": is_valid, "ret_code": ret_code,
+        "comment": comment, "exception": exception,
+    }
+
+
+def test_ret_code_derivation(spark):
+    # reference result.py:104-106: null ret_code → 0 valid / 1 invalid
+    df = _report(spark, [rowd("a", True), rowd("b", False), rowd("c", True, 5, "warn")])
+    out = {r["path"]: r["ret_code"] for r in R.normalize_ret_code(df).collect()}
+    assert out == {"a": 0, "b": 1, "c": 5}
+
+
+def test_consistency_counts_and_enforcement(spark):
+    df = _report(spark, [rowd("a", True, 1), rowd("b", False, 0), rowd("c", True, 2)])
+    counts = R.consistency_counts(df)
+    assert counts["valid_but_1"] == 1
+    assert counts["invalid_but_0"] == 1
+    assert counts["warning_no_comment"] == 1
+    with pytest.raises(R.ValidationError):
+        R.enforce_consistency(counts, "s")
+
+
+def test_ensure_report_columns_defaults(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame([{"repo": "r", "path": "p", "commit": "c", "is_valid": True}])
+    )
+    out = R.ensure_report_columns(df, {"extra": 7})
+    row = out.collect()[0]
+    assert row["ret_code"] is None and row["comment"] is None
+    assert row["extra"] == 7
+    with pytest.raises(R.ValidationError, match="is_valid"):
+        R.ensure_report_columns(df.drop("is_valid"))
+
+
+def test_and_validity_null_propagation(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": [True, True, None], "b": [True, False, True]}).astype(object)
+    )
+    out = df.select(R.and_validity(["a", "b"]).alias("v")).collect()
+    assert [r["v"] for r in out] == [True, False, None]
+
+
+def test_check_missing_columns_two_level(spark):
+    df = spark.createDataFrame(
+        [(1, (2, "x"))], "a int, s struct<b: int, c: string>"
+    )
+    assert check_missing_columns(df, ["a"]) == []
+    assert check_missing_columns(df, [("s", "b"), ("s", "zz")]) == [("s", "zz")]
+    assert check_missing_columns(df, [{"s": ["b", "c", "d"]}]) == [("s", "d")]
+    assert check_missing_columns(df, ["nope"]) == ["nope"]
+    with pytest.raises(KeyError, match="Missing columns"):
+        report_missing_columns(df, ["nope"])
+    with pytest.raises(TypeError):
+        check_missing_columns(df, [42])
+
+
+def test_tagged_result_dir_conflict_suffix(tmp_path):
+    base = str(tmp_path / "out")
+    d1 = tagged_result_dir(base, fmt="%Y")  # coarse stamp → guaranteed clash
+    d2 = tagged_result_dir(base, fmt="%Y")
+    d3 = tagged_result_dir(base, fmt="%Y")
+    assert d1 != d2 != d3
+    assert d2 == d1 + "_1" and d3 == d1 + "_2"
+    assert tagged_result_dir(str(tmp_path / "plain"), tag=False).endswith("plain")
+
+
+def test_minhash_band_frequency_cap(spark):
+    from validation_engine.dedup import minhash_lsh_candidates
+
+    # 6 identical docs → one mega-bucket; cap removes it entirely
+    docs = spark.createDataFrame(
+        [(i, "common boilerplate text shared by every page") for i in range(6)]
+        + [(10, "a unique document about rare topics"),
+           (11, "a unique document about rare topics indeed")],
+        ["id", "text"],
+    )
+    uncapped = minhash_lsh_candidates(docs, "id", "text", k=2, n_hashes=8, bands=4)
+    assert uncapped.count() >= 15  # 6 choose 2 from the boilerplate bucket
+    capped = minhash_lsh_candidates(
+        docs, "id", "text", k=2, n_hashes=8, bands=4, max_band_freq=3
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert all(a >= 10 for a, _ in pairs)  # boilerplate bucket dropped
+    assert (10, 11) in pairs
+
+
+def test_embedding_multiprobe_improves_recall(spark):
+    import numpy as np
+
+    from validation_engine.dedup import embedding_near_duplicates
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    rows = [(1, [float(x) for x in base]), (2, [float(x) for x in base + 0.01])]
+    rows += [(10 + i, [float(x) for x in rng.standard_normal(16)]) for i in range(20)]
+    df = spark.createDataFrame(rows, ["id", "vec"])
+    multi = embedding_near_duplicates(
+        df, "id", "vec", threshold=0.99, n_planes=12, seed=3, probe_hamming=1
+    )
+    assert {(r["id_a"], r["id_b"]) for r in multi.collect()} == {(1, 2)}

@@ -106,14 +106,20 @@ def minhash_lsh_candidates(
     n_hashes: int = 16,
     bands: int = 4,
     use_md5: bool = False,
+    max_band_freq: Optional[int] = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH.
 
     rows/band = n_hashes/bands; two docs collide if ANY band matches.
     Plan shape: one scan to signatures (map-only) → explode bands (×bands) →
-    self-equi-join on (band_idx, band_key) → distinct pairs.  AQE handles the
-    skew of megapopular bands; pathological bands (boilerplate) can be
-    capped upstream with a frequency filter.
+    self-equi-join on (band_idx, band_key) → distinct pairs.
+
+    Skew control (web-corpus reality: boilerplate pages collapse into a few
+    mega-buckets that would produce O(n²) candidate pairs): set
+    ``max_band_freq`` to drop band buckets with more than that many members
+    before the self-join — a two-phase counted semi-filter, the standard
+    frequency cap used by large-scale dedup pipelines.  AQE skew-join
+    splitting handles residual imbalance.
     """
     rows = n_hashes // bands
     assert rows * bands == n_hashes, "bands must divide n_hashes"
@@ -133,6 +139,10 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_band_freq is not None:
+        freq = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
+        keep = freq.filter(F.col("_n") <= max_band_freq).drop("_n")
+        banded = banded.join(keep, on=["band", "key"], how="left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -277,11 +287,18 @@ def embedding_near_duplicates(
     n_planes: int = 16,
     seed: int = 42,
     dim: Optional[int] = None,
+    probe_hamming: int = 1,
 ) -> DataFrame:
     """Near-dup pairs by cosine ≥ threshold using random-hyperplane LSH.
 
     Sign-bit sketch buckets candidates (equi-join), exact cosine verifies
     with ``zip_with``/``aggregate`` array math — no UDF.
+
+    ``probe_hamming=1`` multiprobes: the BUILD side explodes each signature
+    into itself + its ``n_planes`` 1-bit-flip neighbours, so near-identical
+    vectors that straddle one hyperplane still collide (recall), while the
+    probe side stays un-expanded (the join stays linear in input size,
+    ×(n_planes+1) on one side only).
     """
     from .similarity import hyperplane_signature, cosine_expr
 
@@ -289,7 +306,17 @@ def embedding_near_duplicates(
         dim = len(df.select(vec_col).first()[0])
     sig = hyperplane_signature(F.col(vec_col), dim, n_planes, seed)
     v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_b"))
-    a, b = v.alias("a"), v.alias("b")
+    if probe_hamming >= 1:
+        probes = F.array(
+            F.col("_b"),
+            *[F.col("_b").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+        a = v.select(
+            "_id", "_v", F.explode(probes).alias("_b")
+        ).alias("a")
+    else:
+        a = v.alias("a")
+    b = v.alias("b")
     return (
         a.join(b, F.col("a._b") == F.col("b._b"))
         .filter(F.col("a._id") < F.col("b._id"))
@@ -299,4 +326,5 @@ def embedding_near_duplicates(
             F.round(cosine_expr(F.col("a._v"), F.col("b._v")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+        .distinct()
     )
