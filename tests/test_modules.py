@@ -150,3 +150,48 @@ def test_run_report_markdown(spark, corpus, tmp_path):
     p = str(tmp_path / "report.md")
     write_run_report(wf, res, p)
     assert os.path.exists(p) and os.path.exists(str(tmp_path / "report.json"))
+
+
+def test_stateful_dedup_stream(spark, tmp_path):
+    from validation_engine.streaming import stateful_dedup
+
+    src = str(tmp_path / "dupsrc")
+    # 30 rows over 10 distinct keys (3 copies each)
+    rows = spark.range(30).select(
+        F.lit("r").alias("repo"),
+        F.concat(F.lit("p"), F.pmod(F.col("id"), 10).cast("string")).alias("path"),
+        F.lit("c").alias("commit"),
+        F.col("id").cast("string").alias("content"),
+    )
+    rows.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(rows.schema).parquet(src)
+    deduped = stateful_dedup(stream, keys=["repo", "path", "commit"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_test")
+        .option("checkpointLocation", str(tmp_path / "ck_dedup"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("select * from dedup_test").collect()
+    assert len(out) == 10
+    assert len({r["path"] for r in out}) == 10
+
+
+def test_io_read_write_roundtrip(spark, tmp_path):
+    from validation_engine.io import read_dataset, sniff_format, write_table
+
+    df = spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    p = str(tmp_path / "t.parquet")
+    write_table(df, p)
+    back = read_dataset(spark, p)
+    assert back.count() == 10
+    c = str(tmp_path / "t.csv")
+    write_table(df, c, fmt="csv")
+    back_csv = read_dataset(spark, c, fmt="csv")
+    assert back_csv.count() == 10 and set(back_csv.columns) == {"id", "v"}
+    assert sniff_format("/x/y.jsonl") == "json"
+    with pytest.raises(KeyError, match="index column"):
+        read_dataset(spark, p, index_col="nope")

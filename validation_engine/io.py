@@ -1,0 +1,104 @@
+"""Sources & sinks: parquet/CSV/JSON/ORC paths and catalog tables, with an
+Iceberg-layout abstraction.
+
+The reference reads one CSV per dataset (`data_validation_framework/
+task.py:287-293`) and writes report CSVs (`task.py:600-603`).  Our engine
+standardizes on columnar tables; this module is the single place that knows
+HOW a table is addressed:
+
+* ``read_dataset`` — format-sniffing reader (parquet/csv/json/orc path, or a
+  ``catalog.db.table`` identifier — which is how a real Iceberg catalog is
+  addressed once ``iceberg-spark-runtime`` is on the cluster classpath; the
+  sandbox pyspark 4.1.2 ships no Iceberg jar, so path-based parquet is the
+  local backend, same layout).
+* ``write_table`` — path parquet or catalog ``writeTo().createOrReplace()``.
+* ``index_col`` support mirrors the reference's ``input_index_col``: a named
+  column is surfaced as the element key (we never use an implicit index).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+_EXT_FORMAT = {
+    ".parquet": "parquet", ".pq": "parquet", ".csv": "csv",
+    ".json": "json", ".jsonl": "json", ".orc": "orc",
+}
+
+
+def is_table_identifier(target: str) -> bool:
+    """catalog.db.table (no path separators) vs a filesystem/URI path."""
+    return "/" not in target and "\\" not in target and "." in target and not os.path.splitext(target)[1] in _EXT_FORMAT
+
+
+def sniff_format(path: str, default: str = "parquet") -> str:
+    ext = os.path.splitext(path.rstrip("/"))[1].lower()
+    if ext in _EXT_FORMAT:
+        return _EXT_FORMAT[ext]
+    return default
+
+
+def read_dataset(
+    spark: SparkSession,
+    target: str,
+    fmt: Optional[str] = None,
+    index_col: Optional[str] = None,
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Load a dataset from a path (format sniffed from the extension unless
+    given) or a catalog table identifier.
+
+    CSV defaults mirror the reference's ``pd.read_csv``: header row, schema
+    inference (pass an explicit ``schema`` at scale — inference scans data).
+    """
+    if is_table_identifier(target) and fmt is None:
+        df = spark.read.table(target)
+    else:
+        fmt = fmt or sniff_format(target)
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        if fmt == "csv":
+            options.setdefault("header", True)
+            if schema is None:
+                options.setdefault("inferSchema", True)
+        df = reader.options(**options).format(fmt).load(target)
+    if index_col is not None and index_col not in df.columns:
+        raise KeyError(f"index column '{index_col}' not found in {target}")
+    return df
+
+
+def write_table(
+    df: DataFrame,
+    target: str,
+    mode: str = "overwrite",
+    fmt: Optional[str] = None,
+    partition_by: Optional[Sequence[str]] = None,
+) -> None:
+    """Write to a path (parquet by default) or a catalog table.
+
+    Catalog path uses the DataFrameWriterV2 API — on an Iceberg catalog this
+    is a snapshot-committing ``createOrReplace``/``append``.
+    """
+    if is_table_identifier(target) and fmt is None:
+        w = df.writeTo(target)
+        if partition_by:
+            import pyspark.sql.functions as F
+
+            w = w.partitionedBy(*[F.col(c) for c in partition_by])
+        if mode == "append":
+            w.append()
+        else:
+            w.createOrReplace()
+        return
+    fmt = fmt or sniff_format(target)
+    w = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        w = w.option("header", True)  # symmetric with read_dataset defaults
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(target)

@@ -77,6 +77,54 @@ def streaming_summary(
     )
 
 
+def stateful_dedup(
+    stream_df: DataFrame,
+    keys: Sequence[str] = DEFAULT_KEYS,
+    timeout_minutes: int = 0,
+):
+    """Custom stateful operator: drop elements whose key was already seen —
+    exactly-once key emission over an unbounded stream.
+
+    ``applyInPandasWithState`` keeps one tiny state row per key group; the
+    state is just "seen" (plus an optional processing-time timeout to bound
+    state size on high-cardinality keys).  This is the Structured-Streaming
+    analogue of the batch duplicate-key rejection (`task.py:448-453`).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = stream_df.schema
+    state_schema = "seen boolean"
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_minutes
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def dedup_fn(key, pdfs, state: "GroupState"):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        first = not state.exists
+        if first:
+            state.update((True,))
+            if timeout_minutes:
+                state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        emitted = False
+        for pdf in pdfs:
+            if first and not emitted and len(pdf):
+                yield pdf.iloc[[0]]
+                emitted = True
+
+    return stream_df.groupBy(*[F.col(k) for k in keys]).applyInPandasWithState(
+        dedup_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
 def run_stream_to_parquet(
     report: DataFrame,
     violations: DataFrame,
