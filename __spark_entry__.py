@@ -30,6 +30,37 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+_SHIPPED = set()
+
+
+def _ensure_pyfiles(spark: SparkSession) -> None:
+    """Ship validation_engine to Python workers of an externally-created
+    session (driver harness): functions used in pandas UDFs are pickled by
+    reference, so workers must be able to import the package.  addPyFile
+    works after session start; PYTHONPATH exported at import time only helps
+    when the JVM starts after this module is imported."""
+    key = id(spark)
+    if key in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    zpath = os.path.join(tempfile.gettempdir(), "validation_engine_pyfiles.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+            pkg = os.path.join(_REPO, "validation_engine")
+            for root, _dirs, files in os.walk(pkg):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        z.write(full, os.path.relpath(full, _REPO))
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # e.g. already added, or Connect-only session
+    _SHIPPED.add(key)
+
+
 #: allowed document languages (observed domain of the documents table)
 DOC_LANGS = ["en", "es", "fr", "de", "zh"]
 
@@ -592,6 +623,7 @@ def q_simhash_documents(spark, sf):
 
 
 def q_ks_drift_by_source(spark, sf):
+    _ensure_pyfiles(spark)
     from validation_engine.drift import ks_drift
 
     docs = _t(spark, sf, "documents").withColumn("len", F.length("text"))
@@ -599,6 +631,7 @@ def q_ks_drift_by_source(spark, sf):
 
 
 def q_ivf_topk(spark, sf):
+    _ensure_pyfiles(spark)
     from validation_engine.similarity import ivf_build, ivf_topk
 
     emb = _t(spark, sf, "embeddings")
