@@ -612,6 +612,46 @@ def q_embedding_norms(spark, sf):
     )
 
 
+def q_quantity_percentiles(spark, sf):
+    """Exact percentiles (interpolated) per group — distribution stats."""
+    li = _t(spark, sf, "lineitem")
+    p = F.percentile("l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return li.groupBy("l_returnflag").agg(
+        p[0].alias("p25"), p[1].alias("p50"), p[2].alias("p75"),
+    )
+
+
+def q_salted_token_stats(spark, sf):
+    """Skew-safe two-phase salted aggregation (north_rule) — must equal the
+    plain groupBy results, proven against the DuckDB oracle."""
+    from validation_engine.stats import salted_group_stats
+
+    docs = _t(spark, sf, "documents")
+    out = salted_group_stats(docs, "lang", F.length("text"), n_salts=8, agg_name="len")
+    return out.select(
+        "lang",
+        F.col("len_count").cast("bigint").alias("len_count"),
+        F.col("len_sum").cast("bigint").alias("len_sum"),
+        F.col("len_min").cast("bigint").alias("len_min"),
+        F.col("len_max").cast("bigint").alias("len_max"),
+    )
+
+
+def q_profile_documents(spark, sf):
+    """Per-column profile rows (null rate + distinct), exact variant."""
+    docs = _t(spark, sf, "documents")
+    cols = ["lang", "source"]
+    aggs = []
+    for c in cols:
+        aggs.append(F.round(F.avg(F.col(c).isNull().cast("double")), 6).alias(f"nr_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"dc_{c}"))
+    row = docs.agg(*aggs)
+    stack = ", ".join(f"'{c}', `nr_{c}`, `dc_{c}`" for c in cols)
+    return row.selectExpr(
+        f"stack({len(cols)}, {stack}) as (column, null_rate, n_distinct)"
+    )
+
+
 # --- non-SQL-expressible ops (rows-only driver check) ---
 
 
@@ -669,6 +709,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_agg_lineitem": q_stats_agg_lineitem,
         "top2_parts_per_brand": q_top2_parts_per_brand,
         "embedding_norms": q_embedding_norms,
+        "quantity_percentiles": q_quantity_percentiles,
+        "salted_token_stats": q_salted_token_stats,
+        "profile_documents": q_profile_documents,
         "dedup_exact_documents": q_dedup_exact_documents,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -944,6 +987,33 @@ def oracle_sql() -> dict[str, str]:
     SELECT vec_id,
            round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS norm
     FROM embeddings WHERE vec_id < 100
+    """
+
+    sql["quantity_percentiles"] = """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """
+
+    sql["salted_token_stats"] = """
+    SELECT lang,
+           COUNT(*) AS len_count,
+           CAST(SUM(length(text)) AS BIGINT) AS len_sum,
+           CAST(MIN(length(text)) AS BIGINT) AS len_min,
+           CAST(MAX(length(text)) AS BIGINT) AS len_max
+    FROM documents GROUP BY lang
+    """
+
+    sql["profile_documents"] = """
+    SELECT 'lang' AS column,
+           round(avg(CASE WHEN lang IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_rate,
+           COUNT(DISTINCT lang) AS n_distinct FROM documents
+    UNION ALL
+    SELECT 'source',
+           round(avg(CASE WHEN source IS NULL THEN 1.0 ELSE 0.0 END), 6),
+           COUNT(DISTINCT source) FROM documents
     """
 
     sql["dedup_exact_documents"] = """
