@@ -279,3 +279,26 @@ def test_resume_skips_committed_chunks(spark, tmp_path, corpus):
     wf3 = Workflow([stage], n_buckets=8, checkpoint=CheckpointManager(root, 4))
     res3 = wf3.run(spark, files)
     assert res3.reports["chk"].count() == 500
+
+
+def test_nested_workflow(spark):
+    # reference: nested ValidationWorkflow (tests/test_task.py:2137-2199)
+    from validation_engine.dag import SubWorkflowStage
+
+    df = _df(spark, [{"a": 1, "content": "x", "lang": "python"},
+                     {"a": 2, "content": "", "lang": "python"},
+                     {"a": 3, "content": "y", "lang": "rust"}])
+    inner = Workflow(
+        [ElementStage("i1", checks=[non_empty("content")]),
+         ElementStage("i2", checks=[Check("lang_py", F.col("lang") == "python", "not py")])],
+    )
+    outer = Workflow(
+        [ElementStage("pre", checks=[]),
+         SubWorkflowStage("nested", inner, inputs={"pre": {}})],
+    )
+    res = outer.run(spark, df)
+    rep = {r["path"]: r["is_valid"] for r in res.reports["nested"].collect()}
+    assert rep == {"p0": True, "p1": False, "p2": False}
+    v = res.violations["nested"]
+    by_check = {r["check_id"] for r in v.collect()}
+    assert by_check == {"non_empty_content", "lang_py"}

@@ -341,3 +341,46 @@ class Workflow:
 
 def _stage_name(s) -> str:
     return s.name if isinstance(s, Stage) else str(s)
+
+
+class SubWorkflowStage(Stage):
+    """A whole Workflow embedded as one stage of an outer workflow —
+    the reference's nested ``ValidationWorkflow`` composition
+    (`tests/test_task.py:2137-2199`).
+
+    The element is valid iff it is valid in EVERY stage of the nested
+    workflow (gathered AND), conjoined with the outer upstream gate.
+    Violations are the union of the nested stages' violation rows.
+    """
+
+    def __init__(self, name, workflow: "Workflow", **kw):
+        super().__init__(name, **kw)
+        self.workflow = workflow
+
+    def _process(self, frame, keys):
+        from .schema import REPORT_FIXED_COLS
+
+        spark = frame.sparkSession
+        dataset = frame.drop(*REPORT_FIXED_COLS, "_vpart", "_viol")
+        res = self.workflow.run(spark, dataset)
+        gathered = self.workflow.gathered_report(dataset, res)
+        sub_valid = gathered.select(
+            *self.workflow.keys, F.col("is_valid").alias("_sub_valid")
+        )
+        report = (
+            frame.join(sub_valid, on=list(keys), how="left")
+            .withColumn(
+                "is_valid",
+                F.col("is_valid") & F.coalesce(F.col("_sub_valid"), F.lit(False)),
+            )
+            .drop("_sub_valid")
+        )
+        sub_violations = self.workflow.all_violations(res)
+
+        def deriver(rep):
+            v = sub_violations
+            if "_vpart" in rep.columns and "_vpart" not in v.columns:
+                v = v.withColumn("_vpart", F.lit("all"))
+            return v
+
+        return report, deriver
