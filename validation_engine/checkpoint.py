@@ -88,6 +88,7 @@ class CheckpointManager:
         d = self._stage_dir(stage)
         m = self.manifest(stage)
         committed = set(m["committed_chunks"])
+        m.setdefault("chunk_metrics", {})
         chunk_expr = F.pmod(F.xxhash64(F.col("_vpart")), F.lit(self.n_chunks))
 
         for c in range(self.n_chunks):
@@ -100,25 +101,77 @@ class CheckpointManager:
             deriver(committed_rep).write.mode("overwrite").parquet(
                 os.path.join(d, "violations", f"chunk={c}")
             )
-            # 2. lineage rows for every partition in this chunk (metrics)
-            lineage = (
+            # 2. one fused aggregation over the committed chunk produces the
+            # lineage rows AND the summary/consistency metrics (the DAG never
+            # re-aggregates a checkpointed report)
+            agg_rows = (
                 committed_rep.groupBy("_vpart")
-                .agg(F.count(F.lit(1)).alias("n_rows"))
-                .select(
-                    F.lit(stage).alias("stage"),
-                    F.col("_vpart").alias("partition"),
-                    F.lit(run_id).alias("run_id"),
-                    F.lit(_now()).alias("committed_at"),
-                    F.col("n_rows"),
+                .agg(
+                    F.count(F.lit(1)).alias("n_total"),
+                    F.count(F.when(F.col("is_valid"), 1)).alias("n_valid"),
+                    F.count(F.when(F.col("ret_code") > 1, 1)).alias("n_warning"),
+                    F.count(F.when(F.col("is_valid").isNull(), 1)).alias("null_valid"),
+                    F.count(
+                        F.when(F.col("is_valid") & (F.col("ret_code") == 1), 1)
+                    ).alias("valid_but_1"),
+                    F.count(
+                        F.when(~F.col("is_valid") & (F.col("ret_code") == 0), 1)
+                    ).alias("invalid_but_0"),
+                    F.count(
+                        F.when(
+                            (F.col("ret_code") > 1)
+                            & (F.col("comment").isNull() | (F.col("comment") == "")),
+                            1,
+                        )
+                    ).alias("warning_no_comment"),
                 )
+                .collect()
             )
-            lineage.write.mode("append").parquet(os.path.join(d, "lineage"))
-            # 3. manifest LAST — the commit point
+            ts = _now()
+            from .schema import LINEAGE_SCHEMA
+
+            lineage_rows = [
+                {
+                    "stage": stage,
+                    "partition": r["_vpart"],
+                    "run_id": run_id,
+                    "committed_at": ts,
+                    "n_rows": r["n_total"],
+                }
+                for r in agg_rows
+            ]
+            spark.createDataFrame(lineage_rows or [], schema=LINEAGE_SCHEMA).write.mode(
+                "append"
+            ).parquet(os.path.join(d, "lineage"))
+            # 3. manifest LAST — the commit point (metrics ride along)
             committed.add(c)
             m["committed_chunks"] = sorted(committed)
+            m["chunk_metrics"][str(c)] = {
+                r["_vpart"]: {k: r[k] for k in (
+                    "n_total", "n_valid", "n_warning", "null_valid",
+                    "valid_but_1", "invalid_but_0", "warning_no_comment",
+                )}
+                for r in agg_rows
+            }
             self._write_manifest(stage, m)
 
         return self.read_report(spark, stage), self.read_violations(spark, stage)
+
+    def stage_metrics(self, stage: str) -> Optional[dict]:
+        """Per-partition metrics merged across committed chunks, or None if
+        the stage was committed by an engine version without manifest
+        metrics (caller falls back to aggregating the report)."""
+        m = self.manifest(stage)
+        cm = m.get("chunk_metrics")
+        if cm is None or set(map(int, cm)) != set(m["committed_chunks"]):
+            return None
+        merged: dict = {}
+        for chunk in cm.values():
+            for part, counts in chunk.items():
+                slot = merged.setdefault(part, {k: 0 for k in counts})
+                for k, v in counts.items():
+                    slot[k] += v
+        return merged
 
     def commit_summary(
         self, spark: SparkSession, stage: str, summaries: list, run_id: str

@@ -243,48 +243,59 @@ class Workflow:
             if "_vpart" not in viols.columns:
                 viols = viols.withColumn("_vpart", F.lit("all"))
 
-            # fused consistency + per-partition summary: ONE aggregation job
-            per_part = (
-                report.groupBy("_vpart")
-                .agg(
-                    F.count(F.lit(1)).alias("n_total"),
-                    F.count(F.when(F.col("is_valid"), 1)).alias("n_valid"),
-                    F.count(F.when(F.col("ret_code") > 1, 1)).alias("n_warning"),
-                    F.count(F.when(F.col("is_valid").isNull(), 1)).alias("null_valid"),
-                    F.count(
-                        F.when(F.col("is_valid") & (F.col("ret_code") == 1), 1)
-                    ).alias("valid_but_1"),
-                    F.count(
-                        F.when(~F.col("is_valid") & (F.col("ret_code") == 0), 1)
-                    ).alias("invalid_but_0"),
-                    F.count(
-                        F.when(
-                            (F.col("ret_code") > 1)
-                            & (F.col("comment").isNull() | (F.col("comment") == "")),
-                            1,
-                        )
-                    ).alias("warning_no_comment"),
-                )
-                .collect()
+            # fused consistency + per-partition summary.  Checkpointed runs
+            # get the metrics for free from the commit-time aggregation
+            # (manifest); otherwise ONE aggregation job over the persisted
+            # report.
+            metric_keys = (
+                "n_total", "n_valid", "n_warning", "null_valid",
+                "valid_but_1", "invalid_but_0", "warning_no_comment",
             )
-            totals = {
-                k: sum(r[k] for r in per_part)
-                for k in (
-                    "n_total", "n_valid", "n_warning", "null_valid",
-                    "valid_but_1", "invalid_but_0", "warning_no_comment",
+            per_part_metrics = (
+                self.checkpoint.stage_metrics(name) if self.checkpoint else None
+            )
+            if per_part_metrics is None:
+                per_part = (
+                    report.groupBy("_vpart")
+                    .agg(
+                        F.count(F.lit(1)).alias("n_total"),
+                        F.count(F.when(F.col("is_valid"), 1)).alias("n_valid"),
+                        F.count(F.when(F.col("ret_code") > 1, 1)).alias("n_warning"),
+                        F.count(F.when(F.col("is_valid").isNull(), 1)).alias("null_valid"),
+                        F.count(
+                            F.when(F.col("is_valid") & (F.col("ret_code") == 1), 1)
+                        ).alias("valid_but_1"),
+                        F.count(
+                            F.when(~F.col("is_valid") & (F.col("ret_code") == 0), 1)
+                        ).alias("invalid_but_0"),
+                        F.count(
+                            F.when(
+                                (F.col("ret_code") > 1)
+                                & (F.col("comment").isNull() | (F.col("comment") == "")),
+                                1,
+                            )
+                        ).alias("warning_no_comment"),
+                    )
+                    .collect()
                 )
+                per_part_metrics = {
+                    r["_vpart"]: {k: r[k] for k in metric_keys} for r in per_part
+                }
+            totals = {
+                k: sum(p[k] for p in per_part_metrics.values())
+                for k in metric_keys
             }
             R.enforce_consistency(totals, stage=name)
             stage_summaries = [
                 {
                     "stage": name,
-                    "partition": r["_vpart"],
-                    "n_total": r["n_total"],
-                    "n_valid": r["n_valid"],
-                    "n_warning": r["n_warning"],
+                    "partition": part,
+                    "n_total": p["n_total"],
+                    "n_valid": p["n_valid"],
+                    "n_warning": p["n_warning"],
                     "stats": None,
                 }
-                for r in per_part
+                for part, p in sorted(per_part_metrics.items())
             ]
             summaries.extend(stage_summaries)
             logger.info(
