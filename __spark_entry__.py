@@ -129,6 +129,19 @@ def q_element_report_documents(spark, sf):
     return rep.select("doc_id", "is_valid", "ret_code", "comment")
 
 
+def q_workflow_chain_report(spark, sf):
+    """Two chained stages (O6/O7/O17): downstream validity is the AND of the
+    upstream report and its own check — failed-dependency propagation."""
+    from validation_engine import ElementStage, Workflow, in_set, non_empty
+
+    docs = _t(spark, sf, "documents")
+    s1 = ElementStage("s1", checks=[non_empty("text")])
+    s2 = ElementStage("s2", checks=[in_set("lang", DOC_LANGS)], inputs={"s1": {}})
+    # doc_id uniqueness is its own oracle query; skip the per-stage dup scan
+    res = Workflow([s1, s2], keys=["doc_id"], strict_duplicates=False).run(spark, docs)
+    return res.reports["s2"].select("doc_id", "is_valid", "ret_code")
+
+
 def q_summary_by_lang(spark, sf):
     """Set-level pass/fail summary grouped by a partition column (O15)."""
     docs = _t(spark, sf, "documents")
@@ -683,6 +696,7 @@ def q_ivf_topk(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "element_report_documents": q_element_report_documents,
+        "workflow_chain_report": q_workflow_chain_report,
         "summary_by_lang": q_summary_by_lang,
         "uniqueness_lineitem": q_uniqueness_lineitem,
         "referential_orders_customer": q_referential_orders_customer,
@@ -779,6 +793,16 @@ def oracle_sql() -> dict[str, str]:
                   THEN 'column ''lang'' value ''' || CAST(lang AS VARCHAR) || ''' not in allowed set' END,
              CASE WHEN NOT coalesce(n_chars = length(text), false)
                   THEN 'n_chars does not equal length(text)' END) END AS comment
+    FROM documents
+    """
+
+    sql["workflow_chain_report"] = """
+    SELECT doc_id,
+           ((text IS NOT NULL AND length(text) > 0)
+            AND lang IN ('en','es','fr','de','zh')) AS is_valid,
+           CAST(CASE WHEN (text IS NOT NULL AND length(text) > 0)
+                          AND lang IN ('en','es','fr','de','zh')
+                     THEN 0 ELSE 1 END AS INTEGER) AS ret_code
     FROM documents
     """
 

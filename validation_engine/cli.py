@@ -111,6 +111,25 @@ def main(argv=None) -> int:
     wf = build_workflow(config, args.checkpoint)
     res = wf.run(spark, df)
 
+    # dataset-level constraints (uniqueness / referential integrity)
+    set_cfg = config.get("set_checks", {})
+    n_set_violations = 0
+    if set_cfg.get("uniqueness"):
+        from pyspark.sql import functions as FF
+
+        n = C.uniqueness_violations(df, keys=wf.keys).count()
+        n_set_violations += n
+        print(f"uniqueness violations on {wf.keys}: {n}")
+    for ref in set_cfg.get("referential", []):
+        from .io import read_dataset
+
+        dim = read_dataset(spark, ref["dim"])
+        n = C.referential_violations(
+            df, dim, fk=ref["fk"], pk=ref.get("pk"), keys=wf.keys
+        ).count()
+        n_set_violations += n
+        print(f"referential violations on {ref['fk']}: {n}")
+
     if args.report:
         write_run_report(wf, res, args.report)
         print(f"report written to {args.report}")
@@ -118,7 +137,7 @@ def main(argv=None) -> int:
         print(run_report_markdown(wf, res))
     n_invalid = sum(s["n_total"] - s["n_valid"] for s in res.summaries)
     spark.stop()
-    return 1 if n_invalid else 0
+    return 1 if (n_invalid or n_set_violations) else 0
 
 
 if __name__ == "__main__":
