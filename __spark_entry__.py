@@ -625,6 +625,21 @@ def q_embedding_norms(spark, sf):
     )
 
 
+def q_pack_sequences(spark, sf):
+    """Sequence packing for training batches: docs → ≤4096-token bins,
+    packed within each source shard (ordered window cumsum)."""
+    from validation_engine.text import pack_greedy
+
+    docs = _t(spark, sf, "documents")
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    with_tok = docs.select("doc_id", "source", ntok.alias("n_tok"))
+    packed = pack_greedy(with_tok, "doc_id", "n_tok", 4096, partition_by=["source"])
+    return packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+
+
 def q_quantity_percentiles(spark, sf):
     """Exact percentiles (interpolated) per group — distribution stats."""
     li = _t(spark, sf, "lineitem")
@@ -723,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_agg_lineitem": q_stats_agg_lineitem,
         "top2_parts_per_brand": q_top2_parts_per_brand,
         "embedding_norms": q_embedding_norms,
+        "pack_sequences": q_pack_sequences,
         "quantity_percentiles": q_quantity_percentiles,
         "salted_token_stats": q_salted_token_stats,
         "profile_documents": q_profile_documents,
@@ -1011,6 +1027,21 @@ def oracle_sql() -> dict[str, str]:
     SELECT vec_id,
            round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS norm
     FROM embeddings WHERE vec_id < 100
+    """
+
+    sql["pack_sequences"] = r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+      FROM documents
+    ), packed AS (
+      SELECT source, n_tok,
+             CAST(floor((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tok) / 4096.0) AS BIGINT) AS bin
+      FROM tok
+    )
+    SELECT source, bin, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM packed GROUP BY source, bin
     """
 
     sql["quantity_percentiles"] = """

@@ -236,3 +236,33 @@ def test_ivf_topk(spark, emb):
     got = [r["vec_id"] for r in ivf_topk(emb, cents, q, k=5, n_probe=4).collect()]
     assert exact[0] == got[0]  # self-match always found with enough probes
     assert len(set(exact) & set(got)) >= 3
+
+
+def test_pack_greedy_budget(spark, docs):
+    from validation_engine.text import pack_greedy
+
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    with_tok = docs.select("doc_id", "source", ntok.alias("n_tok"))
+    packed = pack_greedy(with_tok, "doc_id", "n_tok", 500, partition_by=["source"])
+    # every bin holds <= 500 tokens + at most one overflowing doc boundary:
+    # by construction a bin's START is under the budget, so total < 500 + max_doc
+    stats = packed.groupBy("source", "bin").agg(
+        F.sum("n_tok").alias("tot"), F.max("n_tok").alias("mx")
+    )
+    bad = stats.filter(F.col("tot") >= 500 + F.col("mx")).count()
+    assert bad == 0
+    # bins are dense consecutive integers per source
+    from pyspark.sql import Window
+    mx = packed.groupBy("source").agg(F.max("bin").alias("mb"), F.count_distinct("bin").alias("nb"))
+    assert mx.filter(F.col("nb") != F.col("mb") + 1).count() == 0
+
+
+def test_stratified_sample(spark, docs):
+    from validation_engine.text import stratified_sample
+
+    out = stratified_sample(docs, "lang", {"en": 0.5, "zh": 1.0}, seed=1)
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert langs <= {"en", "zh"}
+    n_zh_in = docs.filter(F.col("lang") == "zh").count()
+    n_zh_out = out.filter(F.col("lang") == "zh").count()
+    assert n_zh_out == n_zh_in  # fraction 1.0 keeps every row

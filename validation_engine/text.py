@@ -119,6 +119,44 @@ def fingerprint(col, normalize: bool = True) -> Column:
     return F.xxhash64(base)
 
 
+def pack_greedy(
+    df: DataFrame,
+    id_col: str,
+    tokens_col,
+    max_tokens: int,
+    partition_by=None,
+) -> DataFrame:
+    """Sequential-fill sequence packing: assign documents (ordered by id) to
+    consecutive bins of ≤ ``max_tokens`` total tokens — the deterministic
+    packing used to build fixed-budget training batches.
+
+    ``bin = floor((cumsum(tokens) - tokens) / max_tokens)`` over an ordered
+    window; with ``partition_by`` the cumsum (and the shuffle) is per
+    partition — at corpus scale pack within shards, never globally (a global
+    ordered window is a single-reducer bottleneck).
+    """
+    from pyspark.sql import Window
+
+    tokens = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    w = Window.orderBy(id_col)
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(id_col)
+    cum = F.sum(tokens).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return df.withColumn(
+        "bin", F.floor((cum - tokens) / F.lit(max_tokens)).cast("bigint")
+    )
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Per-stratum sampling (``sampleBy``) — corpus rebalancing by language /
+    source / quality band.  Seeded and executor-deterministic, but the RNG is
+    engine-specific, so correctness is asserted statistically in tests rather
+    than against a SQL oracle."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
 def text_profile(df: DataFrame, col: str) -> DataFrame:
     """One-pass per-document profile: adds lang_id/quality/token counts/fp."""
     return df.withColumns(
