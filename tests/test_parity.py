@@ -302,3 +302,28 @@ def test_nested_workflow(spark):
     v = res.violations["nested"]
     by_check = {r["check_id"] for r in v.collect()}
     assert by_check == {"non_empty_content", "lang_py"}
+
+
+def test_resume_restores_summaries(spark, tmp_path, corpus):
+    files = corpus["files"].dropDuplicates(KEYS).limit(200)
+    stage = ElementStage("chk2", checks=[non_empty("content")])
+    root = str(tmp_path / "ckpt2")
+    wf1 = Workflow([stage], n_buckets=4, checkpoint=CheckpointManager(root))
+    res1 = wf1.run(spark, files)
+    wf2 = Workflow([stage], n_buckets=4, checkpoint=CheckpointManager(root))
+    res2 = wf2.run(spark, files)  # fully resumed — zero recompute
+    tot1 = sum(s["n_total"] for s in res1.summaries)
+    tot2 = sum(s["n_total"] for s in res2.summaries)
+    assert tot1 == tot2 == 200
+
+
+def test_flat_gathered_report_column_names(spark):
+    df = _df(spark, [{"a": 1, "content": "x"}])
+    s1 = ElementStage("s1", checks=[non_empty("content")])
+    wf = Workflow([s1])
+    res = wf.run(spark, df)
+    flat = wf.flat_gathered_report(df, res)
+    # reference exports two-level columns as "('Task', 'col')" strings
+    assert "('s1', 'is_valid')" in flat.columns
+    assert "('s1', 'ret_code')" in flat.columns
+    assert flat.collect()[0]["('s1', 'is_valid')"] is True

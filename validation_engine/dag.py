@@ -201,6 +201,10 @@ class Workflow:
                 logger.info("[%s] already committed — resuming past it", name)
                 reports[name] = self.checkpoint.read_report(spark, name)
                 violations[name] = self.checkpoint.read_violations(spark, name)
+                summaries.extend(
+                    r.asDict()
+                    for r in self.checkpoint.read_summary(spark, name).collect()
+                )
                 continue
 
             if self.checkpoint:
@@ -340,6 +344,25 @@ class Workflow:
             F.coalesce(R.and_validity(validity), F.lit(False)),
         ).drop(*validity)
         return out
+
+    def flat_gathered_report(self, dataset: DataFrame, result: RunResult) -> DataFrame:
+        """Gathered report with the per-stage structs flattened to the
+        reference's CSV-compatible two-level names — ``('Stage', 'col')``
+        strings, exactly like pandas ``MultiIndex.to_flat_index`` on export
+        (`task.py:519`, spec `tests/test_task.py:1928-1958`)."""
+        g = self.gathered_report(dataset, result)
+        cols = []
+        for f in g.schema.fields:
+            if f.name in result.reports:
+                for sub in f.dataType.fields:
+                    cols.append(
+                        F.col(f"{f.name}.{sub.name}").alias(
+                            f"('{f.name}', '{sub.name}')"
+                        )
+                    )
+            else:
+                cols.append(F.col(f.name))
+        return g.select(*cols)
 
     def all_violations(self, result: RunResult) -> DataFrame:
         """Union of every stage's violation rows (`unionByName`)."""
