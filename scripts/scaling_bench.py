@@ -78,21 +78,26 @@ def probe(cpus: int, n: int) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     # warm codegen with the same plan shape on a small input
     suite_plan(spark, max(n // 40, 10_000), cpus).collect()
-    t0 = time.time()
-    c0, i0 = cpu_total()
-    rows = suite_plan(spark, n, cpus).collect()
-    dt = time.time() - t0
-    c1, i1 = cpu_total()
-    busy = ((c1 - c0) - (i1 - i0)) / 100 / dt
-    n_total = sum(r["n_total"] for r in rows)
+    best = None
+    for _attempt in range(2):  # best-of-2: absorb scheduler/GC noise
+        t0 = time.time()
+        c0, i0 = cpu_total()
+        rows = suite_plan(spark, n, cpus).collect()
+        dt = time.time() - t0
+        c1, i1 = cpu_total()
+        busy = ((c1 - c0) - (i1 - i0)) / 100 / dt
+        n_total = sum(r["n_total"] for r in rows)
+        cur = {
+            "cpus": cpus,
+            "rows": n_total,
+            "sec": round(dt, 2),
+            "rows_per_sec": round(n_total / dt, 1),
+            "busy_cores": round(busy, 1),
+        }
+        if best is None or cur["rows_per_sec"] > best["rows_per_sec"]:
+            best = cur
     spark.stop()
-    return {
-        "cpus": cpus,
-        "rows": n_total,
-        "sec": round(dt, 2),
-        "rows_per_sec": round(n_total / dt, 1),
-        "busy_cores": round(busy, 1),
-    }
+    return best
 
 
 def main():

@@ -327,3 +327,15 @@ def test_flat_gathered_report_column_names(spark):
     assert "('s1', 'is_valid')" in flat.columns
     assert "('s1', 'ret_code')" in flat.columns
     assert flat.collect()[0]["('s1', 'is_valid')"] is True
+
+
+def test_describe_specifications_only(spark):
+    # reference --specifications-only (task.py:742-747): metadata, no jobs
+    s1 = ElementStage("s1", checks=[non_empty("content")])
+    s2 = ElementStage("s2", checks=[], inputs={"s1": {"comment": "c1"}},
+                      output_columns={"x": 0})
+    d = Workflow([s1, s2]).describe()
+    assert list(d["stages"]) == ["s1", "s2"]
+    assert d["stages"]["s1"]["checks"] == ["non_empty_content"]
+    assert d["stages"]["s2"]["inputs"] == {"s1": {"comment": "c1"}}
+    assert d["stages"]["s2"]["output_columns"] == {"x": 0}

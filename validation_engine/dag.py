@@ -190,6 +190,34 @@ class Workflow:
         return frame, dropped
 
     # ------------------------------------------------------------------
+    def describe(self) -> dict:
+        """Metadata-only DAG description — zero Spark jobs.
+
+        The reference's ``--specifications-only`` entry point
+        (`task.py:742-747`) builds its report from task docstrings without
+        running validation; this is the engine equivalent: stage names in
+        topological order, their check ids, input wiring and declared output
+        columns.
+        """
+        stages = {}
+        for name in self._topo_order():
+            s = self.stages[name]
+            spec = {
+                "inputs": {
+                    _stage_name(u): dict(m or {}) for u, m in s.inputs.items()
+                },
+                "output_columns": dict(s.output_columns),
+                "skip": s.skip,
+                "type": type(s).__name__,
+                "doc": (type(s).__doc__ or "").strip().splitlines()[0]
+                if type(s).__doc__ else "",
+            }
+            checks = getattr(s, "checks", None)
+            if checks is not None:
+                spec["checks"] = [c.check_id for c in checks]
+            stages[name] = spec
+        return {"keys": self.keys, "n_buckets": self.n_buckets, "stages": stages}
+
     def run(self, spark: SparkSession, dataset: DataFrame) -> RunResult:
         order = self._topo_order()
         part = self._partition_expr()
