@@ -195,3 +195,19 @@ def test_io_read_write_roundtrip(spark, tmp_path):
     assert sniff_format("/x/y.jsonl") == "json"
     with pytest.raises(KeyError, match="index column"):
         read_dataset(spark, p, index_col="nope")
+
+
+def test_audio_and_video_features(spark, media):
+    from validation_engine.multimodal import audio_features, video_frame_sample
+
+    au = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert set(au) == {1, 2, 3, 4, 5}
+    assert au[1]["rms"] is not None and au[1]["duration_ms"] > 0
+    # deterministic across invocations
+    au2 = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert au[1]["rms"] == au2[1]["rms"]
+
+    fr = video_frame_sample(media.filter(F.col("media_id") == 3)).collect()
+    assert len(fr) >= 1
+    assert all(r["media_id"] == 3 for r in fr)
+    assert [r["frame_idx"] for r in fr] == list(range(len(fr)))

@@ -28,7 +28,7 @@ from .checks import (
     uniqueness_violations,
     violations_to_verdicts,
 )
-from .dag import RunResult, Workflow
+from .dag import RunResult, SubWorkflowStage, Workflow
 from .schema import DEFAULT_KEYS, SKIP_COMMENT
 from .session import get_spark
 from .stage import ElementStage, PandasElementStage, SetStage, Stage, StageOutput
@@ -36,7 +36,8 @@ from .stage import ElementStage, PandasElementStage, SetStage, Stage, StageOutpu
 __all__ = [
     "Check", "CheckpointManager", "DEFAULT_KEYS", "ElementStage",
     "PandasElementStage", "RunResult", "SKIP_COMMENT", "SetStage", "Stage",
-    "StageOutput", "Workflow", "compile_checks", "get_spark", "in_set",
+    "StageOutput", "SubWorkflowStage", "Workflow", "compile_checks",
+    "get_spark", "in_set",
     "lang_matches_extension", "matches", "non_empty", "not_null",
     "referential_violations", "sha256_equals", "uniqueness_violations",
     "violations_to_verdicts",

@@ -148,6 +148,94 @@ def image_features(
     ).mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sha256", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("mean_luma", T.DoubleType(), True),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    bytes_col: str = "data",
+    backend: Optional[DecodeBackend] = None,
+) -> DataFrame:
+    """Audio decode → (duration, RMS) features; codec stubbed like images.
+
+    The fake backend derives a deterministic PCM-like buffer from the
+    payload hash so the Arrow plumbing and schema are fully tested."""
+    backend = backend or FakeDecodeBackend()
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                data = bytes(data or b"")
+                sha = hashlib.sha256(data).hexdigest()
+                try:
+                    h = hashlib.sha256(b"pcm" + data).digest()
+                    rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
+                    n = 1000 + h[8] * 100
+                    pcm = rng.standard_normal(n)
+                    rows.append(
+                        (mid, sha, len(data), int(n / 16), float(np.sqrt((pcm**2).mean())))
+                    )
+                except NotImplementedError:
+                    rows.append((mid, sha, len(data), None, None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "sha256", "n_bytes", "duration_ms", "rms"]
+            )
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
+        run, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+def video_frame_sample(
+    df: DataFrame,
+    id_col: str = "media_id",
+    bytes_col: str = "data",
+    every_ms: int = 1000,
+    backend: Optional[DecodeBackend] = None,
+) -> DataFrame:
+    """Frame sampling: one output row per sampled frame (1:N mapInPandas) —
+    the fan-out shape video pipelines need; decode stubbed."""
+    backend = backend or FakeDecodeBackend()
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                data = bytes(data or b"")
+                try:
+                    for i, frame in enumerate(backend.sample_frames(data, every_ms)):
+                        luma = float(
+                            (0.299 * frame[..., 0] + 0.587 * frame[..., 1]
+                             + 0.114 * frame[..., 2]).mean()
+                        )
+                        rows.append((mid, i, luma))
+                except NotImplementedError:
+                    rows.append((mid, -1, None))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "mean_luma"])
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
+        run, schema=VIDEO_FRAMES_SCHEMA
+    )
+
+
 def media_integrity_checks(
     bytes_col: str = "data",
     meta_col: str = "meta",
