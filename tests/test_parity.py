@@ -339,3 +339,43 @@ def test_describe_specifications_only(spark):
     assert d["stages"]["s1"]["checks"] == ["non_empty_content"]
     assert d["stages"]["s2"]["inputs"] == {"s1": {"comment": "c1"}}
     assert d["stages"]["s2"]["output_columns"] == {"x": 0}
+
+
+# reference README.md:42-52 example, ported 1:1 via RowFunctionStage
+def readme_validation_function(row, output_path=None):
+    from validation_engine import ValidationResult
+
+    if row["a"] <= 1:
+        return ValidationResult(is_valid=True, new_col=row["a"] * 10)
+    if row["a"] <= 2:
+        return ValidationResult(is_valid=False, comment="The value should be <= 1")
+    raise ValueError(f"Incorrect value {row['a']}")
+
+
+def test_row_function_stage_reference_example(spark):
+    from validation_engine import RowFunctionStage
+
+    df = _df(spark, [{"a": 1}, {"a": 2}, {"a": 3}])
+    stage = RowFunctionStage(
+        "readme", readme_validation_function,
+        output_columns={"new_col": None}, output_types={"new_col": "bigint"},
+    )
+    res = Workflow([stage]).run(spark, df)
+    rep = {r["path"]: r for r in res.reports["readme"].collect()}
+    assert rep["p0"]["is_valid"] and rep["p0"]["new_col"] == 10
+    assert not rep["p1"]["is_valid"]
+    assert rep["p1"]["comment"] == "The value should be <= 1"
+    assert not rep["p2"]["is_valid"] and "Incorrect value 3" in rep["p2"]["exception"]
+
+
+def test_validation_result_consistency_errors():
+    from validation_engine import ValidationResult
+
+    assert ValidationResult(True).ret_code == 0
+    assert ValidationResult(False).ret_code == 1
+    with pytest.raises(ValueError):
+        ValidationResult(True, ret_code=1)
+    with pytest.raises(ValueError):
+        ValidationResult(False, ret_code=0)
+    r = ValidationResult(True, ret_code=2, comment="warn", data_path="/x")
+    assert r.extra == {"data_path": "/x"}

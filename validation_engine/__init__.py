@@ -31,13 +31,23 @@ from .checks import (
 from .dag import RunResult, SubWorkflowStage, Workflow
 from .schema import DEFAULT_KEYS, SKIP_COMMENT
 from .session import get_spark
-from .stage import ElementStage, PandasElementStage, SetStage, Stage, StageOutput
+from .stage import (
+    ElementStage,
+    PandasElementStage,
+    RowFunctionStage,
+    SetStage,
+    Stage,
+    StageOutput,
+    ValidationResult,
+    row_function,
+)
 
 __all__ = [
     "Check", "CheckpointManager", "DEFAULT_KEYS", "ElementStage",
-    "PandasElementStage", "RunResult", "SKIP_COMMENT", "SetStage", "Stage",
-    "StageOutput", "SubWorkflowStage", "Workflow", "compile_checks",
-    "get_spark", "in_set",
+    "PandasElementStage", "RowFunctionStage", "RunResult", "SKIP_COMMENT",
+    "SetStage", "Stage", "StageOutput", "SubWorkflowStage",
+    "ValidationResult", "Workflow", "compile_checks", "get_spark", "in_set",
+    "row_function",
     "lang_matches_extension", "matches", "non_empty", "not_null",
     "referential_violations", "sha256_equals", "uniqueness_violations",
     "violations_to_verdicts",

@@ -266,6 +266,74 @@ class PandasElementStage(Stage):
         return report, deriver
 
 
+class ValidationResult:
+    """Per-element outcome object, API-compatible with the reference's
+    ``ValidationResult`` (`result.py:31-47`): ``is_valid`` required,
+    ``ret_code`` derived (0 valid / 1 invalid) when omitted, values > 1 are
+    warnings and should carry a comment, arbitrary extra kwargs land in
+    output columns (`util.py:176-177`)."""
+
+    def __init__(self, is_valid, ret_code=None, comment=None, exception=None, **extra):
+        if ret_code is None:
+            ret_code = 0 if is_valid else 1
+        if is_valid and ret_code == 1:
+            raise ValueError("a valid result can not have ret_code == 1")
+        if not is_valid and ret_code == 0:
+            raise ValueError("an invalid result can not have ret_code == 0")
+        self.is_valid = bool(is_valid)
+        self.ret_code = int(ret_code)
+        self.comment = comment
+        self.exception = exception
+        self.extra = extra
+
+    def to_dict(self):
+        return {
+            "is_valid": self.is_valid,
+            "ret_code": self.ret_code,
+            "comment": self.comment,
+            **self.extra,
+        }
+
+
+def row_function(fn, *args, **kwargs):
+    """Adapt a reference-style per-row validation function
+    ``fn(row, *args, **kwargs) -> ValidationResult`` (README.md:42-52) into
+    a batch function for :class:`PandasElementStage`.
+
+    THE SLOW PATH — a Python call per row, inside Arrow batches.  It exists
+    so reference users can port 1:1 and then migrate hot checks to Column
+    expressions; new code should use :class:`ElementStage` checks.
+    A row that raises poisons its batch; the stage's per-row retry isolates
+    it and captures the traceback (`util.py:178-183` semantics).
+    """
+    import inspect
+
+    import pandas as pd
+
+    wants_output_path = "output_path" in inspect.signature(fn).parameters
+
+    def batch(pdf: "pd.DataFrame", output_path=None) -> "pd.DataFrame":
+        kw = dict(kwargs)
+        if wants_output_path:
+            kw["output_path"] = output_path
+        out = []
+        for _, row in pdf.iterrows():
+            res = fn(row, *args, **kw)
+            out.append(res.to_dict() if isinstance(res, ValidationResult) else dict(res))
+        return pd.DataFrame(out, index=pdf.index)
+
+    return batch
+
+
+class RowFunctionStage(PandasElementStage):
+    """Element stage wrapping a reference-style per-row validation function —
+    the drop-in migration target for ``ElementValidationTask`` subclasses
+    (`task.py:653-668`)."""
+
+    def __init__(self, name, fn, args=(), fn_kwargs=None, **kw):
+        super().__init__(name, row_function(fn, *args, **(fn_kwargs or {})), **kw)
+
+
 class SetStage(Stage):
     """Whole-table validation (≈ ``SetValidationTask``, `task.py:671-711`).
 
