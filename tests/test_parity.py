@@ -379,3 +379,18 @@ def test_validation_result_consistency_errors():
         ValidationResult(False, ret_code=0)
     r = ValidationResult(True, ret_code=2, comment="warn", data_path="/x")
     assert r.extra == {"data_path": "/x"}
+
+
+def test_workflow_input_schema_contract(spark):
+    df = _df(spark, [{"a": 1, "content": "x"}])
+    wf = Workflow(
+        [ElementStage("s", checks=[non_empty("content")])],
+        input_schema="repo string, path string, commit string, content string",
+    )
+    assert wf.run(spark, df).reports["s"].count() == 1
+    wf_bad = Workflow(
+        [ElementStage("s", checks=[non_empty("content")])],
+        input_schema="repo string, path string, commit string, body string",
+    )
+    with pytest.raises(ValueError, match="missing column 'body'"):
+        wf_bad.run(spark, df)

@@ -123,3 +123,24 @@ def test_embedding_multiprobe_improves_recall(spark):
         df, "id", "vec", threshold=0.99, n_planes=12, seed=3, probe_hamming=1
     )
     assert {(r["id_a"], r["id_b"]) for r in multi.collect()} == {(1, 2)}
+
+
+def test_schema_issues_and_enforce(spark):
+    from validation_engine.checks import enforce_schema, schema_issues
+
+    df = spark.createDataFrame([(1, "x", 2.0)], "a int, b string, c double")
+    assert schema_issues(df, "a int, b string") == []
+    assert schema_issues(df, "a int, b string, c double", allow_extra=False) == []
+    issues = schema_issues(df, "a bigint, d string")
+    assert any("type" in i for i in issues) and any("missing" in i for i in issues)
+    issues2 = schema_issues(df, "a int", allow_extra=False)
+    assert {"unexpected extra column 'b'", "unexpected extra column 'c'"} <= set(issues2)
+    with pytest.raises(ValueError, match="schema validation failed"):
+        enforce_schema(df, "a string")
+    # the canonical input contract from schema.py
+    from validation_engine.schema import INPUT_SCHEMA
+
+    files = spark.createDataFrame(
+        [("r", "p", "c", "py", "x")], "repo string, path string, commit string, lang string, content string"
+    )
+    assert schema_issues(files, INPUT_SCHEMA) == []

@@ -269,6 +269,60 @@ def violations_from_report(report: DataFrame, stage: str, keys=DEFAULT_KEYS) -> 
 
 
 # ---------------------------------------------------------------------------
+# Schema validation (driver-side, zero jobs)
+# ---------------------------------------------------------------------------
+
+
+def schema_issues(
+    df: DataFrame,
+    expected,
+    allow_extra: bool = True,
+    check_nullability: bool = False,
+) -> list:
+    """Compare a DataFrame's schema against an expected StructType.
+
+    Returns a list of issue strings (empty = conforming).  Driver-side only —
+    no jobs — so it runs before any data is scanned (north_rule: "schema +
+    constraint validation"; the reference has no schema layer at all, its
+    CSV types are whatever pandas infers, `task.py:293`).
+
+    Checks: missing columns, type mismatches, unexpected extras
+    (``allow_extra=False``), nullability regressions (opt-in: a nullable
+    actual column where the contract requires NOT NULL).
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(expected, str):
+        expected = T.StructType.fromDDL(expected)
+    actual = {f.name: f for f in df.schema.fields}
+    issues = []
+    for f in expected.fields:
+        a = actual.get(f.name)
+        if a is None:
+            issues.append(f"missing column '{f.name}' ({f.dataType.simpleString()})")
+            continue
+        if a.dataType != f.dataType:
+            issues.append(
+                f"column '{f.name}' has type {a.dataType.simpleString()}, "
+                f"expected {f.dataType.simpleString()}"
+            )
+        if check_nullability and a.nullable and not f.nullable:
+            issues.append(f"column '{f.name}' is nullable, contract requires NOT NULL")
+    if not allow_extra:
+        for name in actual:
+            if name not in {f.name for f in expected.fields}:
+                issues.append(f"unexpected extra column '{name}'")
+    return issues
+
+
+def enforce_schema(df: DataFrame, expected, **kw) -> None:
+    """Raise ValueError listing every schema issue (fail fast, before jobs)."""
+    issues = schema_issues(df, expected, **kw)
+    if issues:
+        raise ValueError("schema validation failed: " + "; ".join(issues))
+
+
+# ---------------------------------------------------------------------------
 # Set-level constraints (aggregation / join plans)
 # ---------------------------------------------------------------------------
 

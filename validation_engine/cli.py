@@ -87,6 +87,7 @@ def build_workflow(config: dict, checkpoint_dir: str | None) -> Workflow:
         n_buckets=config.get("n_buckets", 8),
         checkpoint=ckpt,
         strict_duplicates=config.get("strict_duplicates", True),
+        input_schema=config.get("input_schema"),  # DDL string contract
     )
 
 

@@ -74,6 +74,7 @@ class Workflow:
         checkpoint: Optional[CheckpointManager] = None,
         run_id: Optional[str] = None,
         strict_duplicates: bool = True,
+        input_schema=None,
     ):
         self.stages = {s.name: s for s in stages}
         if len(self.stages) != len(stages):
@@ -84,6 +85,8 @@ class Workflow:
         self.checkpoint = checkpoint
         self.run_id = run_id or uuid.uuid4().hex[:12]
         self.strict_duplicates = strict_duplicates
+        #: optional StructType/DDL contract enforced before any job runs
+        self.input_schema = input_schema
         self._check_input_mappings()
 
     # ------------------------------------------------------------------
@@ -219,6 +222,11 @@ class Workflow:
         return {"keys": self.keys, "n_buckets": self.n_buckets, "stages": stages}
 
     def run(self, spark: SparkSession, dataset: DataFrame) -> RunResult:
+        if self.input_schema is not None:
+            # fail fast, driver-side, zero jobs (schema half of the engine)
+            from .checks import enforce_schema
+
+            enforce_schema(dataset, self.input_schema)
         order = self._topo_order()
         part = self._partition_expr()
         reports, violations, summaries, dropped_all = {}, {}, [], {}
