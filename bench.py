@@ -115,6 +115,28 @@ def main() -> None:
     suite = bench_validate_suite(spark, n_files)
     queries["validate_suite"] = suite["sec"]
 
+    # dedup pipeline at corpus scale: exact + MinHash-LSH over the same
+    # synthesized files (capped buckets, affine hash family)
+    from validation_engine.dedup import exact_dedup, minhash_lsh_candidates
+    from validation_engine.datagen import spark_codefiles
+
+    docs = (
+        spark_codefiles(spark, max(n_files // 3, 10_000), n_dup=1000)
+        .select(F.xxhash64("repo", "path", "commit").alias("id"),
+                F.col("content").alias("text"))
+        .persist()
+    )
+    n_docs = docs.count()
+    t0 = time.time()
+    exact_dedup(docs, "id", "text").count()
+    queries["dedup_exact_corpus"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    minhash_lsh_candidates(
+        docs, "id", "text", k=3, n_hashes=16, bands=4, max_band_freq=50
+    ).count()
+    queries["dedup_minhash_lsh_corpus"] = round(time.time() - t0, 3)
+    docs.unpersist()
+
     # representative engine queries on the driver testdata
     qs = entrymod.queries()
     for name in (

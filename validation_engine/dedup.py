@@ -78,24 +78,46 @@ def token_shingles(col, k: int = 3) -> Column:
 
 
 def minhash_signature(shingles: Column, n_hashes: int = 16, use_md5: bool = False) -> Column:
-    """MinHash signature as array<string|bigint>, one min per hash function.
+    """MinHash signature as array<bigint|string>, one min per hash function.
 
-    Hash family: ``xxhash64(i || shingle)`` (fast path) or
-    ``substr(md5(i || '|' || shingle), 1, 16)`` — the md5 variant exists so a
+    Fast path (default): ONE ``xxhash64`` per shingle, then the hash family
+    is derived with seeded affine maps ``a_i·h + b_i`` (odd multipliers,
+    wrapping 64-bit arithmetic) — the standard trick that makes the cost one
+    string hash + n_hashes integer ops per shingle instead of n_hashes
+    string hashes (string hashing dominated the profile ~6× at n_hashes=16).
+
+    md5 variant: ``substr(md5(i || '|' || shingle), 1, 16)`` — exists so a
     DuckDB oracle can reproduce the signature bit-for-bit (md5 is the one
     digest both engines share; lexicographic min over lowercase hex is
     engine-independent).
     """
-    # NB: the per-element lambda must take exactly ONE argument — a two-arg
+    # NB: per-element lambdas must take exactly ONE argument — a two-arg
     # lambda is interpreted by F.transform as (element, array_index)
-    def hash_fn(i: int):
-        prefix = F.lit(f"{i}|")
-        if use_md5:
+    if use_md5:
+        def hash_fn(i: int):
+            prefix = F.lit(f"{i}|")
             return lambda s: F.substring(F.md5(F.concat(prefix, s)), 1, 16)
-        return lambda s: F.xxhash64(F.concat(prefix, s))
 
-    mins = [F.array_min(F.transform(shingles, hash_fn(i))) for i in range(n_hashes)]
-    return F.array(*mins)
+        mins = [F.array_min(F.transform(shingles, hash_fn(i))) for i in range(n_hashes)]
+        return F.array(*mins)
+
+    import numpy as np
+
+    rng = np.random.default_rng(0xD1D)
+    coeffs = [
+        (int(rng.integers(1, 2**62)) * 2 + 1, int(rng.integers(0, 2**62)))
+        for _ in range(n_hashes)
+    ]
+    max_long = F.lit((1 << 63) - 1).cast("long")
+    init = F.array(*([max_long] * n_hashes))
+
+    def fold(acc, s):
+        h = F.xxhash64(s)  # ONE string hash per shingle
+        derived = F.array(*[h * F.lit(a) + F.lit(b) for a, b in coeffs])
+        return F.zip_with(acc, derived, lambda x, y: F.least(x, y))
+
+    # single traversal of the shingle array computing every min at once
+    return F.aggregate(shingles, init, fold)
 
 
 def minhash_lsh_candidates(
@@ -114,41 +136,61 @@ def minhash_lsh_candidates(
     Plan shape: one scan to signatures (map-only) → explode bands (×bands) →
     self-equi-join on (band_idx, band_key) → distinct pairs.
 
+    Plan shape (deliberately NOT a self-join): one scan computes shingles →
+    signature → exploded band keys; ONE hash aggregation groups ids per
+    (band, key) bucket; pairs expand inside each bucket with a double
+    explode.  A self-join formulation re-executes the signature pipeline for
+    both sides plus the frequency filter (~3 scans — measured 28 s vs 8 s on
+    200k docs) and shuffles the corpus twice; the groupBy shuffles only
+    (band_key, id) pairs once.
+
     Skew control (web-corpus reality: boilerplate pages collapse into a few
-    mega-buckets that would produce O(n²) candidate pairs): set
-    ``max_band_freq`` to drop band buckets with more than that many members
-    before the self-join — a two-phase counted semi-filter, the standard
-    frequency cap used by large-scale dedup pipelines.  AQE skew-join
-    splitting handles residual imbalance.
+    mega-buckets that would produce O(n²) candidate pairs): buckets larger
+    than ``max_band_freq`` are dropped in the same aggregation — the
+    standard frequency cap used by large-scale dedup pipelines, free here.
     """
     rows = n_hashes // bands
     assert rows * bands == n_hashes, "bands must divide n_hashes"
-    sig = minhash_signature(token_shingles(text_col, k), n_hashes, use_md5)
-    with_sig = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    # materialize shingles ONCE: the signature embeds the shingle column
+    # n_hashes times, and Catalyst's CollapseProject keeps a non-cheap alias
+    # referenced many times in its own projection — without this barrier the
+    # tokenize+shingle subtree is re-evaluated per hash function (measured
+    # 16× slowdown at n_hashes=16)
+    with_sh = df.select(
+        F.col(id_col).alias("_id"), token_shingles(text_col, k).alias("_sh")
+    )
+    sig = minhash_signature(F.col("_sh"), n_hashes, use_md5)
+    with_sig = with_sh.select("_id", sig.alias("_sig"))
     banded = with_sig.select(
         "_id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
+                lambda b: F.concat_ws(
+                    ",",
+                    b.cast("string"),
                     F.concat_ws(
-                        ",", F.transform(F.slice("_sig", b * rows + 1, rows), lambda x: x.cast("string"))
-                    ).alias("key"),
+                        ",",
+                        F.transform(
+                            F.slice("_sig", b * rows + 1, rows),
+                            lambda x: x.cast("string"),
+                        ),
+                    ),
                 ),
             )
-        ).alias("bk"),
-    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        ).alias("bkey"),
+    )
+    buckets = (
+        banded.groupBy("bkey")
+        .agg(F.collect_list("_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     if max_band_freq is not None:
-        freq = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
-        keep = freq.filter(F.col("_n") <= max_band_freq).drop("_n")
-        banded = banded.join(keep, on=["band", "key"], how="left_semi")
-    a = banded.alias("a")
-    b = banded.alias("b")
+        buckets = buckets.filter(F.size("ids") <= max_band_freq)
+    a = buckets.select(F.explode("ids").alias("id_a"), F.col("ids"))
     pairs = (
-        a.join(b, on=["band", "key"])
-        .filter(F.col("a._id") < F.col("b._id"))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        a.select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
     return pairs
