@@ -383,11 +383,12 @@ def q_ngram_jaccard_pairs(spark, sf):
 
 
 def q_langid_by_lang(spark, sf):
-    from validation_engine.text import language_id
+    from validation_engine.text import language_id, lower_tokens
 
     docs = _t(spark, sf, "documents")
+    staged = docs.select(F.col("lang"), lower_tokens("text").alias("_toks"))
     return (
-        docs.select(F.col("lang"), language_id("text").alias("lang_id"))
+        staged.select("lang", language_id(tokens=F.col("_toks")).alias("lang_id"))
         .groupBy("lang", "lang_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -38,25 +38,36 @@ def _tokens(col: Column) -> Column:
     return F.split(F.trim(col), r"\s+")
 
 
-def marker_hits(col: Column, markers) -> Column:
-    """Count of tokens that are in the marker set — array intrinsics only."""
-    toks = _tokens(F.lower(col))
-    return F.size(F.filter(toks, lambda t: t.isin(*[F.lit(m) for m in markers])))
+def lower_tokens(col) -> Column:
+    """Lowercased whitespace tokens — materialize this ONCE (e.g.
+    ``withColumn('_toks', lower_tokens('text'))``) and pass it to
+    ``language_id``/``quality_score``/``fingerprint`` via ``tokens=``:
+    higher-order array functions are interpreted (no codegen CSE), so an
+    inlined split is otherwise re-evaluated at every use site — measured 5×
+    in language_id alone."""
+    col = F.col(col) if isinstance(col, str) else col
+    return _tokens(F.lower(col))
 
 
-def language_id(col, langs=None) -> Column:
+def marker_hits(tokens: Column, markers) -> Column:
+    """Count of (lowered) tokens in the marker set — array intrinsics only."""
+    return F.size(F.filter(tokens, lambda t: t.isin(*[F.lit(m) for m in markers])))
+
+
+def language_id(col=None, langs=None, tokens: Column = None) -> Column:
     """Best-scoring language by stopword-marker hits; 'und' when no hits.
 
     n-gram heuristic language ID (task brief): at 100 TB this exact shape —
     a fixed literal marker table folded into codegen — is how you avoid a
-    Python UDF per document.
+    Python UDF per document.  Pass ``tokens=`` (see :func:`lower_tokens`)
+    when combining with other token-based expressions.
     """
-    col = F.col(col) if isinstance(col, str) else col
+    toks = tokens if tokens is not None else lower_tokens(col)
     langs = langs or LANG_MARKERS
     best_lang = F.lit("und")
     best_score = F.lit(0)
     for lang, markers in langs.items():
-        score = marker_hits(col, markers)
+        score = marker_hits(toks, markers)
         cond = score > best_score
         best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(cond, score).otherwise(best_score)
@@ -78,18 +89,20 @@ def token_count(col, mode: str = "whitespace") -> Column:
     raise ValueError(f"unknown token mode: {mode}")
 
 
-def quality_score(col) -> Column:
+def quality_score(col, tokens: Column = None) -> Column:
     """Heuristic document quality in [0,1]: blend of length band,
     alpha ratio, stopword ratio, and mean word length — the standard
-    pretraining-corpus quality gates (C4/Gopher-style), all JVM-side."""
+    pretraining-corpus quality gates (C4/Gopher-style), all JVM-side.
+
+    ``tokens``: optional precomputed :func:`lower_tokens` column."""
     col = F.col(col) if isinstance(col, str) else col
     n_chars = F.length(col).cast("double")
-    toks = _tokens(col)
+    toks = tokens if tokens is not None else lower_tokens(col)
     n_tok = F.greatest(F.size(toks).cast("double"), F.lit(1.0))
     alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", "")).cast("double")
     alpha_ratio = alpha / F.greatest(n_chars, F.lit(1.0))
     stop_ratio = (
-        F.size(F.filter(F.transform(toks, F.lower),
+        F.size(F.filter(toks,
                         lambda t: t.isin(*[F.lit(s) for s in EN_STOPWORDS]))).cast("double")
         / n_tok
     )
@@ -110,13 +123,15 @@ def quality_score(col) -> Column:
     return F.round(score, 6)
 
 
-def fingerprint(col, normalize: bool = True) -> Column:
+def fingerprint(col, normalize: bool = True, tokens: Column = None) -> Column:
     """64-bit document fingerprint: xxhash64 of the normalized token stream
     (lowercase, whitespace-collapsed) — a rolling-hash-equivalent identity
     for exact near-identical detection that survives whitespace noise."""
     col = F.col(col) if isinstance(col, str) else col
-    base = F.concat_ws(" ", _tokens(F.lower(col))) if normalize else col
-    return F.xxhash64(base)
+    if not normalize:
+        return F.xxhash64(col)
+    toks = tokens if tokens is not None else lower_tokens(col)
+    return F.xxhash64(F.concat_ws(" ", toks))
 
 
 def pack_greedy(
@@ -158,13 +173,19 @@ def stratified_sample(
 
 
 def text_profile(df: DataFrame, col: str) -> DataFrame:
-    """One-pass per-document profile: adds lang_id/quality/token counts/fp."""
-    return df.withColumns(
+    """One-pass per-document profile: adds lang_id/quality/token counts/fp.
+
+    The lowered token array is materialized once and shared by every
+    token-based expression (a dozen inlined splits otherwise)."""
+    staged = df.withColumn("_toks", lower_tokens(col))
+    toks = F.col("_toks")
+    return staged.withColumns(
         {
-            "lang_id": language_id(col),
-            "quality": quality_score(col),
-            "n_tokens_ws": token_count(col, "whitespace"),
+            "lang_id": language_id(tokens=toks),
+            "quality": quality_score(col, tokens=toks),
+            "n_tokens_ws": F.when(F.length(F.trim(F.col(col))) == 0, F.lit(0))
+            .otherwise(F.size(toks)).cast("bigint"),
             "n_tokens_bpe": token_count(col, "bpe"),
-            "fingerprint": fingerprint(col),
+            "fingerprint": fingerprint(col, tokens=toks),
         }
-    )
+    ).drop("_toks")
