@@ -278,38 +278,44 @@ def simhash_near_duplicates(
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
     Pigeonhole banding: split the 64-bit signature into ``n_bands`` chunks;
-    any pair within hamming ≤ n_bands-1 shares at least one exact chunk →
-    equi-join per chunk, then exact hamming via bit_count(xor)."""
+    any pair within hamming ≤ n_bands-1 shares at least one exact chunk.
+    Plan shape mirrors :func:`minhash_lsh_candidates`: ONE groupBy over the
+    exploded band keys collecting (id, sig) per bucket, pairs expand with a
+    double explode — no self-join (which would re-run the whole
+    tokenize→explode→64-bit aggregation pipeline for both sides)."""
     sigs = simhash(df, id_col, text_col)
     width = 64 // n_bands
     mask = (1 << width) - 1
     banded = sigs.select(
-        F.col(id_col).alias("_id"),
-        F.col("simhash"),
+        F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sig")).alias("v"),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"),
+                    F.concat_ws(
+                        ",",
+                        F.lit(str(i)),
                         F.shiftrightunsigned("simhash", i * width)
                         .bitwiseAND(F.lit(mask))
-                        .alias("chunk"),
+                        .cast("string"),
                     )
                     for i in range(n_bands)
                 ]
             )
-        ).alias("bc"),
-    ).select("_id", "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
-    a, b = banded.alias("a"), banded.alias("b")
+        ).alias("bkey"),
+    )
+    buckets = (
+        banded.groupBy("bkey")
+        .agg(F.collect_list("v").alias("vs"))
+        .filter(F.size("vs") >= 2)
+    )
+    a = buckets.select(F.explode("vs").alias("a"), F.col("vs"))
     return (
-        a.join(b, on=["band", "chunk"])
-        .filter(F.col("a._id") < F.col("b._id"))
+        a.select("a", F.explode("vs").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
         .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
