@@ -248,7 +248,23 @@ class PandasElementStage(Stage):
             for pdf in it:
                 yield apply_batch(pdf)
 
-        report = frame.mapInPandas(runner, schema=schema)
+        # computation pruning (SURVEY §4 / reference util.py:172-173): rows
+        # already invalid upstream never enter the Arrow→Python path — they
+        # are unioned back JVM-side with their report untouched.  The Python
+        # stage is the expensive side, so scanning the (cheap) frame twice
+        # beats serializing gated rows through Arrow.
+        gate = F.coalesce(F.col("is_valid"), F.lit(False))
+        valid_part = frame.filter(gate)
+        invalid_part = frame.filter(~gate)
+        for f in schema.fields:
+            if f.name not in frame.columns:
+                invalid_part = invalid_part.withColumn(
+                    f.name, F.lit(defaults.get(f.name)).cast(f.dataType)
+                )
+        invalid_part = invalid_part.select(*[f.name for f in schema.fields])
+        report = valid_part.mapInPandas(runner, schema=schema).unionByName(
+            invalid_part
+        )
 
         # violations derived from newly-invalid rows (had upstream validity,
         # failed here); reasons come from the exception column — computed
