@@ -301,6 +301,93 @@ def q5_revenue_by_nation(spark, sf):
     )
 
 
+_DEC = "CAST(1 AS DECIMAL(18,2))"
+
+
+def q10_returned_revenue(spark, sf):
+    """TPC-H Q10 shape: lost revenue from returned items per customer, top 20."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    rev = (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,6)")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    return (
+        j.groupBy("c_custkey", "c_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q12_shipmode_priority(spark, sf):
+    """TPC-H Q12 shape: order-priority counts per line status (conditional agg)."""
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_linestatus").agg(
+        F.count(F.when(high, 1)).alias("high_count"),
+        F.count(F.when(~high, 1)).alias("low_count"),
+    )
+
+
+def q14_promo_share(spark, sf):
+    """TPC-H Q14 shape: promo revenue share (conditional / total, decimal-safe)."""
+    part = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    rev = (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,6)")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.col("p_type").startswith("PROMO")
+    agg = j.agg(
+        F.sum(F.when(promo, rev).otherwise(F.lit(0).cast("decimal(28,6)"))).alias("promo"),
+        F.sum(rev).alias("total"),
+    )
+    return agg.select(
+        (F.col("promo").cast("double") / F.col("total").cast("double")).alias("promo_share"),
+        F.col("promo").cast("double").alias("promo_revenue"),
+        F.col("total").cast("double").alias("total_revenue"),
+    )
+
+
+def q18_large_orders(spark, sf):
+    """TPC-H Q18 shape: orders above a quantity threshold, joined back."""
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .filter(F.col("qty") > 150)
+    )
+    j = orders.join(big, orders.o_orderkey == big.l_orderkey)
+    return j.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("qty").cast("double").alias("total_qty"),
+    )
+
+
+def q19_disjunctive_revenue(spark, sf):
+    """TPC-H Q19 shape: disjunctive multi-clause predicate over a join."""
+    part = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    rev = (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,6)")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20) & (F.col("p_size") <= 10))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30) & (F.col("p_size") <= 20))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40) & (F.col("p_size") <= 30))
+    )
+    return j.filter(cond).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def q_window_event_ranks(spark, sf):
     """Window functions: latest 3 events per user (user_id < 50)."""
     from pyspark.sql import Window
@@ -725,6 +812,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
         "q5_revenue_by_nation": q5_revenue_by_nation,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q12_shipmode_priority": q12_shipmode_priority,
+        "q14_promo_share": q14_promo_share,
+        "q18_large_orders": q18_large_orders,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "window_event_ranks": q_window_event_ranks,
         "hourly_event_rollup": q_hourly_event_rollup,
         "q6_filtered_revenue": q6_filtered_revenue,
@@ -921,6 +1013,57 @@ def oracle_sql() -> dict[str, str]:
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY n.n_name
+    """
+
+    _rev = ("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) "
+            "AS DECIMAL(28,6))")
+
+    sql["q10_returned_revenue"] = f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM({_rev}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c.c_custkey ASC LIMIT 20
+    """
+
+    sql["q12_shipmode_priority"] = """
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_linestatus
+    """
+
+    sql["q14_promo_share"] = f"""
+    SELECT CAST(promo AS DOUBLE) / CAST(total AS DOUBLE) AS promo_share,
+           CAST(promo AS DOUBLE) AS promo_revenue,
+           CAST(total AS DOUBLE) AS total_revenue
+    FROM (
+      SELECT SUM(CASE WHEN p.p_type LIKE 'PROMO%' THEN {_rev}
+                      ELSE CAST(0 AS DECIMAL(28,6)) END) AS promo,
+             SUM({_rev}) AS total
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    """
+
+    sql["q18_large_orders"] = """
+    SELECT o.o_orderkey, o.o_custkey, CAST(qty AS DOUBLE) AS total_qty
+    FROM orders o JOIN (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    ) b ON o.o_orderkey = b.l_orderkey
+    """
+
+    sql["q19_disjunctive_revenue"] = f"""
+    SELECT CAST(SUM({_rev}) AS DOUBLE) AS revenue, COUNT(*) AS n_rows
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 20 AND p.p_size <= 10)
+       OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 30 AND p.p_size <= 20)
+       OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 40 AND p.p_size <= 30)
     """
 
     sql["window_event_ranks"] = """
