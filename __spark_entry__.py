@@ -388,6 +388,29 @@ def q19_disjunctive_revenue(spark, sf):
     )
 
 
+def q_sql_api_order_stats(spark, sf):
+    """Same engine through the SQL entry point (spark.sql over temp views)."""
+    _t(spark, sf, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+               CAST(MIN(o_orderdate) AS TIMESTAMP) AS first_order
+        FROM v_orders GROUP BY o_orderstatus
+        """
+    )
+
+
+def q_cube_lineitem(spark, sf):
+    """CUBE grouping sets over return flag × line status."""
+    li = _t(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"),
+    )
+
+
 def q_window_event_ranks(spark, sf):
     """Window functions: latest 3 events per user (user_id < 50)."""
     from pyspark.sql import Window
@@ -817,6 +840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_share": q14_promo_share,
         "q18_large_orders": q18_large_orders,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "sql_api_order_stats": q_sql_api_order_stats,
+        "cube_lineitem": q_cube_lineitem,
         "window_event_ranks": q_window_event_ranks,
         "hourly_event_rollup": q_hourly_event_rollup,
         "q6_filtered_revenue": q6_filtered_revenue,
@@ -1064,6 +1089,19 @@ def oracle_sql() -> dict[str, str]:
     WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 20 AND p.p_size <= 10)
        OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 30 AND p.p_size <= 20)
        OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 40 AND p.p_size <= 30)
+    """
+
+    sql["sql_api_order_stats"] = """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(MIN(o_orderdate) AS TIMESTAMP) AS first_order
+    FROM orders GROUP BY o_orderstatus
+    """
+
+    sql["cube_lineitem"] = """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
     """
 
     sql["window_event_ranks"] = """
