@@ -388,6 +388,45 @@ def q19_disjunctive_revenue(spark, sf):
     )
 
 
+def q_funnel_signup_purchase(spark, sf):
+    """Event-sequence funnel: users whose first signup precedes a purchase
+    (min-timestamp comparison — the scalable funnel formulation)."""
+    ev = _t(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.when(F.col("first_signup").isNotNull(), 1)).alias("n_signed_up"),
+        F.count(
+            F.when(
+                F.col("first_signup").isNotNull()
+                & F.col("first_purchase").isNotNull()
+                & (F.col("first_purchase") > F.col("first_signup")),
+                1,
+            )
+        ).alias("n_converted"),
+    )
+
+
+def q_inverted_index_sample(spark, sf):
+    """Inverted index build: token → document-frequency + sorted postings
+    (bounded to mid-frequency tokens so postings stay small)."""
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    tok = docs.select(
+        F.col("doc_id"),
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count_distinct("doc_id").alias("df"),
+            F.sort_array(F.collect_set("doc_id")).alias("postings"),
+        )
+        .filter((F.col("df") >= 60) & (F.col("df") <= 75))
+    )
+
+
 def q_sql_api_order_stats(spark, sf):
     """Same engine through the SQL entry point (spark.sql over temp views)."""
     _t(spark, sf, "orders").createOrReplaceTempView("v_orders")
@@ -840,6 +879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_share": q14_promo_share,
         "q18_large_orders": q18_large_orders,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "funnel_signup_purchase": q_funnel_signup_purchase,
+        "inverted_index_sample": q_inverted_index_sample,
         "sql_api_order_stats": q_sql_api_order_stats,
         "cube_lineitem": q_cube_lineitem,
         "window_event_ranks": q_window_event_ranks,
@@ -1089,6 +1130,29 @@ def oracle_sql() -> dict[str, str]:
     WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 20 AND p.p_size <= 10)
        OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 30 AND p.p_size <= 20)
        OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 40 AND p.p_size <= 30)
+    """
+
+    sql["funnel_signup_purchase"] = """
+    SELECT CAST(SUM(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signed_up,
+           CAST(SUM(CASE WHEN first_signup IS NOT NULL AND first_purchase IS NOT NULL
+                          AND first_purchase > first_signup THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+    FROM (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    """
+
+    sql["inverted_index_sample"] = r"""
+    SELECT token, df, postings FROM (
+      SELECT token,
+             COUNT(DISTINCT doc_id) AS df,
+             list_sort(list(DISTINCT doc_id)) AS postings
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+            FROM documents WHERE doc_id < 100)
+      GROUP BY token
+    ) WHERE df BETWEEN 60 AND 75
     """
 
     sql["sql_api_order_stats"] = """
