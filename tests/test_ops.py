@@ -266,3 +266,46 @@ def test_stratified_sample(spark, docs):
     n_zh_in = docs.filter(F.col("lang") == "zh").count()
     n_zh_out = out.filter(F.col("lang") == "zh").count()
     assert n_zh_out == n_zh_in  # fraction 1.0 keeps every row
+
+
+def test_training_pipeline_composition(spark, corpus):
+    """End-to-end training-data pipeline: validate -> quality filter ->
+    exact+near dedup -> sequence packing -> shard assignment."""
+    from validation_engine import ElementStage, Workflow, non_empty
+    from validation_engine.dedup import exact_dedup, minhash_lsh_candidates
+    from validation_engine.text import lower_tokens, pack_greedy, quality_score
+
+    files = corpus["files"].dropDuplicates(["repo", "path", "commit"])
+
+    # 1. validation gate
+    wf = Workflow([ElementStage("gate", checks=[non_empty("content")])])
+    res = wf.run(spark, files)
+    valid_keys = res.reports["gate"].filter(F.col("is_valid")).select(
+        "repo", "path", "commit"
+    )
+    clean = files.join(valid_keys, ["repo", "path", "commit"], "left_semi")
+    assert clean.count() == files.count() - corpus["expected"]["n_empty"]
+
+    # 2. quality filter + doc ids
+    docs = clean.select(
+        F.xxhash64("repo", "path", "commit").alias("id"),
+        F.col("content").alias("text"),
+    ).withColumn("q", quality_score("text", tokens=lower_tokens("text")))
+    kept = docs.filter(F.col("q") > 0.2)
+    assert 0 < kept.count() <= docs.count()
+
+    # 3. dedup: drop exact dups and LSH near-dup partners (keep lower id)
+    uniq = exact_dedup(kept, "id", "text")
+    near = minhash_lsh_candidates(uniq, "id", "text", k=3, n_hashes=8, bands=4,
+                                  max_band_freq=20)
+    drop = near.select(F.col("id_b").alias("id")).distinct()
+    final = uniq.join(drop, "id", "left_anti")
+    assert final.count() <= uniq.count() <= kept.count()
+
+    # 4. pack into 2048-token bins and shard
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    packed = pack_greedy(final.select("id", ntok.alias("n_tok")), "id", "n_tok", 2048)
+    shards = packed.withColumn("shard", F.pmod(F.col("bin"), F.lit(4)))
+    stats = shards.groupBy("shard").agg(F.sum("n_tok").alias("tok"))
+    rows = stats.collect()
+    assert len(rows) <= 4 and all(r["tok"] > 0 for r in rows)
