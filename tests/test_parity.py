@@ -394,3 +394,19 @@ def test_workflow_input_schema_contract(spark):
     )
     with pytest.raises(ValueError, match="missing column 'body'"):
         wf_bad.run(spark, df)
+
+
+def test_checkpoint_manifest_via_hadoop_fs(spark, corpus, tmp_path):
+    # file:// URI exercises the Hadoop FileSystem manifest path end-to-end
+    files = corpus["files"].dropDuplicates(KEYS).limit(100)
+    root = "file://" + str(tmp_path / "hfs_ckpt")
+    stage = ElementStage("hfs", checks=[non_empty("content")])
+    wf = Workflow([stage], n_buckets=4, checkpoint=CheckpointManager(root, 2))
+    res = wf.run(spark, files)
+    assert res.reports["hfs"].count() == 100
+    m = CheckpointManager(root, 2).manifest("hfs")
+    assert m["complete"] and m["committed_chunks"] == [0, 1]
+    # resume path through the same FS
+    res2 = Workflow([stage], n_buckets=4,
+                    checkpoint=CheckpointManager(root, 2)).run(spark, files)
+    assert res2.reports["hfs"].count() == 100

@@ -40,31 +40,80 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 class CheckpointManager:
+    """``root`` may be a local path or any Hadoop-compatible URI
+    (``hdfs://``, ``s3a://``, ...): manifest I/O goes through the JVM
+    Hadoop FileSystem when the root looks like a URI, so the same commit
+    protocol runs unchanged on a cluster object store."""
+
     def __init__(self, root: str, n_chunks: int = 1):
         self.root = str(root)
         self.n_chunks = int(n_chunks)
+        self._remote = "://" in self.root
 
     # -- paths ----------------------------------------------------------
     def _stage_dir(self, stage: str) -> str:
+        if self._remote:
+            return f"{self.root.rstrip('/')}/stages/{stage}"
         return os.path.join(self.root, "stages", stage)
 
     def _manifest_path(self, stage: str) -> str:
+        if self._remote:
+            return f"{self._stage_dir(stage)}/MANIFEST.json"
         return os.path.join(self._stage_dir(stage), "MANIFEST.json")
+
+    # -- manifest I/O (local FS or Hadoop FS) -----------------------------
+    def _hadoop_fs(self, path: str):
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs, hpath, jvm
 
     def manifest(self, stage: str) -> dict:
         p = self._manifest_path(stage)
+        if self._remote:
+            fs, hpath, jvm = self._hadoop_fs(p)
+            if not fs.exists(hpath):
+                return {"committed_chunks": [], "complete": False,
+                        "n_chunks": self.n_chunks}
+            stream = fs.open(hpath)
+            try:
+                data = bytes(
+                    jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                )
+            finally:
+                stream.close()
+            return json.loads(data.decode("utf-8"))
         if os.path.exists(p):
             with open(p) as f:
                 return json.load(f)
         return {"committed_chunks": [], "complete": False, "n_chunks": self.n_chunks}
 
     def _write_manifest(self, stage: str, m: dict) -> None:
+        p = self._manifest_path(stage)
+        payload = json.dumps(m)
+        if self._remote:
+            # write-new + rename: atomic on HDFS; on S3 the manifest PUT is
+            # itself atomic at object granularity
+            fs, hpath, jvm = self._hadoop_fs(p)
+            tmp = jvm.org.apache.hadoop.fs.Path(p + ".tmp")
+            out = fs.create(tmp, True)
+            try:
+                out.write(bytearray(payload.encode("utf-8")))
+            finally:
+                out.close()
+            if fs.exists(hpath):
+                fs.delete(hpath, False)
+            fs.rename(tmp, hpath)
+            return
         d = self._stage_dir(stage)
         os.makedirs(d, exist_ok=True)
-        tmp = self._manifest_path(stage) + ".tmp"
+        tmp = p + ".tmp"
         with open(tmp, "w") as f:
             json.dump(m, f)
-        os.replace(tmp, self._manifest_path(stage))  # atomic manifest swap
+        os.replace(tmp, p)  # atomic manifest swap
 
     def is_complete(self, stage: str) -> bool:
         return bool(self.manifest(stage).get("complete"))

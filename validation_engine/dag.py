@@ -244,13 +244,16 @@ class Workflow:
                 continue
 
             if self.checkpoint:
-                # stage-scoped side-artifact dir (reference data/ target)
+                # stage-scoped side-artifact dir (reference data/ target);
+                # on remote (URI) roots the path is handed through untouched
+                # and the user function creates artifacts via its own client
                 import os
 
                 stage.output_path = os.path.join(
                     self.checkpoint._stage_dir(name), "data"
                 )
-                os.makedirs(stage.output_path, exist_ok=True)
+                if not getattr(self.checkpoint, "_remote", False):
+                    os.makedirs(stage.output_path, exist_ok=True)
 
             ds = self._prepare_dataset(stage, dataset)
             frame, dropped = self._join_inputs(stage, ds, reports)
