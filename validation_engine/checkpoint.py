@@ -153,9 +153,15 @@ class CheckpointManager:
             # 2. one fused aggregation over the committed chunk produces the
             # lineage rows AND the summary/consistency metrics (the DAG never
             # re-aggregates a checkpointed report)
+            viol_count = (
+                F.sum(F.coalesce(F.size("_viol"), F.lit(0)))
+                if "_viol" in committed_rep.columns
+                else F.lit(0)
+            )
             agg_rows = (
                 committed_rep.groupBy("_vpart")
                 .agg(
+                    viol_count.cast("long").alias("n_violation_rows"),
                     F.count(F.lit(1)).alias("n_total"),
                     F.count(F.when(F.col("is_valid"), 1)).alias("n_valid"),
                     F.count(F.when(F.col("ret_code") > 1, 1)).alias("n_warning"),
@@ -199,6 +205,7 @@ class CheckpointManager:
                 r["_vpart"]: {k: r[k] for k in (
                     "n_total", "n_valid", "n_warning", "null_valid",
                     "valid_but_1", "invalid_but_0", "warning_no_comment",
+                    "n_violation_rows",
                 )}
                 for r in agg_rows
             }

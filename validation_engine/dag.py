@@ -75,6 +75,7 @@ class Workflow:
         run_id: Optional[str] = None,
         strict_duplicates: bool = True,
         input_schema=None,
+        repartition: Optional[int] = None,
     ):
         self.stages = {s.name: s for s in stages}
         if len(self.stages) != len(stages):
@@ -87,6 +88,10 @@ class Workflow:
         self.strict_duplicates = strict_duplicates
         #: optional StructType/DDL contract enforced before any job runs
         self.input_schema = input_schema
+        #: optional task-sizing knob: repartition the dataset once up front
+        #: (e.g. ≈2-4× total cores; at corpus scale prefer the source table's
+        #: own partitioning + spark.sql.files.maxPartitionBytes)
+        self.repartition = repartition
         self._check_input_mappings()
 
     # ------------------------------------------------------------------
@@ -227,6 +232,8 @@ class Workflow:
             from .checks import enforce_schema
 
             enforce_schema(dataset, self.input_schema)
+        if self.repartition:
+            dataset = dataset.repartition(self.repartition)
         order = self._topo_order()
         part = self._partition_expr()
         reports, violations, summaries, dropped_all = {}, {}, [], {}
@@ -336,7 +343,11 @@ class Workflow:
                     "n_total": p["n_total"],
                     "n_valid": p["n_valid"],
                     "n_warning": p["n_warning"],
-                    "stats": None,
+                    "stats": (
+                        {"n_violation_rows": float(p["n_violation_rows"])}
+                        if "n_violation_rows" in p
+                        else None
+                    ),
                 }
                 for part, p in sorted(per_part_metrics.items())
             ]
