@@ -388,6 +388,21 @@ def q19_disjunctive_revenue(spark, sf):
     )
 
 
+def q_events_pivot(spark, sf):
+    """Pivot: per-user event-type count matrix (user_id < 30)."""
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 30)
+    types = ["click", "view", "signup", "purchase", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}") for t in types],
+        )
+    )
+
+
 def q_funnel_signup_purchase(spark, sf):
     """Event-sequence funnel: users whose first signup precedes a purchase
     (min-timestamp comparison — the scalable funnel formulation)."""
@@ -879,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_share": q14_promo_share,
         "q18_large_orders": q18_large_orders,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "events_pivot": q_events_pivot,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "inverted_index_sample": q_inverted_index_sample,
         "sql_api_order_stats": q_sql_api_order_stats,
@@ -1130,6 +1146,16 @@ def oracle_sql() -> dict[str, str]:
     WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 20 AND p.p_size <= 10)
        OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 30 AND p.p_size <= 20)
        OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 40 AND p.p_size <= 30)
+    """
+
+    sql["events_pivot"] = """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+    FROM events WHERE user_id < 30 GROUP BY user_id
     """
 
     sql["funnel_signup_purchase"] = """
