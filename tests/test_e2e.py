@@ -108,3 +108,36 @@ def test_empty_input_passthrough(spark, corpus):
     res = wf.run(spark, corpus["files"].limit(0))
     assert res.reports["c"].count() == 0
     assert res.violations["c"].count() == 0
+
+
+def test_warning_checks_keep_validity(spark, corpus):
+    # warning checks: element stays VALID, ret_code=2, comment + violation
+    # row emitted (reference warning semantics, result.py:42-43)
+    from validation_engine import Check, ElementStage, Workflow, non_empty
+
+    files = corpus["files"].dropDuplicates(["repo", "path", "commit"]).limit(300)
+    stage = ElementStage(
+        "warnchk",
+        checks=[
+            non_empty("content"),
+            Check(
+                "long_content_warning",
+                F.length("content") <= 200,
+                "content longer than 200 chars",
+                warning=True,
+            ),
+        ],
+    )
+    res = Workflow([stage]).run(spark, files)
+    rep = res.reports["warnchk"]
+    warned = rep.filter(F.col("ret_code") == 2)
+    n_warned = warned.count()
+    assert n_warned > 0
+    # warnings are still valid and carry the reason
+    assert warned.filter(~F.col("is_valid")).count() == 0
+    assert warned.filter(~F.col("comment").contains("longer than 200")).count() == 0
+    # violation rows emitted for the warning check too
+    v = res.violations["warnchk"].filter(F.col("check_id") == "long_content_warning")
+    assert v.count() == n_warned
+    # summaries count warnings
+    assert sum(s["n_warning"] for s in res.summaries) == n_warned
