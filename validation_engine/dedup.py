@@ -49,8 +49,7 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Keep one representative (min id) per identical content — a window-free
-    formulation: min(id) per digest, broadcast-joined back."""
-    digest = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("_digest")
+    formulation: min(id) per digest, semi-joined back."""
     with_d = df.withColumn("_digest", F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256))
     keepers = with_d.groupBy("_digest").agg(F.min(id_col).alias(id_col))
     return with_d.join(keepers, ["_digest", id_col], "left_semi").drop("_digest")

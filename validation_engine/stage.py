@@ -386,7 +386,7 @@ class SetStage(Stage):
 
         if self.violations_fn is not None:
             # user-supplied violations compute from the input frame
-            violations_fn, name = self.violations_fn, self.name
+            violations_fn = self.violations_fn
             return report, lambda rep: violations_fn(frame, keys)
 
         def deriver(rep):
