@@ -309,3 +309,25 @@ def test_training_pipeline_composition(spark, corpus):
     stats = shards.groupBy("shard").agg(F.sum("n_tok").alias("tok"))
     rows = stats.collect()
     assert len(rows) <= 4 and all(r["tok"] > 0 for r in rows)
+
+
+def test_minhash_ansi_mode_safe(spark):
+    """Round-2 ADVICE: the fast hash family must not overflow under
+    spark.sql.ansi.enabled=true (the Spark 4.x default for externally
+    created sessions)."""
+    from validation_engine.dedup import minhash_lsh_candidates
+
+    import pandas as pd
+
+    rows = [{"id": i, "text": f"alpha beta gamma delta {i} epsilon zeta"} for i in range(40)]
+    rows += [{"id": 100, "text": "the quick brown fox jumps over the lazy dog"},
+             {"id": 101, "text": "the quick brown fox jumps over the lazy dog!"}]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        pairs = minhash_lsh_candidates(df, "id", "text", k=3, n_hashes=16, bands=8)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+    assert (100, 101) in got

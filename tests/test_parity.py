@@ -410,3 +410,166 @@ def test_checkpoint_manifest_via_hadoop_fs(spark, corpus, tmp_path):
     res2 = Workflow([stage], n_buckets=4,
                     checkpoint=CheckpointManager(root, 2)).run(spark, files)
     assert res2.reports["hfs"].count() == 100
+
+
+# --- mixed resume schema parity (round-2 ADVICE: _vpart leak) ---
+
+
+def test_mixed_resume_matches_fresh_run(spark, tmp_path, corpus):
+    """One stage resumed from checkpoint + one fresh: every RunResult output
+    (reports, all_violations, gathered/flat_gathered) must have the same
+    schema and values as a fully fresh run."""
+    # deterministic subset: plain limit() varies across jobs, and the resumed
+    # report must cover exactly the same rows as the fresh frame
+    files = corpus["files"].dropDuplicates(KEYS).orderBy(*KEYS).limit(120)
+    s1 = ElementStage("m1", checks=[non_empty("content")])
+    s2 = ElementStage("m2", checks=[], inputs={"m1": {}})
+    root = str(tmp_path / "ckpt_mixed")
+
+    class KillAfterStage(CheckpointManager):
+        def commit_summary(self, spark_, stage, summaries, run_id):
+            super().commit_summary(spark_, stage, summaries, run_id)
+            if stage == "m1":
+                raise KeyboardInterrupt("simulated kill between stages")
+
+    wf1 = Workflow([s1, s2], checkpoint=KillAfterStage(root), run_id="r1")
+    with pytest.raises(KeyboardInterrupt):
+        wf1.run(spark, files)
+
+    # resume: m1 is committed (read back), m2 runs fresh
+    wf2 = Workflow([s1, s2], checkpoint=CheckpointManager(root), run_id="r2")
+    res2 = wf2.run(spark, files)
+
+    # fresh end-to-end run (no checkpoint) as the baseline
+    wf3 = Workflow([s1, s2])
+    res3 = wf3.run(spark, files)
+
+    for name in ("m1", "m2"):
+        assert sorted(res2.reports[name].columns) == sorted(res3.reports[name].columns)
+        assert sorted(res2.violations[name].columns) == sorted(res3.violations[name].columns)
+    # unionByName across resumed+fresh stages must not raise
+    assert wf2.all_violations(res2).count() == wf3.all_violations(res3).count()
+    flat2 = wf2.flat_gathered_report(files, res2)
+    flat3 = wf3.flat_gathered_report(files, res3)
+    assert sorted(flat2.columns) == sorted(flat3.columns)
+    assert "('m1', '_vpart')" not in flat2.columns
+    assert flat2.filter(~F.col("is_valid")).count() == flat3.filter(~F.col("is_valid")).count()
+
+
+# --- key-mutation guard is a hard error (task.py:606-610) ---
+
+
+def key_mutating_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pd.DataFrame(index=pdf.index)
+    out["is_valid"] = True
+    out["path"] = "mutated"  # key column → programming error
+    return out
+
+
+def test_key_mutation_raises_not_retried(spark):
+    df = _df(spark, [{"a": 1}, {"a": 2}])
+    stage = PandasElementStage("mut", key_mutating_fn)
+    # the hard error surfaces at the first job over the report (the
+    # workflow's summary aggregation) — NOT as invalid rows with an
+    # unrelated pandas traceback
+    with pytest.raises(Exception, match="must not modify the key"):
+        Workflow([stage]).run(spark, df)
+
+
+# --- lineage idempotency across chunk retries (round-2 ADVICE) ---
+
+
+def test_lineage_idempotent_on_chunk_retry(spark, tmp_path, corpus):
+    files = corpus["files"].dropDuplicates(KEYS).limit(200)
+    stage = ElementStage("lin", checks=[non_empty("content")])
+    root = str(tmp_path / "ckpt_lin")
+    ckpt = CheckpointManager(root, n_chunks=2)
+    Workflow([stage], n_buckets=4, checkpoint=ckpt, run_id="a").run(spark, files)
+
+    # simulate a crash AFTER lineage write but BEFORE manifest commit of
+    # chunk 1: roll the manifest back so chunk 1 retries on resume
+    m = ckpt.manifest("lin")
+    m["committed_chunks"] = [0]
+    m["complete"] = False
+    m["chunk_metrics"].pop("1", None)
+    ckpt._write_manifest("lin", m)
+
+    Workflow([stage], n_buckets=4,
+             checkpoint=CheckpointManager(root, n_chunks=2), run_id="b").run(spark, files)
+    lineage = CheckpointManager(root, 2).read_lineage(spark, "lin")
+    per_part = lineage.groupBy("partition").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert all(r["n"] == 1 for r in per_part), "duplicate lineage rows after retry"
+
+
+# --- duplicate-key check runs once per run (round-2 VERDICT #3) ---
+
+
+def test_duplicate_key_check_hoisted(spark, monkeypatch):
+    df = _df(spark, [{"a": i, "content": "x"} for i in range(5)])
+    calls = []
+    orig = Workflow._assert_unique_keys
+
+    def counting(self, d, ctx):
+        calls.append(ctx)
+        return orig(self, d, ctx)
+
+    monkeypatch.setattr(Workflow, "_assert_unique_keys", counting)
+    s1 = ElementStage("h1", checks=[non_empty("content")])
+    s2 = ElementStage("h2", checks=[], inputs={"h1": {}})
+    s3 = ElementStage("h3", checks=[], inputs={"h2": {}})
+    Workflow([s1, s2, s3]).run(spark, df)
+    assert calls == ["dataset"], f"expected one key check per run, got {calls}"
+
+    # duplicate keys still raise (once, at the hoisted check)
+    calls.clear()
+    dup = df.unionByName(df.limit(1))
+    with pytest.raises(IndexError, match="must be unique"):
+        Workflow([s1]).run(spark, dup)
+
+
+# --- extra_requires parity (reference task.py:354-365, test_task.py:1577) ---
+
+
+def extra_requires_fn(frame, keys, extra_inputs=None):
+    path = extra_inputs["extra_task_target"]
+    with open(path, encoding="utf-8") as f:
+        content = f.read()
+    return (
+        frame.withColumn("is_valid", F.lit(True))
+        .withColumn("extra_path", F.lit(path))
+        .withColumn("extra_result", F.lit(content))
+    )
+
+
+def test_extra_requires(spark, tmp_path):
+    """Port of reference test_extra_requires: a non-validation dependency
+    produces an artifact; the stage's validation function receives its
+    output and stamps it into report columns."""
+    target = str(tmp_path / "file.test")
+    ran = []
+
+    def extra_task(spark_):
+        with open(target, "w", encoding="utf-8") as f:
+            f.write("result of TestTaskA")
+        ran.append(1)
+        return target
+
+    df = _df(spark, [{"a": 1}, {"a": 2}])
+    stage = SetStage(
+        "b", extra_requires_fn,
+        output_columns={"extra_path": None, "extra_result": None},
+        extra_requires={"extra_task_target": extra_task},
+    )
+    # a second stage sharing the SAME dependency: must run once (memoized)
+    stage2 = SetStage(
+        "b2", extra_requires_fn,
+        output_columns={"extra_path": None, "extra_result": None},
+        extra_requires={"extra_task_target": extra_task},
+    )
+    res = Workflow([stage, stage2]).run(spark, df)
+    rows = res.reports["b"].collect()
+    assert all(r["extra_path"] == target for r in rows)
+    assert all(r["extra_result"] == "result of TestTaskA" for r in rows)
+    assert stage.extra_input()["extra_task_target"] == target
+    assert len(ran) == 1, "shared extra dependency must be memoized per run"
+    assert res.reports["b2"].collect()[0]["extra_result"] == "result of TestTaskA"

@@ -16,8 +16,9 @@ before its outputs exist (SURVEY §7 risk register).
 ```
 <root>/stages/<stage>/report/chunk=<c>/*.parquet      (idempotent overwrite)
 <root>/stages/<stage>/violations/chunk=<c>/*.parquet
-<root>/stages/<stage>/lineage/*.parquet               (append, one row per
-                                                       committed partition)
+<root>/stages/<stage>/lineage/chunk=<c>/*.parquet     (idempotent overwrite,
+                                                       one row per committed
+                                                       partition)
 <root>/stages/<stage>/summary/*.parquet
 <root>/stages/<stage>/MANIFEST.json                   (committed chunk ids,
                                                        complete flag)
@@ -195,9 +196,13 @@ class CheckpointManager:
                 }
                 for r in agg_rows
             ]
+            # chunk-scoped overwrite (NOT append): a crash between this write
+            # and the manifest commit makes the chunk retry on resume, and the
+            # retry must be idempotent — same invariant as report/violations —
+            # so 'one lineage row per committed partition' survives crashes
             spark.createDataFrame(lineage_rows or [], schema=LINEAGE_SCHEMA).write.mode(
-                "append"
-            ).parquet(os.path.join(d, "lineage"))
+                "overwrite"
+            ).parquet(os.path.join(d, "lineage", f"chunk={c}"))
             # 3. manifest LAST — the commit point (metrics ride along)
             committed.add(c)
             m["committed_chunks"] = sorted(committed)
@@ -253,7 +258,8 @@ class CheckpointManager:
         return df.drop("chunk")
 
     def read_lineage(self, spark: SparkSession, stage: str) -> DataFrame:
-        return spark.read.parquet(os.path.join(self._stage_dir(stage), "lineage"))
+        df = spark.read.parquet(os.path.join(self._stage_dir(stage), "lineage"))
+        return df.drop("chunk")
 
     def read_summary(self, spark: SparkSession, stage: str) -> DataFrame:
         return spark.read.parquet(os.path.join(self._stage_dir(stage), "summary"))

@@ -132,23 +132,39 @@ class Workflow:
             F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(self.n_buckets)
         ).cast("string")
 
-    def _prepare_dataset(self, stage: Stage, dataset: DataFrame) -> DataFrame:
-        df = stage.transform_index(dataset)
-        if self.strict_duplicates:
+    def _assert_unique_keys(self, df: DataFrame, ctx: str) -> int:
+        """ONE fused aggregation returning the row count and raising on
+        duplicate keys (reference raises at dataset load, `task.py:448-453`).
+
+        Hoisted out of the per-stage path: on a 100 TB corpus a key-shuffle
+        per stage would dominate the run, so the DAG runs this once per
+        ``run`` (re-running only for stages with a non-identity
+        ``transform_index``) and the row count doubles as the dropped-key
+        accounting baseline — see :meth:`run`.
+        """
+        row = (
+            df.groupBy(*self.keys)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(
+                F.sum("_n").alias("n_rows"),
+                F.count(F.when(F.col("_n") > 1, 1)).alias("n_dup"),
+            )
+            .collect()[0]
+        )
+        if row["n_dup"]:
             dups = (
                 df.groupBy(*self.keys)
-                .agg(F.count(F.lit(1)).alias("n"))
-                .filter(F.col("n") > 1)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1)
                 .limit(20)
                 .collect()
             )
-            if dups:
-                sample = [tuple(r[k] for k in self.keys) for r in dups]
-                raise IndexError(
-                    f"[{stage.name}] The keys of the dataset must be unique; "
-                    f"duplicated keys (sample): {sample}"
-                )
-        return df
+            sample = [tuple(r[k] for k in self.keys) for r in dups]
+            raise IndexError(
+                f"[{ctx}] The keys of the dataset must be unique; "
+                f"duplicated keys (sample): {sample}"
+            )
+        return int(row["n_rows"] or 0)
 
     def _join_inputs(
         self, stage: Stage, dataset: DataFrame, reports: dict
@@ -237,13 +253,25 @@ class Workflow:
         order = self._topo_order()
         part = self._partition_expr()
         reports, violations, summaries, dropped_all = {}, {}, [], {}
+        # per-run key-uniqueness check + dataset row count, computed lazily at
+        # most ONCE for the shared dataset (hoisted from the per-stage path —
+        # one key aggregation per run, not per stage); stages with a custom
+        # transform_index re-check their own derived frame
+        n_base: Optional[int] = None
+        extra_cache: dict = {}
 
         for name in order:
             stage = self.stages[name]
             if self.checkpoint and self.checkpoint.is_complete(name):
                 logger.info("[%s] already committed — resuming past it", name)
-                reports[name] = self.checkpoint.read_report(spark, name)
-                violations[name] = self.checkpoint.read_violations(spark, name)
+                # drop the internal partition tag so resumed outputs have the
+                # same schema as fresh ones (unionByName/gathered parity)
+                reports[name] = self.checkpoint.read_report(spark, name).drop(
+                    "_vpart"
+                )
+                violations[name] = self.checkpoint.read_violations(
+                    spark, name
+                ).drop("_vpart")
                 summaries.extend(
                     r.asDict()
                     for r in self.checkpoint.read_summary(spark, name).collect()
@@ -262,21 +290,30 @@ class Workflow:
                 if not getattr(self.checkpoint, "_remote", False):
                     os.makedirs(stage.output_path, exist_ok=True)
 
-            ds = self._prepare_dataset(stage, dataset)
+            if stage.extra_requires:
+                # non-validation dependencies (reference extra_requires,
+                # task.py:354-365): resolved driver-side, memoized per run
+                from .stage import resolve_extra_requires
+
+                stage._extra_inputs = resolve_extra_requires(
+                    stage.extra_requires, spark=spark, cache=extra_cache
+                )
+
+            custom_ti = type(stage).transform_index is not Stage.transform_index
+            ds = stage.transform_index(dataset)
+            n_ds: Optional[int] = None
+            if custom_ti:
+                # derived frame: its keys (and row count) are stage-specific
+                if self.strict_duplicates:
+                    n_ds = self._assert_unique_keys(ds, name)
+            else:
+                if n_base is None and self.strict_duplicates:
+                    n_base = self._assert_unique_keys(ds, "dataset")
+                n_ds = n_base
             frame, dropped = self._join_inputs(stage, ds, reports)
             # partition tag computed on the full frame (dataset columns still
             # present) and carried through report AND violations
             frame = frame.withColumn("_vpart", part)
-            n_dropped = dropped.count() if stage.inputs else 0
-            if n_dropped:
-                sample = [tuple(r) for r in dropped.limit(10).collect()]
-                logger.warning(
-                    "[%s] %d elements have keys missing from upstream reports "
-                    "and were dropped (sample: %s) — inconsistent-index "
-                    "semantics",
-                    name, n_dropped, sample,
-                )
-            dropped_all[name] = n_dropped
 
             out = stage.run(frame, keys=self.keys)
             report = out.report
@@ -335,6 +372,26 @@ class Workflow:
                 k: sum(p[k] for p in per_part_metrics.values())
                 for k in metric_keys
             }
+            # dropped-key accounting FUSED into the summary aggregation: the
+            # report carries one row per surviving frame row, so
+            # n_dropped = dataset rows − n_total with zero extra jobs; the
+            # bounded sample is only collected on the rare non-zero path
+            # (reference inconsistent-index warning, `task.py:529-537`)
+            n_dropped = 0
+            if stage.inputs:
+                if n_ds is not None:
+                    n_dropped = max(0, n_ds - totals["n_total"])
+                else:  # strict_duplicates=False → no fused row count: one job
+                    n_dropped = dropped.count()
+                if n_dropped:
+                    sample = [tuple(r) for r in dropped.limit(10).collect()]
+                    logger.warning(
+                        "[%s] %d elements have keys missing from upstream "
+                        "reports and were dropped (sample: %s) — "
+                        "inconsistent-index semantics",
+                        name, n_dropped, sample,
+                    )
+            dropped_all[name] = n_dropped
             R.enforce_consistency(totals, stage=name)
             stage_summaries = [
                 {

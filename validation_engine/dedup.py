@@ -79,11 +79,16 @@ def token_shingles(col, k: int = 3) -> Column:
 def minhash_signature(shingles: Column, n_hashes: int = 16, use_md5: bool = False) -> Column:
     """MinHash signature as array<bigint|string>, one min per hash function.
 
-    Fast path (default): ONE ``xxhash64`` per shingle, then the hash family
-    is derived with seeded affine maps ``a_i·h + b_i`` (odd multipliers,
-    wrapping 64-bit arithmetic) — the standard trick that makes the cost one
-    string hash + n_hashes integer ops per shingle instead of n_hashes
-    string hashes (string hashing dominated the profile ~6× at n_hashes=16).
+    Fast path (default): ONE ``xxhash64`` per shingle (materialized as its
+    own array so the string is hashed exactly once — higher-order lambdas are
+    interpreted with no CSE), then the family is derived with
+    ``xxhash64(i, h)`` — re-hashing the 8-byte value under a per-function
+    salt.  Fixed-width long hashing is a handful of mixing ops, so the cost
+    stays ~one string hash + n_hashes long-hashes per shingle, and — unlike
+    the usual wrapping affine maps ``a_i·h + b_i`` — it is overflow-free, so
+    it runs identically under ``spark.sql.ansi.enabled=true`` (Spark 4.x
+    default; externally-created sessions keep ANSI on and wrapping arithmetic
+    would throw ARITHMETIC_OVERFLOW).
 
     md5 variant: ``substr(md5(i || '|' || shingle), 1, 16)`` — exists so a
     DuckDB oracle can reproduce the signature bit-for-bit (md5 is the one
@@ -100,23 +105,17 @@ def minhash_signature(shingles: Column, n_hashes: int = 16, use_md5: bool = Fals
         mins = [F.array_min(F.transform(shingles, hash_fn(i))) for i in range(n_hashes)]
         return F.array(*mins)
 
-    import numpy as np
-
-    rng = np.random.default_rng(0xD1D)
-    coeffs = [
-        (int(rng.integers(1, 2**62)) * 2 + 1, int(rng.integers(0, 2**62)))
-        for _ in range(n_hashes)
-    ]
     max_long = F.lit((1 << 63) - 1).cast("long")
     init = F.array(*([max_long] * n_hashes))
+    # ONE string hash per shingle, materialized before the fold
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
 
-    def fold(acc, s):
-        h = F.xxhash64(s)  # ONE string hash per shingle
-        derived = F.array(*[h * F.lit(a) + F.lit(b) for a, b in coeffs])
+    def fold(acc, h):
+        derived = F.array(*[F.xxhash64(F.lit(i), h) for i in range(n_hashes)])
         return F.zip_with(acc, derived, lambda x, y: F.least(x, y))
 
-    # single traversal of the shingle array computing every min at once
-    return F.aggregate(shingles, init, fold)
+    # single traversal of the hash array computing every min at once
+    return F.aggregate(hashes, init, fold)
 
 
 def minhash_lsh_candidates(

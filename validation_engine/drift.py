@@ -156,21 +156,28 @@ def ks_drift(
     """Two-sample KS test per partition vs a reference sample.
 
     ``reference``: a (small) numpy-able sample of the baseline distribution;
-    default = a 100k-capped uniform sample of the whole input (one extra job).
-    Per-partition values are gathered by ``applyInPandas`` — Arrow batches,
-    numpy sort, no scipy.
+    default = a 1025-point quantile grid of the whole input computed with
+    ``percentile_approx`` — ONE aggregation job whose result is a bounded
+    array (an ECDF sketch), never a driver collect of raw data values, so
+    the default path is scale-safe at 10^12 rows.  Pass an explicit
+    ``reference`` for an exact baseline (e.g. exact percentiles, or a held
+    -out sample).  Per-partition values are gathered by ``applyInPandas`` —
+    Arrow batches, numpy sort, no scipy; each GROUP (not the whole input)
+    must fit one executor — use bounded partitions or ``sample_frac``.
     """
     import pandas as pd
 
     if sample_frac:
         df = df.sample(fraction=sample_frac, seed=42)
     if reference is None:
-        n = df.count()
-        frac = min(1.0, 100_000 / max(n, 1))
-        reference = [
-            r[0]
-            for r in df.sample(fraction=frac, seed=42).select(value_col).collect()
-        ]
+        m = 1025
+        grid = [i / (m - 1) for i in range(m)]
+        reference = df.agg(
+            F.percentile_approx(
+                F.col(value_col).cast("double"), grid, 10_000
+            ).alias("q")
+        ).collect()[0]["q"]
+        reference = [v for v in (reference or []) if v is not None]
     ref = np.sort(np.asarray(reference, dtype=float))
 
     schema = T.StructType(

@@ -69,17 +69,40 @@ class Stage:
     output_columns: ``{col: default}`` extra report columns this stage emits
         (`task.py:187-190`).
     skip: SkippableMixin equivalent (`task.py:773-829`).
+    extra_requires: ``{name: value_or_callable}`` — NON-validation
+        dependencies (reference ``extra_requires()``/``extra_input()``,
+        `task.py:354-365`): side resources the validation function needs
+        (a lookup path, a broadcast table, a model artifact).  Callables run
+        driver-side once per workflow run (memoized by identity across
+        stages, like luigi deduplicates shared requirements) — zero-arg or
+        taking the SparkSession; results are available via
+        :meth:`extra_input` and are injected into the user function as the
+        ``extra_inputs`` kwarg when its signature declares it.
     """
 
-    def __init__(self, name, inputs=None, output_columns=None, skip=False):
+    def __init__(self, name, inputs=None, output_columns=None, skip=False,
+                 extra_requires=None):
         self.name = name
         self.inputs = dict(inputs or {})
         self.output_columns = dict(output_columns or {})
         self.skip = bool(skip)
+        self.extra_requires = dict(extra_requires or {})
+        #: resolved extra_requires results, set by the Workflow before run
+        self._extra_inputs: dict = {}
         #: stage-scoped side-artifact directory (reference ``data/`` target,
         #: `task.py:622-627`); set by the Workflow when checkpointing
         self.output_path = None
         _check_output_columns(self.output_columns, name)
+
+    def extra_input(self) -> dict:
+        """Resolved extra-dependency outputs (reference ``extra_input()``,
+        `task.py:363-365`) — populated by the Workflow before the stage runs;
+        resolving directly (outside a Workflow) also works."""
+        if self.extra_requires and not self._extra_inputs:
+            self._extra_inputs = resolve_extra_requires(
+                self.extra_requires, spark=None, cache={}
+            )
+        return self._extra_inputs
 
     # hooks (reference `task.py:295-308`)
     def transform_index(self, df: DataFrame) -> DataFrame:
@@ -126,6 +149,36 @@ class Stage:
         report = report.select(*report_cols)
         return StageOutput(
             report=report, violations=deriver(report), deriver=deriver
+        )
+
+
+def resolve_extra_requires(extra_requires: dict, spark=None, cache=None) -> dict:
+    """Evaluate ``extra_requires`` values: callables run once (memoized by
+    identity in ``cache`` so a dependency shared by several stages runs a
+    single time per workflow run, like luigi's task deduplication); plain
+    values pass through."""
+    import inspect
+
+    cache = cache if cache is not None else {}
+    out = {}
+    for n, dep in extra_requires.items():
+        key = id(dep)
+        if key not in cache:
+            if callable(dep):
+                n_params = len(inspect.signature(dep).parameters)
+                cache[key] = dep(spark) if n_params >= 1 else dep()
+            else:
+                cache[key] = dep
+        out[n] = cache[key]
+    return out
+
+
+def _guard_keys(res, key_list):
+    """Hard failure when a validation function returns key columns —
+    the reference's index-mutation IndexError (`task.py:606-610`)."""
+    if res is not None and any(k in res.columns for k in key_list):
+        raise RuntimeError(
+            f"the validation function must not modify the key columns {key_list}"
         )
 
 
@@ -196,6 +249,10 @@ class PandasElementStage(Stage):
         # ``output_path`` (README.md:42-52); bind it when the fn wants it
         if self.output_path is not None and "output_path" in inspect.signature(fn).parameters:
             fn = functools.partial(fn, output_path=self.output_path)
+        # extra_requires outputs ride the closure as a plain dict
+        # (reference `extra_input()`, task.py:363-365)
+        if self._extra_inputs and "extra_inputs" in inspect.signature(fn).parameters:
+            fn = functools.partial(fn, extra_inputs=dict(self._extra_inputs))
         key_list = list(keys)
         out_cols = list(self.output_columns)
         out_types = self.output_types
@@ -219,24 +276,38 @@ class PandasElementStage(Stage):
             gate = pdf["is_valid"].fillna(False).astype(bool)
             sub = pdf[gate]
             if len(sub):
+                res = None
                 try:
                     res = fn(sub.copy())
-                    if any(k in res.columns for k in key_list):
-                        # key-invariant enforcement (reference IndexError on
-                        # index mutation, task.py:606-610)
-                        raise RuntimeError(
-                            "the validation function must not modify the key "
-                            f"columns {key_list}"
-                        )
-                    for c in res.columns:
-                        pdf.loc[res.index, c] = res[c]
-                except Exception:  # vectorized failed → per-row retry
+                except Exception:  # vectorized failed → per-row retry below
+                    res = None
+                if res is not None:
+                    # key-invariant enforcement OUTSIDE the retry try/except:
+                    # a key-mutating function is a programming error and must
+                    # fail the job hard (reference IndexError on index
+                    # mutation, task.py:606-610), never be retried per-row
+                    # and misreported as data invalidity
+                    _guard_keys(res, key_list)
+                    try:
+                        for c in res.columns:
+                            pdf.loc[res.index, c] = res[c]
+                    except Exception:  # bad write-back → per-row retry
+                        res = None
+                if res is None:
                     for idx in sub.index:
                         row = sub.loc[[idx]]
                         try:
-                            res = fn(row.copy())
-                            for c in res.columns:
-                                pdf.loc[idx, c] = res[c]
+                            rr = fn(row.copy())
+                        except Exception:
+                            pdf.loc[idx, "is_valid"] = False
+                            pdf.loc[idx, "ret_code"] = 1
+                            pdf.loc[idx, "exception"] = traceback.format_exc()
+                            continue
+                        _guard_keys(rr, key_list)
+                        try:
+                            for c in rr.columns:
+                                if c not in key_list:
+                                    pdf.loc[idx, c] = rr[c]
                         except Exception:
                             pdf.loc[idx, "is_valid"] = False
                             pdf.loc[idx, "ret_code"] = 1
@@ -373,6 +444,8 @@ class SetStage(Stage):
             and "output_path" in inspect.signature(self.fn).parameters
         ):
             kwargs["output_path"] = self.output_path
+        if self._extra_inputs and "extra_inputs" in inspect.signature(self.fn).parameters:
+            kwargs["extra_inputs"] = dict(self._extra_inputs)
         try:
             report = self.fn(frame, keys, **kwargs)
         except Exception:

@@ -142,13 +142,20 @@ def pack_greedy(
     partition_by=None,
 ) -> DataFrame:
     """Sequential-fill sequence packing: assign documents (ordered by id) to
-    consecutive bins of ≤ ``max_tokens`` total tokens — the deterministic
-    packing used to build fixed-budget training batches.
+    consecutive bins — the deterministic packing used to build fixed-budget
+    training batches.
 
     ``bin = floor((cumsum(tokens) - tokens) / max_tokens)`` over an ordered
-    window; with ``partition_by`` the cumsum (and the shuffle) is per
-    partition — at corpus scale pack within shards, never globally (a global
-    ordered window is a single-reducer bottleneck).
+    window.  GUARANTEE (offset packing, not strict): every bin STARTS below
+    the ``max_tokens`` boundary, so a bin's total is < ``max_tokens`` + the
+    largest single document in it — a boundary-straddling document overflows
+    its bin rather than opening a new one (e.g. max=10, tokens [6, 6] → bin 0
+    holds 12).  Callers needing a hard cap must pre-truncate documents to
+    ``max_tokens`` (then total < 2·max_tokens) or post-split straddlers; a
+    strict segmented packing is not expressible as one window cumsum.  With
+    ``partition_by`` the cumsum (and the shuffle) is per partition — at
+    corpus scale pack within shards, never globally (a global ordered window
+    is a single-reducer bottleneck).
     """
     from pyspark.sql import Window
 
