@@ -54,6 +54,11 @@ def main(only=None):
     qs = entrymod.queries()
     osql = entrymod.oracle_sql()
     n_pass = n_fail = 0
+    if len(qs) > 50:
+        # observed driver behavior (CORRECTNESS_r01.json): only the FIRST 50
+        # dict keys are checked — entries past 50 silently get no row
+        print(f"FAIL  queries() has {len(qs)} entries (> 50 driver cap)")
+        n_fail += 1
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -65,7 +70,10 @@ def main(only=None):
             n_fail += 1
             continue
         if name not in osql:
-            print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            # every declared query MUST have an oracle (round-2 policy: the
+            # driver verifies at most 50 queries, and all 50 must be green)
+            print(f"FAIL  {name}: {len(sdf)} rows but NO oracle_sql entry")
+            n_fail += 1
             continue
         try:
             ddf = con.execute(osql[name]).df()

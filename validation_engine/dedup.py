@@ -243,20 +243,42 @@ def ngram_jaccard_dedup(
 # ---------------------------------------------------------------------------
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64, use_md5: bool = False
+) -> DataFrame:
     """64-bit SimHash per document: explode tokens, per-bit signed counts,
     reassemble the sign vector into a bigint.  Two-phase hash agg on the doc
-    id; the shuffle carries (id, 64 small ints)."""
+    id; the shuffle carries (id, ``bits`` small ints).
+
+    ``use_md5``: derive bit ``i`` from the high bit of hex nibble ``i`` of
+    ``md5(token)`` (requires ``bits <= 32``) — a hash family DuckDB can
+    reproduce character-for-character, so the operator is verifiable against
+    a SQL oracle.  The default ``xxhash64`` family is the scale path (one
+    long hash vs a 32-char digest per token).
+    """
+    if use_md5 and bits > 32:
+        raise ValueError("use_md5 supports at most 32 bits (md5 hex nibbles)")
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
-    bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(bits)
-    ]
+    )
+    if use_md5:
+        toks = toks.withColumn("h", F.md5("tok"))
+        high = list("89abcdef")
+        bit_aggs = [
+            F.sum(
+                F.when(F.substring("h", i + 1, 1).isin(high), 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    else:
+        toks = toks.withColumn("h", F.xxhash64("tok"))
+        bit_aggs = [
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
     per_doc = toks.groupBy("_id").agg(*bit_aggs)
     sig = None
     for i in range(bits):
