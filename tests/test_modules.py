@@ -150,6 +150,14 @@ def test_run_report_markdown(spark, corpus, tmp_path):
     p = str(tmp_path / "report.md")
     write_run_report(wf, res, p)
     assert os.path.exists(p) and os.path.exists(str(tmp_path / "report.json"))
+    # HTML render (O27 user-facing deliverable): self-contained, escaped
+    html_path = str(tmp_path / "report.html")
+    assert os.path.exists(html_path)
+    html = open(html_path).read()
+    assert html.startswith("<!doctype html>")
+    assert "Validation run" in html and "checks" in html
+    assert "lang_vs_extension" in html  # violations table present
+    assert "<script" not in html  # static, no JS
 
 
 def test_stateful_dedup_stream(spark, tmp_path):

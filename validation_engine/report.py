@@ -56,8 +56,10 @@ def run_report_dict(
     return {"run_id": wf.run_id, "keys": wf.keys, "stages": stages}
 
 
-def run_report_markdown(wf: Workflow, result: RunResult, max_examples: int = 10) -> str:
-    d = run_report_dict(wf, result, max_examples)
+def run_report_markdown(
+    wf: Workflow, result: RunResult, max_examples: int = 10, _d: Optional[dict] = None
+) -> str:
+    d = _d if _d is not None else run_report_dict(wf, result, max_examples)
     lines = [f"# Validation run `{d['run_id']}`", ""]
     for name, s in d["stages"].items():
         status = "✅" if s["n_invalid"] == 0 else "❌"
@@ -81,11 +83,80 @@ def run_report_markdown(wf: Workflow, result: RunResult, max_examples: int = 10)
     return "\n".join(lines)
 
 
+_HTML_CSS = """
+body { font-family: -apple-system, 'Segoe UI', Roboto, sans-serif; margin: 2rem auto;
+       max-width: 60rem; color: #1a1a2e; }
+h1 { border-bottom: 2px solid #e0e0ef; padding-bottom: .4rem; }
+table { border-collapse: collapse; width: 100%; margin: .6rem 0 1.2rem; }
+th, td { text-align: left; padding: .35rem .6rem; border-bottom: 1px solid #e8e8f2; }
+th { background: #f4f4fb; font-weight: 600; }
+.pass { color: #1b7f3a; font-weight: 600; } .fail { color: #b3262a; font-weight: 600; }
+.bar { background: #edf0f7; border-radius: 4px; height: .65rem; width: 12rem; display: inline-block; }
+.bar > span { background: #1b7f3a; border-radius: 4px; height: 100%; display: block; }
+code { background: #f4f4fb; padding: .07rem .3rem; border-radius: 3px; font-size: .92em; }
+.examples { font-size: .9em; color: #444; }
+"""
+
+
+def run_report_html(
+    wf: Workflow, result: RunResult, max_examples: int = 10, _d: Optional[dict] = None
+) -> str:
+    """Self-contained HTML render of the run report — the user-facing
+    deliverable replacing the reference's Sphinx/rst2pdf PDF
+    (`report.py:151-205`, `rst_tools.py:7-227`) without a LaTeX toolchain:
+    same content (per-stage pass/fail, violations grouped by check, bounded
+    examples), one portable file, zero extra dependencies."""
+    import html as _html
+
+    d = _d if _d is not None else run_report_dict(wf, result, max_examples)
+    esc = _html.escape
+    out = [
+        "<!doctype html><html><head><meta charset='utf-8'>",
+        f"<title>Validation run {esc(str(d['run_id']))}</title>",
+        f"<style>{_HTML_CSS}</style></head><body>",
+        f"<h1>Validation run <code>{esc(str(d['run_id']))}</code></h1>",
+        f"<p>Element keys: <code>{esc(', '.join(d['keys']))}</code></p>",
+    ]
+    for name, s in d["stages"].items():
+        cls = "pass" if s["n_invalid"] == 0 else "fail"
+        mark = "PASSED" if s["n_invalid"] == 0 else "FAILED"
+        pct = 100.0 * s["n_valid"] / max(s["n_total"], 1)
+        out += [
+            f"<h2>{esc(name)} <span class='{cls}'>{mark}</span></h2>",
+            f"<p><span class='bar'><span style='width:{pct:.1f}%'></span></span> "
+            f"{s['n_valid']} / {s['n_total']} valid ({pct:.1f}%), "
+            f"{s['n_warning']} warnings, {s['partitions']} partitions, "
+            f"{s['dropped_inconsistent_keys']} inconsistent keys dropped</p>",
+        ]
+        if s["violations_by_check"]:
+            out.append("<table><tr><th>check</th><th>violations</th></tr>")
+            for cid, n in s["violations_by_check"].items():
+                out.append(f"<tr><td><code>{esc(str(cid))}</code></td><td>{n}</td></tr>")
+            out.append("</table>")
+        if s["violation_examples"]:
+            out.append("<table class='examples'><tr><th>element</th><th>check</th><th>reason</th></tr>")
+            for ex in s["violation_examples"]:
+                key = ", ".join(str(ex[k]) for k in d["keys"])
+                out.append(
+                    f"<tr><td>{esc(key)}</td><td><code>{esc(str(ex['check_id']))}</code></td>"
+                    f"<td>{esc(str(ex['reason']))}</td></tr>"
+                )
+            out.append("</table>")
+    out.append("</body></html>")
+    return "".join(out)
+
+
 def write_run_report(
     wf: Workflow, result: RunResult, path: str, max_examples: int = 10
 ) -> None:
-    md = run_report_markdown(wf, result, max_examples)
+    """Write the run report as markdown + JSON + HTML side by side
+    (``report.md`` / ``report.json`` / ``report.html``)."""
+    # compute the (job-running) report dict ONCE; all three renders share it
+    d = run_report_dict(wf, result, max_examples)
     with open(path, "w") as f:
-        f.write(md)
-    with open(path.rsplit(".", 1)[0] + ".json", "w") as f:
-        json.dump(run_report_dict(wf, result, max_examples), f, indent=2, default=str)
+        f.write(run_report_markdown(wf, result, max_examples, _d=d))
+    base = path.rsplit(".", 1)[0]
+    with open(base + ".json", "w") as f:
+        json.dump(d, f, indent=2, default=str)
+    with open(base + ".html", "w") as f:
+        f.write(run_report_html(wf, result, max_examples, _d=d))
