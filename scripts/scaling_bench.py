@@ -37,9 +37,11 @@ LEVELS = [int(x) for x in os.environ.get("SCALING_LEVELS", "2,8,32").split(",")]
 
 
 def cpu_total():
+    """(busy+idle jiffies, idle jiffies, steal jiffies) — steal reveals
+    hypervisor contention, the main noise source for low-thread probes."""
     with open("/proc/stat") as f:
-        parts = f.readline().split()[1:8]
-    return sum(int(x) for x in parts), int(parts[3])
+        parts = f.readline().split()[1:9]
+    return sum(int(x) for x in parts[:7]), int(parts[3]), int(parts[7])
 
 
 def suite_plan(spark, n, cpus):
@@ -79,13 +81,15 @@ def probe(cpus: int, n: int) -> dict:
     # warm codegen with the same plan shape on a small input
     suite_plan(spark, max(n // 40, 10_000), cpus).collect()
     best = None
-    for _attempt in range(2):  # best-of-2: absorb scheduler/GC noise
+    attempts = int(os.environ.get("SCALING_ATTEMPTS", "3"))
+    for _attempt in range(attempts):  # best-of-N: absorb scheduler/GC/steal noise
         t0 = time.time()
-        c0, i0 = cpu_total()
+        c0, i0, s0 = cpu_total()
         rows = suite_plan(spark, n, cpus).collect()
         dt = time.time() - t0
-        c1, i1 = cpu_total()
+        c1, i1, s1 = cpu_total()
         busy = ((c1 - c0) - (i1 - i0)) / 100 / dt
+        steal = (s1 - s0) / 100 / dt  # stolen cores during the run
         n_total = sum(r["n_total"] for r in rows)
         cur = {
             "cpus": cpus,
@@ -93,6 +97,7 @@ def probe(cpus: int, n: int) -> dict:
             "sec": round(dt, 2),
             "rows_per_sec": round(n_total / dt, 1),
             "busy_cores": round(busy, 1),
+            "steal_cores": round(steal, 2),
         }
         if best is None or cur["rows_per_sec"] > best["rows_per_sec"]:
             best = cur
