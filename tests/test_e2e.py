@@ -141,3 +141,59 @@ def test_warning_checks_keep_validity(spark, corpus):
     assert v.count() == n_warned
     # summaries count warnings
     assert sum(s["n_warning"] for s in res.summaries) == n_warned
+
+
+def test_cli_end_to_end_with_defaults_cfg(spark, corpus, tmp_path, capsys):
+    """CLI drive (reference luigi CLI analogue): workflow JSON + luigi.cfg
+    -style defaults file binding the flags; exit code reflects validity."""
+    import json
+    import os
+
+    from validation_engine import cli
+
+    files = corpus["files"].dropDuplicates(["repo", "path", "commit"]).limit(200)
+    inp = str(tmp_path / "files.parquet")
+    files.write.mode("overwrite").parquet(inp)
+
+    wf_json = {
+        "keys": ["repo", "path", "commit"],
+        "n_buckets": 4,
+        "stages": [
+            {"name": "basic", "checks": [
+                {"type": "non_empty", "col": "content"},
+                {"type": "sha256_equals"},
+            ]},
+            {"name": "strict", "inputs": {"basic": {}},
+             "checks": [{"type": "lang_matches_extension"}]},
+        ],
+        "set_checks": {"uniqueness": True},
+    }
+    cfg_json = str(tmp_path / "workflow.json")
+    with open(cfg_json, "w") as f:
+        json.dump(wf_json, f)
+
+    report = str(tmp_path / "run_report.md")
+    defaults_cfg = str(tmp_path / "ve.cfg")
+    with open(defaults_cfg, "w") as f:
+        f.write(
+            "[validation_engine]\n"
+            f"input = {inp}\n"
+            f"config = {cfg_json}\n"
+            f"report = {report}\n"
+            "master = local[4]\n"
+        )
+
+    # all parameters bound from the cfg file — bare invocation
+    rc = cli.main(["--defaults-cfg", defaults_cfg])
+    out = capsys.readouterr().out
+    assert "uniqueness violations" in out
+    assert os.path.exists(report) and os.path.exists(
+        str(tmp_path / "run_report.html")
+    )
+    # synthesized corpus plants invalid rows → non-zero exit
+    assert rc == 1
+
+    # explicit flag overrides the cfg value (luigi precedence)
+    report2 = str(tmp_path / "override.md")
+    rc2 = cli.main(["--defaults-cfg", defaults_cfg, "--report", report2])
+    assert os.path.exists(report2) and rc2 == 1

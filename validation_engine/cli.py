@@ -91,13 +91,53 @@ def build_workflow(config: dict, checkpoint_dir: str | None) -> Workflow:
     )
 
 
+def load_defaults_cfg(path: str | None = None) -> dict:
+    """luigi.cfg analogue (reference `README.md:127-129`: luigi binds task
+    parameters from a config file): an INI ``[validation_engine]`` section
+    supplies defaults for the CLI flags, so recurring runs need only
+    ``python -m validation_engine.cli``.
+
+    Lookup order: explicit ``--defaults-cfg`` → ``$VALIDATION_ENGINE_CONFIG``
+    → ``./validation_engine.cfg``.  Flags given on the command line always
+    win (same precedence as luigi).
+    """
+    import configparser
+    import os
+
+    p = path or os.environ.get("VALIDATION_ENGINE_CONFIG")
+    if p is None and os.path.exists("validation_engine.cfg"):
+        p = "validation_engine.cfg"
+    if not p:
+        return {}
+    if not os.path.exists(p):
+        raise FileNotFoundError(f"defaults cfg not found: {p}")
+    cp = configparser.ConfigParser()
+    cp.read(p)
+    if "validation_engine" not in cp:
+        return {}
+    return dict(cp["validation_engine"])
+
+
 def main(argv=None) -> int:
-    p = argparse.ArgumentParser(description="PySpark validation engine")
-    p.add_argument("--input", required=True, help="parquet path or catalog table")
-    p.add_argument("--config", required=True, help="workflow JSON")
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument(
+        "--defaults-cfg", default=None,
+        help="INI file whose [validation_engine] section supplies flag "
+             "defaults (luigi.cfg analogue)",
+    )
+    pre_args, _rest = pre.parse_known_args(argv)
+    defaults = load_defaults_cfg(pre_args.defaults_cfg)
+
+    p = argparse.ArgumentParser(description="PySpark validation engine", parents=[pre])
+    p.add_argument("--input", required="input" not in defaults,
+                   help="parquet path or catalog table")
+    p.add_argument("--config", required="config" not in defaults,
+                   help="workflow JSON")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--report", default=None, help="markdown report output path")
     p.add_argument("--master", default=None)
+    known = {a.dest for a in p._actions}
+    p.set_defaults(**{k: v for k, v in defaults.items() if k in known})
     args = p.parse_args(argv)
 
     with open(args.config) as f:
