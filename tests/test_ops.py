@@ -331,3 +331,32 @@ def test_minhash_ansi_mode_safe(spark):
     finally:
         spark.conf.set("spark.sql.ansi.enabled", old)
     assert (100, 101) in got
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Transitive closure over pairs: a diameter-4 chain collapses to one
+    component (multi-round propagation), islands stay separate, and
+    cluster_representatives keeps exactly min-id per component."""
+    import pandas as pd
+
+    from validation_engine.dedup import cluster_representatives, connected_components
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, 1), (1, 2), (2, 3), (3, 4),  # chain: component 0
+             (10, 11),                         # island pair
+             (20, 21), (21, 22)],              # 3-node component
+            columns=["id_a", "id_b"],
+        )
+    )
+    comp = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0,
+                    10: 10, 11: 10,
+                    20: 20, 21: 20, 22: 20}
+
+    docs = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    kept = {r["doc_id"] for r in cluster_representatives(docs, pairs.selectExpr(
+        "id_a", "id_b"), "doc_id").collect()}
+    # min per component survives, all unpaired rows pass through
+    dropped = {1, 2, 3, 4, 11, 21, 22}
+    assert kept == set(range(30)) - dropped

@@ -573,3 +573,24 @@ def test_extra_requires(spark, tmp_path):
     assert stage.extra_input()["extra_task_target"] == target
     assert len(ran) == 1, "shared extra dependency must be memoized per run"
     assert res.reports["b2"].collect()[0]["extra_result"] == "result of TestTaskA"
+
+
+# --- O4 side-artifact dir (reference data/ target, task.py:622-627) ---
+
+
+def side_artifact_fn(frame, keys, output_path=None):
+    import os as _os
+
+    with open(_os.path.join(output_path, "artifact.txt"), "w", encoding="utf-8") as f:
+        f.write("side artifact")
+    return frame.withColumn("is_valid", F.lit(True))
+
+
+def test_side_artifact_output_path(spark, tmp_path):
+    df = _df(spark, [{"a": 1}, {"a": 2}])
+    stage = SetStage("art", side_artifact_fn)
+    root = str(tmp_path / "ckpt_art")
+    res = Workflow([stage], checkpoint=CheckpointManager(root)).run(spark, df)
+    art = tmp_path / "ckpt_art" / "stages" / "art" / "data" / "artifact.txt"
+    assert art.exists() and art.read_text() == "side artifact"
+    assert res.reports["art"].filter(~F.col("is_valid")).count() == 0

@@ -143,6 +143,11 @@ def main(argv=None) -> int:
     with open(args.config) as f:
         config = json.load(f)
 
+    from pyspark.sql import SparkSession
+
+    # getOrCreate may return a session owned by the caller (embedded use,
+    # tests) — only stop what this entry point actually created
+    preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark("validation-engine", master=args.master)
     df = (
         spark.read.table(args.input)
@@ -177,7 +182,8 @@ def main(argv=None) -> int:
     else:
         print(run_report_markdown(wf, res))
     n_invalid = sum(s["n_total"] - s["n_valid"] for s in res.summaries)
-    spark.stop()
+    if not preexisting:
+        spark.stop()
     return 1 if (n_invalid or n_set_violations) else 0
 
 

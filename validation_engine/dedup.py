@@ -396,3 +396,80 @@ def embedding_near_duplicates(
         .filter(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: pairs → connected components → representatives
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Cluster near-duplicate PAIRS into components: ``(id, component)`` with
+    ``component`` = the minimum id reachable through any chain of pairs —
+    the step every dedup pipeline needs between candidate pairs and "keep
+    one per group" (transitive closure: A~B, B~C ⇒ {A,B,C} is one group).
+
+    Min-label propagation: each round joins current labels across the
+    (undirected) edge list and keeps the element-wise minimum; labels only
+    decrease, so it converges in O(component diameter) rounds — near-dup
+    clusters are shallow (dense blobs around a template), so 2-4 rounds in
+    practice.  Per round: one shuffle join + one aggregation, shuffling only
+    (id, label) longs — never documents.  Lineage is truncated per round
+    (``localCheckpoint``) so the plan stays flat; at cluster scale swap in a
+    reliable ``checkpoint(dir)`` for executor-loss safety.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _round in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("comp").alias("nc")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nc").alias("nc"))
+        )
+        new = (
+            labels.join(nbr_min.withColumnRenamed("src", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.select("id", F.col("comp").alias("_old")), "id")
+            .filter(F.col("comp") != F.col("_old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def cluster_representatives(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Keep one representative (min id) per near-duplicate component; rows
+    not in any pair pass through untouched.  The anti-join ships only the
+    (small) drop-list against the corpus — single shuffle-free pass when the
+    drop side broadcasts."""
+    comps = connected_components(pairs)
+    to_drop = comps.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(F.broadcast(to_drop), id_col, "left_anti")
