@@ -173,18 +173,30 @@ def q_uniqueness_lineitem(spark, sf):
 
 
 def q_referential_counts(spark, sf):
-    """Orphan-count summary across FK relations — single row."""
+    """Orphan-count summary across FK relations — one DataFrame plan, zero
+    driver-side counts: BOTH lineitem FKs are checked in a single scan
+    (two broadcast left joins + one conditional aggregation) instead of two
+    anti-join count jobs; at 100 TB that halves the fact-table reads."""
     li = _t(spark, sf, "lineitem")
     part = _t(spark, sf, "part")
     supp = _t(spark, sf, "supplier")
     orders = _t(spark, sf, "orders")
     cust = _t(spark, sf, "customer")
-    a = li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == part.p_partkey, "left_anti").count()
-    b = li.join(F.broadcast(supp.select("s_suppkey")), li.l_suppkey == supp.s_suppkey, "left_anti").count()
-    c = orders.join(F.broadcast(cust.select("c_custkey")), orders.o_custkey == cust.c_custkey, "left_anti").count()
-    return spark.createDataFrame(
-        [(a, b, c)], "orphan_lineitem_part bigint, orphan_lineitem_supp bigint, orphan_orders_cust bigint"
+    li_orphans = (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(part.select("p_partkey")), li.l_partkey == part.p_partkey, "left")
+        .join(F.broadcast(supp.select("s_suppkey")), li.l_suppkey == supp.s_suppkey, "left")
+        .agg(
+            F.count(F.when(F.col("p_partkey").isNull(), 1)).alias("orphan_lineitem_part"),
+            F.count(F.when(F.col("s_suppkey").isNull(), 1)).alias("orphan_lineitem_supp"),
+        )
     )
+    ord_orphans = (
+        orders.select("o_custkey")
+        .join(F.broadcast(cust.select("c_custkey")), orders.o_custkey == cust.c_custkey, "left")
+        .agg(F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("orphan_orders_cust"))
+    )
+    return li_orphans.crossJoin(ord_orphans)
 
 
 def q_null_rates_documents(spark, sf):
@@ -490,12 +502,14 @@ def q_hourly_event_rollup(spark, sf):
 
 
 def q_dedup_exact_documents(spark, sf):
+    """Exact dedup through the real operator, summarized in ONE plan (no
+    driver-side counts — both totals are computed by the collecting job)."""
     from validation_engine.dedup import exact_dedup
 
     docs = _t(spark, sf, "documents")
     kept = exact_dedup(docs, "doc_id", "text")
-    return spark.createDataFrame(
-        [(docs.count(), kept.count())], "n_docs bigint, n_after_dedup bigint"
+    return docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        kept.agg(F.count(F.lit(1)).alias("n_after_dedup"))
     )
 
 
