@@ -360,3 +360,38 @@ def test_connected_components_chain_and_islands(spark):
     # min per component survives, all unpaired rows pass through
     dropped = {1, 2, 3, 4, 11, 21, 22}
     assert kept == set(range(30)) - dropped
+
+
+def test_referential_violations_planted_orphans(spark):
+    """Broadcast anti-join RI: planted orphan FKs become violation rows with
+    the fk-derived check id; clean FKs produce none."""
+    import pandas as pd
+
+    from validation_engine.checks import referential_violations
+
+    facts = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3, 4], "fk": [10, 20, 99, 98]})
+    )
+    dim = spark.createDataFrame(pd.DataFrame({"pk": [10, 20, 30]}))
+    v = referential_violations(facts, dim, fk=["fk"], pk=["pk"], keys=["k"])
+    rows = {r["k"]: r for r in v.collect()}
+    assert set(rows) == {3, 4}
+    assert all(r["check_id"] == "fk_fk" for r in rows.values())
+    clean = referential_violations(
+        facts.filter("k < 3"), dim, fk=["fk"], pk=["pk"], keys=["k"]
+    )
+    assert clean.count() == 0
+
+
+def test_set_operations_semantics(spark):
+    """INTERSECT / EXCEPT ALL / UNION distinct semantics over key domains
+    (coverage for the relational set-operator surface)."""
+    import pandas as pd
+
+    a = spark.createDataFrame(pd.DataFrame({"k": [1, 1, 2, 3]}))
+    b = spark.createDataFrame(pd.DataFrame({"k": [2, 3, 3, 4]}))
+    assert {r["k"] for r in a.intersect(b).collect()} == {2, 3}
+    # exceptAll keeps multiplicity: [1,1,2,3] minus [2,3,3,4] -> [1,1]
+    assert sorted(r["k"] for r in a.exceptAll(b).collect()) == [1, 1]
+    assert {r["k"] for r in a.union(b).distinct().collect()} == {1, 2, 3, 4}
+    assert a.unionByName(b).count() == 8
