@@ -395,3 +395,39 @@ def test_set_operations_semantics(spark):
     assert sorted(r["k"] for r in a.exceptAll(b).collect()) == [1, 1]
     assert {r["k"] for r in a.union(b).distinct().collect()} == {1, 2, 3, 4}
     assert a.unionByName(b).count() == 8
+
+
+def test_pack_strict_hard_cap(spark):
+    """Strict packing: multi-doc bins never exceed the budget (the case the
+    greedy window variant documents as overflow: max=10, tokens [6,6])."""
+    import pandas as pd
+
+    from validation_engine.text import pack_strict
+
+    rows = [("s", i, t) for i, t in enumerate([6, 6, 3, 3, 3, 12, 2])]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["shard", "doc_id", "n_tok"]))
+    packed = pack_strict(df, "doc_id", "n_tok", 10, partition_by=["shard"])
+    out = {r["doc_id"]: r["bin"] for r in packed.collect()}
+    # [6][6 3][3 3 2?]... walk: 6 -> bin0; 6 overflows -> bin1; 3 fits bin1 (9);
+    # 3 overflows -> bin2; 3 fits (6); 12 overflows -> bin3 (oversized alone);
+    # 2 overflows (12+2>10) -> bin4
+    assert out == {0: 0, 1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 4}
+    sums = (
+        packed.groupBy("bin")
+        .agg(F.sum("n_tok").alias("t"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    assert all(r["t"] <= 10 for r in sums if r["c"] > 1)
+
+
+def test_psi_drift_flags_planted_partition(spark, corpus):
+    from validation_engine.drift import psi_drift
+
+    files = corpus["files"].dropDuplicates(["repo", "path", "commit"])
+    drifted_repo = corpus["expected"]["drift_repo"]
+    res = psi_drift(files, F.length("content"), "repo", n_buckets=16)
+    rows = {r["partition"]: r for r in res.collect()}
+    assert rows[drifted_repo]["drifted"]
+    # the planted partition dominates: PSI well clear of every other repo
+    runner_up = max(r["psi"] for p, r in rows.items() if p != drifted_repo)
+    assert rows[drifted_repo]["psi"] >= 2 * runner_up

@@ -196,3 +196,51 @@ def text_profile(df: DataFrame, col: str) -> DataFrame:
             "fingerprint": fingerprint(col, tokens=toks),
         }
     ).drop("_toks")
+
+
+def pack_strict(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    max_tokens: int,
+    partition_by,
+) -> DataFrame:
+    """STRICT sequential packing: a new bin opens when adding the next
+    document (ordered by ``id_col``) would exceed ``max_tokens``; documents
+    larger than the budget get a bin of their own.  Guarantees every
+    multi-document bin totals ≤ ``max_tokens`` — the hard-cap variant of
+    :func:`pack_greedy` (whose window formulation lets a boundary straddler
+    overflow its bin).
+
+    Strict packing is inherently sequential, so it runs per shard via
+    ``applyInPandas`` (one Arrow batch per shard, a numpy loop over its
+    docs); ``partition_by`` is REQUIRED — shards bound both the state and
+    the parallelism, exactly like the greedy variant's scale note.
+    """
+    if not partition_by:
+        raise ValueError("pack_strict requires partition_by (per-shard packing)")
+    partition_by = list(partition_by)
+    out_schema = df.select(
+        *partition_by, id_col, F.col(tokens_col).cast("long").alias(tokens_col)
+    ).schema.add("bin", "long")
+
+    def pack_group(pdf):
+        import pandas as pd  # noqa: F401 (worker-side import)
+
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        toks = pdf[tokens_col].to_numpy()
+        bins = [0] * len(toks)
+        cur_bin, cur_tot = 0, 0
+        for i, t in enumerate(toks):
+            if cur_tot and cur_tot + t > max_tokens:
+                cur_bin += 1
+                cur_tot = 0
+            bins[i] = cur_bin
+            cur_tot += t
+        pdf["bin"] = bins
+        return pdf[[c.name for c in out_schema.fields]]
+
+    prepared = df.select(
+        *partition_by, id_col, F.col(tokens_col).cast("long").alias(tokens_col)
+    )
+    return prepared.groupBy(*partition_by).applyInPandas(pack_group, out_schema)
