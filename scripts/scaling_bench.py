@@ -72,10 +72,23 @@ def suite_plan(spark, n, cpus):
 
 
 def probe(cpus: int, n: int) -> dict:
+    """One parallelism level.  SCALING_MODE=cluster uses
+    ``local-cluster[N,1,mem]`` — N REAL executor JVMs (own heap, own GC,
+    block-manager shuffle between processes), the closest sandbox analogue
+    to ``spark-submit --num-executors N``; default 'threads' mode uses
+    ``local[N]`` (one shared JVM)."""
     from validation_engine.session import get_spark
 
+    mode = os.environ.get("SCALING_MODE", "threads")
+    if mode == "cluster":
+        master = f"local-cluster[{cpus},1,3072]"
+        extra = {"spark.executor.memory": "3g"}
+    else:
+        master = f"local[{cpus}]"
+        extra = {}
     spark = get_spark(
-        f"scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus * 2
+        f"scaling-{cpus}", master=master, shuffle_partitions=cpus * 2,
+        extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
     # warm codegen with the same plan shape on a small input
@@ -108,6 +121,7 @@ def probe(cpus: int, n: int) -> dict:
 def main():
     results = [probe(c, N_ROWS) for c in LEVELS]
     out = {"job": "full element-check suite (generate→validate→aggregate)",
+           "mode": os.environ.get("SCALING_MODE", "threads"),
            "n_rows": N_ROWS, "levels": results}
     by = {r["cpus"]: r["rows_per_sec"] for r in results}
     if 2 in by and 8 in by:
