@@ -197,3 +197,27 @@ def test_cli_end_to_end_with_defaults_cfg(spark, corpus, tmp_path, capsys):
     report2 = str(tmp_path / "override.md")
     rc2 = cli.main(["--defaults-cfg", defaults_cfg, "--report", report2])
     assert os.path.exists(report2) and rc2 == 1
+
+
+def test_quarantine_rows_match_invalids(spark, corpus, tmp_path):
+    """Quarantine = invalid elements with payload: exactly the rows any
+    stage marked invalid, payload columns intact, written for reprocessing."""
+    files = corpus["files"].dropDuplicates(["repo", "path", "commit"])
+    wf = Workflow(
+        [ElementStage("basic", checks=[non_empty("content")]),
+         ElementStage("lang", checks=[lang_matches_extension()],
+                      inputs={"basic": {}})],
+    )
+    res = wf.run(spark, files)
+    qpath = str(tmp_path / "quarantine")
+    q = wf.quarantine(files, res, path=qpath)
+    n_invalid_union = (
+        res.reports["basic"].filter(~F.col("is_valid")).select("repo", "path", "commit")
+        .union(res.reports["lang"].filter(~F.col("is_valid")).select("repo", "path", "commit"))
+        .distinct()
+        .count()
+    )
+    assert q.count() == n_invalid_union > 0
+    assert "content" in q.columns  # payload present
+    reread = spark.read.parquet(qpath)
+    assert reread.count() == n_invalid_union

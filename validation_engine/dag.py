@@ -479,6 +479,30 @@ class Workflow:
             out = out.unionByName(d)
         return out
 
+    def quarantine(
+        self, dataset: DataFrame, result: RunResult, path: Optional[str] = None
+    ) -> DataFrame:
+        """Invalid elements WITH their payload columns — the reprocessing
+        feed a production pipeline routes around the clean output (the
+        reference keeps invalid rows only inside the report CSV; at corpus
+        scale the payload must come from the source, not be duplicated into
+        every report).
+
+        Plan shape: per-stage invalid KEYS are unioned (fixed-width key
+        shuffle only, map-side distinct), then ONE left-semi join pulls the
+        payload rows from the source — the corpus is scanned once and
+        nothing wider than the keys moves before the final join.
+        """
+        invalid_keys = None
+        for rep in result.reports.values():
+            k = rep.filter(~F.col("is_valid")).select(*self.keys)
+            invalid_keys = k if invalid_keys is None else invalid_keys.union(k)
+        invalid_keys = invalid_keys.dropDuplicates(self.keys)
+        out = dataset.join(invalid_keys, on=self.keys, how="left_semi")
+        if path:
+            out.write.mode("overwrite").parquet(path)
+        return out
+
 
 def _stage_name(s) -> str:
     return s.name if isinstance(s, Stage) else str(s)
