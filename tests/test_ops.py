@@ -431,3 +431,40 @@ def test_psi_drift_flags_planted_partition(spark, corpus):
     # the planted partition dominates: PSI well clear of every other repo
     runner_up = max(r["psi"] for p, r in rows.items() if p != drifted_repo)
     assert rows[drifted_repo]["psi"] >= 2 * runner_up
+
+
+def test_connected_components_matches_union_find(spark):
+    """Randomized cross-check: Spark label propagation == driver union-find
+    on seeded random graphs (including long chains past one round)."""
+    import random
+
+    import pandas as pd
+
+    from validation_engine.dedup import connected_components
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        nodes = list(range(40))
+        edges = [
+            (min(a, b), max(a, b))
+            for a, b in (rng.sample(nodes, 2) for _ in range(30))
+        ]
+        edges += [(50 + i, 51 + i) for i in range(6)]  # planted chain
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expect = {x: find(x) for x in parent}
+
+        pairs = spark.createDataFrame(pd.DataFrame(edges, columns=["id_a", "id_b"]))
+        got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+        assert got == expect, f"seed {seed}: mismatch"
