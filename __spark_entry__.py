@@ -580,18 +580,21 @@ def q_fingerprint_md5(spark, sf):
 
 def q_chi2_drift_by_source(spark, sf):
     """Chi-square drift of text length across source partitions (no-UDF
-    variant: histogram + expected-count exprs; p-value left to ks/chi2 ops)."""
+    variant): one corpus scan to the per-(partition, bucket) histogram, then
+    window sums over the tiny histogram derive global/partition/total counts
+    — a single action, no persist/collect/self-join."""
+    from pyspark.sql import Window
+
     from validation_engine.drift import partition_histogram
 
     docs = _t(spark, sf, "documents")
     hist = partition_histogram(docs, F.length("text"), "source", n_buckets=16)
-    tot = hist.agg(F.sum("n")).collect()[0][0]
-    glob = hist.groupBy("bucket").agg(F.sum("n").alias("gn"))
-    pn = hist.groupBy("partition").agg(F.sum("n").alias("pn"))
+    gn = F.sum("n").over(Window.partitionBy("bucket"))
+    pn = F.sum("n").over(Window.partitionBy("partition"))
+    tot = F.sum("n").over(Window.partitionBy())
     e = (
-        hist.join(F.broadcast(glob), "bucket")
-        .join(F.broadcast(pn), "partition")
-        .withColumn("exp", F.col("gn") * F.col("pn") / F.lit(float(tot)))
+        hist.withColumn("pn", pn)
+        .withColumn("exp", gn * F.col("pn") / tot.cast("double"))
         .withColumn("term", F.pow(F.col("n") - F.col("exp"), 2) / F.col("exp"))
     )
     return e.groupBy("partition").agg(

@@ -82,16 +82,20 @@ def chi_square_drift(
     after the tiny per-bucket aggregate is array math over at most
     ``n_partitions × n_buckets`` rows — broadcastable, driver-light.
     """
+    from pyspark.sql import Window
+
     hist = partition_histogram(df, value_col, partition_col, n_buckets, lo, hi)
-    hist = hist.persist()
-    glob = hist.groupBy("bucket").agg(F.sum("n").alias("gn"))
-    tot = hist.agg(F.sum("n").alias("N")).collect()[0]["N"]
+    # the global/partition/total sums are WINDOW sums over the tiny
+    # (n_partitions × n_buckets) histogram — one corpus scan, ONE action, no
+    # persist/collect/self-join (the round-1 join formulation re-derived the
+    # histogram per branch or needed a persist + a scalar collect)
+    gn = F.sum("n").over(Window.partitionBy("bucket"))
+    pn = F.sum("n").over(Window.partitionBy("partition"))
+    tot = F.sum("n").over(Window.partitionBy())
     # chi2 = Σ_b (obs - exp)^2 / exp, with exp_b = gn_b * pn / N
-    pn = hist.groupBy("partition").agg(F.sum("n").alias("pn"))
     e = (
-        hist.join(F.broadcast(glob), "bucket")
-        .join(F.broadcast(pn), "partition")
-        .withColumn("exp", F.col("gn") * F.col("pn") / F.lit(float(tot)))
+        hist.withColumn("pn", pn)
+        .withColumn("exp", gn * F.col("pn") / tot.cast("double"))
         .withColumn("term", F.pow(F.col("n") - F.col("exp"), 2) / F.col("exp"))
     )
     out = e.groupBy("partition").agg(
@@ -101,7 +105,6 @@ def chi_square_drift(
     )
     pval = _chi2_sf_udf()
     out = out.withColumn("p_value", F.round(pval(F.col("chi2"), F.col("dof")), 8))
-    hist.unpersist()
     return out.withColumn("drifted", F.col("p_value") < 0.001)
 
 
