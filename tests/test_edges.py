@@ -1,0 +1,84 @@
+"""Edge-case battery: empty inputs, null keys, unicode payloads.
+
+A 10^12-file corpus WILL contain every one of these; the engine must
+classify or account for them, never crash or silently diverge."""
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from validation_engine import (
+    CheckpointManager,
+    ElementStage,
+    SetStage,
+    Workflow,
+    non_empty,
+)
+
+KEYS = ["repo", "path", "commit"]
+
+
+def test_empty_dataset_runs_clean(spark, tmp_path):
+    df = spark.createDataFrame([], "repo string, path string, commit string, content string")
+    wf = Workflow(
+        [ElementStage("b", checks=[non_empty("content")])],
+        checkpoint=CheckpointManager(str(tmp_path / "ckpt0")),
+    )
+    res = wf.run(spark, df)
+    assert res.reports["b"].count() == 0
+    assert wf.all_violations(res).count() == 0
+    assert sum(s["n_total"] for s in res.summaries) == 0
+
+
+def test_null_key_rows_accounted_not_lost(spark):
+    """A null key joins to nothing: downstream inconsistent-key semantics
+    must count the row as dropped, not lose it silently."""
+    rows = [
+        {"repo": "r", "path": "p0", "commit": "c", "content": "x"},
+        {"repo": "r", "path": None, "commit": "c", "content": "y"},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    up = ElementStage("up", checks=[non_empty("content")])
+    down = ElementStage("down", checks=[], inputs={"up": {}})
+    res = Workflow([up, down]).run(spark, df)
+    # upstream report carries both rows; the null-key row cannot join and is
+    # dropped downstream with the documented warning
+    assert res.reports["up"].count() == 2
+    assert res.reports["down"].count() == 1
+    assert res.dropped_inconsistent["down"] == 1
+
+
+def test_unicode_content_through_checks_and_dedup(spark):
+    from validation_engine.dedup import exact_dedup, minhash_lsh_candidates
+    from validation_engine.text import fingerprint, token_count
+
+    rows = [
+        (1, "héllo wörld 你好 世界 🚀 emoji test content here"),
+        (2, "héllo wörld 你好 世界 🚀 emoji test content here"),  # exact dup
+        (3, "совершенно другой текст на русском языке без общего"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    kept = exact_dedup(df, "id", "text")
+    assert {r["id"] for r in kept.collect()} == {1, 3}
+    fps = {r["id"]: r["fp"] for r in df.select("id", fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[2] != fps[3]
+    n = {r["id"]: r["n"] for r in df.select("id", token_count("text").alias("n")).collect()}
+    assert n[1] == 9
+    cand = minhash_lsh_candidates(df, "id", "text", k=2, n_hashes=8, bands=4)
+    assert (1, 2) in {(r["id_a"], r["id_b"]) for r in cand.collect()}
+
+
+def test_all_invalid_dataset_summary(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame([{"repo": "r", "path": f"p{i}", "commit": "c", "content": ""} for i in range(5)])
+    )
+    res = Workflow([ElementStage("b", checks=[non_empty("content")])]).run(spark, df)
+    assert sum(s["n_valid"] for s in res.summaries) == 0
+    assert res.reports["b"].filter(F.col("ret_code") != 1).count() == 0
+
+
+def test_set_stage_on_empty_frame(spark, tmp_path):
+    df = spark.createDataFrame([], "repo string, path string, commit string, content string")
+    stage = SetStage("s", lambda f, k: f.withColumn("is_valid", F.lit(True)))
+    res = Workflow([stage]).run(spark, df)
+    assert res.reports["s"].count() == 0
