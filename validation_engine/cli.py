@@ -161,8 +161,6 @@ def main(argv=None) -> int:
     set_cfg = config.get("set_checks", {})
     n_set_violations = 0
     if set_cfg.get("uniqueness"):
-        from pyspark.sql import functions as FF
-
         n = C.uniqueness_violations(df, keys=wf.keys).count()
         n_set_violations += n
         print(f"uniqueness violations on {wf.keys}: {n}")

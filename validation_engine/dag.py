@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from . import result as R
 from .checkpoint import CheckpointManager
 from .schema import DEFAULT_KEYS, REPORT_FIXED_COLS, RESERVED_COLS
-from .stage import Stage, StageOutput
+from .stage import Stage
 
 logger = logging.getLogger(__name__)
 

@@ -21,7 +21,7 @@ similarity thresholds; the verify join re-reads only candidate documents.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 from pyspark.sql import Column, DataFrame, functions as F
 

@@ -14,9 +14,9 @@ The grouping mirrors `report.py:109-147`: validated / validated-with-warnings
 from __future__ import annotations
 
 import json
-from typing import Optional, Sequence
+from typing import Optional
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import functions as F
 
 from .dag import RunResult, Workflow
 

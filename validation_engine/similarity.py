@@ -18,7 +18,7 @@ results are engine-reproducible (DuckDB oracle parity).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 import pandas as pd
