@@ -468,3 +468,24 @@ def test_connected_components_matches_union_find(spark):
         pairs = spark.createDataFrame(pd.DataFrame(edges, columns=["id_a", "id_b"]))
         got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
         assert got == expect, f"seed {seed}: mismatch"
+
+
+def test_ivf_indexed_partition_pruning(spark, emb, tmp_path):
+    """IVF on-disk index: the probe filter must land in the scan's
+    PartitionFilters (file-level pruning) and results must equal the
+    in-memory IVF search."""
+    from validation_engine.similarity import (
+        ivf_build, ivf_topk, ivf_topk_indexed, ivf_write_index,
+    )
+
+    cents = ivf_build(emb, n_centroids=4)
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    idx_path = str(tmp_path / "ivf_index")
+    ivf_write_index(emb, cents, idx_path)
+
+    out = ivf_topk_indexed(spark, idx_path, cents, q, k=5, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "_cell" in plan.split("PartitionFilters")[1][:120]
+
+    mem = ivf_topk(emb, cents, q, k=5, n_probe=2)
+    assert [r["vec_id"] for r in out.collect()] == [r["vec_id"] for r in mem.collect()]

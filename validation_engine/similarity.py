@@ -203,3 +203,40 @@ def ivf_topk(
     assigned = ivf_assign(df, centroids, vec_col)
     cand = assigned.filter(F.col("_cell").isin(probe))
     return brute_force_topk(cand, query, k, id_col, vec_col)
+
+
+def ivf_write_index(
+    df: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index on disk: vectors written PARTITIONED BY
+    their cell id (``_cell=<k>/`` directories).  At query time the probe
+    filter becomes a PARTITION filter — Spark never lists or reads the
+    non-probed cells' files, which is the property that makes IVF pay off at
+    10^12 vectors (candidate pruning at the SOURCE, not post-scan)."""
+    ivf_assign(df, centroids, vec_col).write.mode("overwrite").partitionBy(
+        "_cell"
+    ).parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    centroids: np.ndarray,
+    query: Sequence[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search against a :func:`ivf_write_index` layout.  The
+    ``_cell IN (probe)`` predicate lands in the scan's PartitionFilters
+    (verify with ``.explain``), so only ``n_probe`` of the cell directories
+    are read; exact cosine ranks inside."""
+    qv = np.asarray(query, dtype=float)
+    d = ((centroids - qv[None, :]) ** 2).sum(axis=1)
+    probe = [int(c) for c in d.argsort()[:n_probe]]
+    cand = spark.read.parquet(path).filter(F.col("_cell").isin(probe))
+    return brute_force_topk(cand, query, k, id_col, vec_col)
