@@ -219,3 +219,30 @@ def test_audio_and_video_features(spark, media):
     assert len(fr) >= 1
     assert all(r["media_id"] == 3 for r in fr)
     assert [r["frame_idx"] for r in fr] == list(range(len(fr)))
+
+
+def test_bucketed_join_is_exchange_free(spark, corpus, tmp_path):
+    """write_bucketed: a key join between two tables bucketed on the element
+    key plans with ZERO Exchange operators — the co-located join strategy
+    for report⋈dataset at corpus scale."""
+    from validation_engine.io import write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        files = corpus["files"].dropDuplicates(["repo", "path", "commit"]).limit(500)
+        write_bucketed(files.select("repo", "path", "commit", "lang"),
+                       "t_files_b", ["repo", "path", "commit"], n_buckets=4)
+        write_bucketed(
+            files.select("repo", "path", "commit", F.length("content").alias("n_chars")),
+            "t_meta_b", ["repo", "path", "commit"], n_buckets=4,
+        )
+        a = spark.table("t_files_b")
+        b = spark.table("t_meta_b")
+        j = a.join(b, ["repo", "path", "commit"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == 500
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_files_b")
+        spark.sql("DROP TABLE IF EXISTS t_meta_b")

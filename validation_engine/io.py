@@ -102,3 +102,26 @@ def write_table(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.save(target)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 64,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table BUCKETED (and sorted) by the element key columns.
+
+    Repeated key joins against a bucketed table need NO exchange on that
+    side (and no sort when ``sort=True``) — the co-located-join strategy for
+    workflow outputs that downstream stages re-join every run: bucket the
+    report once, join shuffle-free forever after.  Hive-bucketed parquet in
+    the session catalog locally; the identical layout is an Iceberg
+    ``bucket(N, col)`` partition transform on a real cluster.
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *list(bucket_cols))
+    if sort:
+        w = w.sortBy(*list(bucket_cols))
+    w.saveAsTable(table)
