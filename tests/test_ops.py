@@ -489,3 +489,30 @@ def test_ivf_indexed_partition_pruning(spark, emb, tmp_path):
 
     mem = ivf_topk(emb, cents, q, k=5, n_probe=2)
     assert [r["vec_id"] for r in out.collect()] == [r["vec_id"] for r in mem.collect()]
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join == plain join, row for row, on a skew-heavy key
+    (one key holds 90% of the fact side)."""
+    import pandas as pd
+
+    from validation_engine.stats import salted_join
+
+    facts = spark.createDataFrame(pd.DataFrame({
+        "k": ["hot"] * 900 + [f"k{i}" for i in range(100)],
+        "v": list(range(1000)),
+    }))
+    dim = spark.createDataFrame(pd.DataFrame({
+        "k": ["hot"] + [f"k{i}" for i in range(0, 100, 2)],
+        "d": list(range(51)),
+    }))
+    plain = facts.join(dim, "k").select("k", "v", "d")
+    salted = salted_join(facts, dim, "k", n_salts=8).select("k", "v", "d")
+    assert salted.count() == plain.count() == 950
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+    # left join preserves unmatched fact rows exactly once
+    pl = facts.join(dim, "k", "left")
+    sl = salted_join(facts, dim, "k", n_salts=8, how="left")
+    assert sl.count() == pl.count() == 1000
+    assert sl.filter(F.col("d").isNull()).count() == pl.filter(F.col("d").isNull()).count()

@@ -156,3 +156,35 @@ def column_profile(df: DataFrame, cols: Optional[Sequence[str]] = None) -> DataF
     return row.selectExpr(
         f"stack({len(cols)}, {stack_args}) as (column, null_rate, approx_distinct)"
     )
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join (north_rule join-side complement to
+    :func:`salted_group_stats`): the skewed side gets a deterministic salt
+    (hash of the full row, so reruns agree), the other side is replicated
+    across all ``n_salts`` salt values, and the join key becomes
+    ``on + salt`` — any single heavy-hitter key's rows spread over
+    ``n_salts`` reducers instead of one.
+
+    Result is row-identical to ``skewed.join(other, on, how)``: each skewed
+    row carries exactly one salt and meets exactly one replica.  Cost: the
+    ``other`` side shuffles ×``n_salts`` — use only when ``other`` is too
+    big to broadcast AND AQE's runtime skew-join split (enabled by
+    :func:`~validation_engine.session.get_spark`) hasn't already solved it;
+    supports ``inner`` and ``left`` (the skewed side must be preserved-side).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner' or 'left'")
+    on = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
+    left_s = skewed.withColumn("_salt", salt.cast("int"))
+    right_s = other.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    return left_s.join(right_s, on + ["_salt"], how).drop("_salt")
