@@ -594,3 +594,33 @@ def test_side_artifact_output_path(spark, tmp_path):
     art = tmp_path / "ckpt_art" / "stages" / "art" / "data" / "artifact.txt"
     assert art.exists() and art.read_text() == "side artifact"
     assert res.reports["art"].filter(~F.col("is_valid")).count() == 0
+
+
+def test_summary_idempotent_on_completion_retry(spark, tmp_path, corpus):
+    """Crash between the summary write and the manifest 'complete' flip:
+    the resume retries the completion, and summary rows must not duplicate."""
+    files = corpus["files"].dropDuplicates(KEYS).orderBy(*KEYS).limit(100)
+    stage = ElementStage("sid", checks=[non_empty("content")])
+    root = str(tmp_path / "ckpt_sid")
+
+    class KillBeforeManifest(CheckpointManager):
+        def commit_summary(self, spark_, st, summaries, run_id):
+            from validation_engine.schema import SUMMARY_SCHEMA
+            import os as _os
+
+            # write summary like the real path, then crash BEFORE the flip
+            spark_.createDataFrame(summaries, schema=SUMMARY_SCHEMA).write.mode(
+                "overwrite"
+            ).parquet(_os.path.join(self._stage_dir(st), "summary"))
+            raise KeyboardInterrupt("crash before manifest complete")
+
+    with pytest.raises(KeyboardInterrupt):
+        Workflow([stage], n_buckets=4,
+                 checkpoint=KillBeforeManifest(root), run_id="x").run(spark, files)
+
+    res = Workflow([stage], n_buckets=4,
+                   checkpoint=CheckpointManager(root), run_id="y").run(spark, files)
+    assert sum(s["n_total"] for s in res.summaries) == 100
+    stored = CheckpointManager(root).read_summary(spark, "sid")
+    per_part = stored.groupBy("partition").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert all(r["n"] == 1 for r in per_part), "duplicated summary rows after retry"

@@ -240,8 +240,13 @@ class CheckpointManager:
         from .schema import SUMMARY_SCHEMA
 
         d = self._stage_dir(stage)
+        # overwrite (NOT append): the summary is written once per stage
+        # completion, and a crash between this write and the manifest flip
+        # below retries the whole call on resume — append would duplicate
+        # every summary row (same idempotent-retry invariant as the chunk
+        # report/violations/lineage writes)
         spark.createDataFrame(summaries, schema=SUMMARY_SCHEMA).write.mode(
-            "append"
+            "overwrite"
         ).parquet(os.path.join(d, "summary"))
         m = self.manifest(stage)
         m["complete"] = True
