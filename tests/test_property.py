@@ -86,3 +86,40 @@ def _session():
     from validation_engine.session import get_spark
 
     return get_spark("ve-tests", master="local[4]", shuffle_partitions=4)
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=15), min_size=1, max_size=25),
+    st.integers(min_value=5, max_value=12),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_pack_strict_matches_sequential_oracle(tokens, max_tokens):
+    """pack_strict invariants for ANY token sequence: bins equal a driver
+    -side sequential walk, multi-doc bins never exceed the budget, bins are
+    consecutive runs, every doc appears exactly once."""
+    from validation_engine.text import pack_strict
+
+    spark = _session()
+    pdf = pd.DataFrame(
+        {"shard": "s", "doc_id": range(len(tokens)), "n_tok": tokens}
+    )
+    out = {
+        r["doc_id"]: r["bin"]
+        for r in pack_strict(
+            spark.createDataFrame(pdf), "doc_id", "n_tok", max_tokens, ["shard"]
+        ).collect()
+    }
+    # sequential oracle
+    expect, cur_bin, cur_tot = {}, 0, 0
+    for i, t in enumerate(tokens):
+        if cur_tot and cur_tot + t > max_tokens:
+            cur_bin, cur_tot = cur_bin + 1, 0
+        expect[i] = cur_bin
+        cur_tot += t
+    assert out == expect
+    # hard cap on multi-doc bins
+    sums, counts = {}, {}
+    for i, t in enumerate(tokens):
+        sums[out[i]] = sums.get(out[i], 0) + t
+        counts[out[i]] = counts.get(out[i], 0) + 1
+    assert all(s <= max_tokens for b, s in sums.items() if counts[b] > 1)
