@@ -42,18 +42,30 @@ def _ensure_pyfiles(spark: SparkSession) -> None:
     key = id(spark)
     if key in _SHIPPED:
         return
+    import hashlib
     import tempfile
     import zipfile
 
-    zpath = os.path.join(tempfile.gettempdir(), "validation_engine_pyfiles.zip")
+    pkg = os.path.join(_REPO, "validation_engine")
+    sources = sorted(
+        os.path.join(root, f)
+        for root, _dirs, files in os.walk(pkg)
+        for f in files
+        if f.endswith(".py")
+    )
+    # content-hashed name: a code change after a previous zip was cached must
+    # never ship stale bytes to the workers
+    h = hashlib.md5()
+    for full in sources:
+        with open(full, "rb") as fh:
+            h.update(fh.read())
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"validation_engine_pyfiles_{h.hexdigest()[:12]}.zip"
+    )
     if not os.path.exists(zpath):
         with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
-            pkg = os.path.join(_REPO, "validation_engine")
-            for root, _dirs, files in os.walk(pkg):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        z.write(full, os.path.relpath(full, _REPO))
+            for full in sources:
+                z.write(full, os.path.relpath(full, _REPO))
     try:
         spark.sparkContext.addPyFile(zpath)
     except Exception:
