@@ -516,3 +516,26 @@ def test_salted_join_matches_plain_join(spark):
     sl = salted_join(facts, dim, "k", n_salts=8, how="left")
     assert sl.count() == pl.count() == 1000
     assert sl.filter(F.col("d").isNull()).count() == pl.filter(F.col("d").isNull()).count()
+
+
+def test_repetition_ratio_units(spark):
+    from validation_engine.text import repetition_ratio
+
+    rows = [
+        (1, "a b c d e f g h"),                     # no repetition
+        (2, "spam spam spam spam"),                 # full token repetition
+        (3, "line1\nline2\nline1\nline1\n\n"),      # 2 dup lines of 4
+        (4, ""),                                    # empty → 0.0
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {r["id"]: r for r in df.select(
+        "id",
+        repetition_ratio("text", "token").alias("tok"),
+        repetition_ratio("text", "line").alias("line"),
+        repetition_ratio("text", "bigram").alias("bg"),
+    ).collect()}
+    assert out[1]["tok"] == 0.0
+    assert out[2]["tok"] == 0.75            # 4 tokens, 1 distinct
+    assert out[2]["bg"] == round(1 - 1/3, 6)  # 3 bigrams, all 'spam spam'
+    assert out[3]["line"] == 0.5            # 4 non-empty lines, 2 distinct
+    assert out[4]["tok"] == 0.0 and out[4]["line"] == 0.0

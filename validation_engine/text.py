@@ -244,3 +244,31 @@ def pack_strict(
         *partition_by, id_col, F.col(tokens_col).cast("long").alias(tokens_col)
     )
     return prepared.groupBy(*partition_by).applyInPandas(pack_group, out_schema)
+
+
+def repetition_ratio(col, unit: str = "line") -> Column:
+    """Within-document repetition: fraction of duplicate units in [0, 1] —
+    the Gopher-style repetition gate (boilerplate, log spam, and template
+    pages score high).  ``unit``: 'line' (newline-split), 'token'
+    (whitespace), or 'bigram' (token 2-grams).  Pure array intrinsics:
+    ``1 − distinct/total``, zero Python."""
+    col = F.col(col) if isinstance(col, str) else col
+    if unit == "line":
+        units = F.filter(F.split(col, r"\n"), lambda x: F.length(F.trim(x)) > 0)
+    elif unit == "token":
+        units = _tokens(F.lower(col))
+    elif unit == "bigram":
+        toks = _tokens(F.lower(col))
+        n = F.size(toks)
+        units = F.when(n < 2, F.array()).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+            )
+        )
+    else:
+        raise ValueError(f"unknown repetition unit: {unit}")
+    total = F.size(units)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.round(1.0 - F.size(F.array_distinct(units)) / total.cast("double"), 6)
+    )
