@@ -28,6 +28,12 @@ A "chunk" is a group of hash partitions committed atomically — the sandbox
 stand-in for committing one Iceberg partition of the 10^12-file corpus at a
 time.  ``n_chunks=1`` (default, benchmarks) = one commit; tests use
 ``n_chunks>1`` to kill a run mid-way and prove resume skips committed chunks.
+
+Every write in the protocol is idempotent under CRASH-RETRY (chunk-scoped
+overwrites, manifest written last and atomically); like luigi's
+target-existence semantics it is NOT safe for two live runs writing the same
+stage root concurrently — serialize runs per root (real Iceberg's optimistic
+snapshot commits lift this restriction on a cluster).
 """
 
 from __future__ import annotations
