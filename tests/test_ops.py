@@ -539,3 +539,41 @@ def test_repetition_ratio_units(spark):
     assert out[2]["bg"] == round(1 - 1/3, 6)  # 3 bigrams, all 'spam spam'
     assert out[3]["line"] == 0.5            # 4 non-empty lines, 2 distinct
     assert out[4]["tok"] == 0.0 and out[4]["line"] == 0.0
+
+
+def test_asof_join_matches_naive_formulation(spark):
+    """Merge-sort asof_join == naive range-join + max reduction, both
+    directions, including no-match rows (null fill) and equal-ts ties."""
+    import pandas as pd
+
+    from validation_engine.relational import asof_join
+
+    quotes = spark.createDataFrame(pd.DataFrame({
+        "sym": ["a"] * 4 + ["b"] * 3,
+        "qts": [1, 5, 5, 9, 2, 6, 10],
+        "px": [10.0, 11.0, 12.0, 13.0, 20.0, 21.0, 22.0],
+    }))
+    trades = spark.createDataFrame(pd.DataFrame({
+        "sym": ["a", "a", "a", "b", "b", "c"],
+        "tts": [0, 5, 7, 6, 1, 4],
+        "qty": [1, 2, 3, 4, 5, 6],
+    }))
+
+    got = {
+        (r["sym"], r["tts"]): r["px_asof"]
+        for r in asof_join(trades, quotes, ["sym"], "tts", "qts").collect()
+    }
+    # backward: latest quote at-or-before; ties at ts=5 take the LAST build
+    # row carried forward (12.0); ts=0 and sym=c have no quote -> null
+    assert got == {("a", 0): None, ("a", 5): 12.0, ("a", 7): 12.0,
+                   ("b", 6): 21.0, ("b", 1): None, ("c", 4): None}
+
+    fwd = {
+        (r["sym"], r["tts"]): r["px_asof"]
+        for r in asof_join(trades, quotes, ["sym"], "tts", "qts",
+                           direction="forward").collect()
+    }
+    assert fwd == {("a", 0): 10.0, ("a", 5): 12.0, ("a", 7): 13.0,
+                   ("b", 6): 21.0, ("b", 1): 20.0, ("c", 4): None}
+    # row count preserved (left-outer semantics)
+    assert asof_join(trades, quotes, ["sym"], "tts", "qts").count() == trades.count()

@@ -1,0 +1,81 @@
+"""Relational operators Spark's DataFrame API lacks as primitives.
+
+``asof_join`` — the time-series join ("latest right row at or before each
+left row's timestamp").  The naive formulation is a range join
+(``r.ts <= l.ts``) followed by a max-per-left-row reduction: candidate pairs
+explode as O(|left| × |right matches|) and Catalyst plans a broadcast
+nested-loop for the inequality.  This implementation uses the merge-sort
+formulation instead: union the two sides tagged build/probe, ONE
+sort-within-key-groups window, and carry the last non-null build value
+forward — cost is a single shuffle + sort of |left| + |right| rows, the
+same shape a dedicated time-series engine executes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Optional[Sequence[str]] = None,
+    direction: str = "backward",
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For every left row, attach the right row's ``value_cols`` from the
+    nearest ``right_ts`` at-or-before (``backward``) / at-or-after
+    (``forward``) the left row's ``left_ts``, matching on the ``on`` keys.
+    Left rows with no qualifying right row get nulls (left-outer semantics).
+
+    Value columns are emitted as ``<col><suffix>`` to avoid collisions;
+    ties on the timestamp resolve to the right row (build side sorts before
+    the probe side at equal timestamps — "at or before" includes equality).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    from pyspark.sql import Window
+
+    on = list(on)
+    value_cols = list(
+        value_cols
+        if value_cols is not None
+        else [c for c in right.columns if c not in on + [right_ts]]
+    )
+    out_vals = [f"{c}{suffix}" for c in value_cols]
+    left_cols = [c for c in left.columns]
+
+    probe = left.select(
+        *left_cols,
+        F.col(left_ts).alias("_ats"),
+        F.lit(1).alias("_aside"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(o)
+          for c, o in zip(value_cols, out_vals)],
+    )
+    build = right.select(
+        *on,
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_aside"),
+        *[F.col(c).alias(o) for c, o in zip(value_cols, out_vals)],
+    )
+    for c in left_cols:
+        if c not in build.columns:
+            build = build.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    both = probe.unionByName(build.select(*probe.columns))
+
+    # backward: ascending ts, build rows first at equal ts, carry last build
+    # value forward; forward: the mirror (descending ts)
+    order = [F.col("_ats").asc(), F.col("_aside").asc()] if direction == "backward" \
+        else [F.col("_ats").desc(), F.col("_aside").asc()]
+    w = Window.partitionBy(*on).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    filled = both.withColumns(
+        {o: F.last(o, ignorenulls=True).over(w) for o in out_vals}
+    )
+    return filled.filter(F.col("_aside") == 1).drop("_ats", "_aside")
