@@ -577,3 +577,37 @@ def test_asof_join_matches_naive_formulation(spark):
                    ("b", 6): 21.0, ("b", 1): 20.0, ("c", 4): None}
     # row count preserved (left-outer semantics)
     assert asof_join(trades, quotes, ["sym"], "tts", "qts").count() == trades.count()
+
+
+def test_range_join_matches_naive(spark):
+    """Bucketed range join == naive inequality join; plan is an equi-join
+    (no BroadcastNestedLoopJoin)."""
+    import pandas as pd
+
+    from validation_engine.relational import range_join
+
+    pts = spark.createDataFrame(pd.DataFrame({
+        "k": ["a"] * 6 + ["b"] * 2,
+        "t": [1, 5, 12, 18, 25, 40, 3, 9],
+        "pid": range(8),
+    }))
+    iv = spark.createDataFrame(pd.DataFrame({
+        "k": ["a", "a", "a", "b"],
+        "lo": [0, 10, 22, 2],
+        "hi": [6, 20, 30, 4],
+        "iid": range(4),
+    }))
+    got = {(r["pid"], r["iid"]) for r in
+           range_join(pts, iv, ["k"], "t", "lo", "hi", bucket_width=8).collect()}
+    naive = {(r["pid"], r["iid"]) for r in
+             pts.join(iv, (pts.k == iv.k) & (pts.t >= iv.lo) & (pts.t <= iv.hi))
+             .select("pid", "iid").collect()}
+    assert got == naive and len(got) == 6
+
+    out = range_join(pts, iv, ["k"], "t", "lo", "hi", bucket_width=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    left = range_join(pts, iv, ["k"], "t", "lo", "hi", bucket_width=8, how="left")
+    assert left.count() == len(naive) + (8 - len({p for p, _ in naive}))
+    assert left.filter(F.col("iid").isNull()).count() == 8 - len({p for p, _ in naive})

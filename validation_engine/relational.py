@@ -79,3 +79,55 @@ def asof_join(
         {o: F.last(o, ignorenulls=True).over(w) for o in out_vals}
     )
     return filled.filter(F.col("_aside") == 1).drop("_ats", "_aside")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str],
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join (``start <= point <= end`` on matching keys).
+
+    A plain inequality join compiles to a broadcast-nested-loop — quadratic
+    work and a broadcast requirement.  This is the bucketed formulation:
+    both sides get a ``floor(value / bucket_width)`` bucket id (intervals
+    EXPLODE across every bucket they span), the join becomes an EQUI-join on
+    ``on + bucket``, and the exact predicate remains as a residual filter.
+    Work is proportional to true candidate pairs when ``bucket_width`` is
+    near the typical interval length; shuffles carry bucket ids, not a
+    cross product.  ``how='left'`` keeps pointless points (null interval
+    columns) via a final key join back.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("range_join supports how='inner' or 'left'")
+    on = list(on)
+    w = float(bucket_width)
+    pb = points.withColumn("_bkt", F.floor(F.col(point_col) / w))
+    ib = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / w), F.floor(F.col(end_col) / w)
+            )
+        ),
+    )
+    j = (
+        pb.join(ib, on + ["_bkt"])
+        .filter((F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col)))
+        .drop("_bkt")
+    )
+    if how == "inner":
+        return j
+    matched = j
+    missing = pb.drop("_bkt").join(
+        matched.select(*points.columns), points.columns, "left_anti"
+    )
+    for c in matched.columns:
+        if c not in missing.columns:
+            missing = missing.withColumn(c, F.lit(None).cast(matched.schema[c].dataType))
+    return matched.unionByName(missing.select(*matched.columns))
