@@ -246,3 +246,52 @@ def test_bucketed_join_is_exchange_free(spark, corpus, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_files_b")
         spark.sql("DROP TABLE IF EXISTS t_meta_b")
+
+
+def test_stateful_dedup_state_ttl_eviction(spark, tmp_path):
+    """TTL path of stateful_dedup: state for an idle key is evicted after the
+    processing-time timeout (bounding state size on unbounded key domains);
+    the documented tradeoff is that the key re-emits if it reappears later."""
+    import time
+
+    from validation_engine.streaming import stateful_dedup
+
+    src = str(tmp_path / "ttl_src")
+    ck = str(tmp_path / "ttl_ck")
+    out = str(tmp_path / "ttl_out")
+
+    def run_batch(rows):
+        df = spark.createDataFrame(
+            rows, "repo string, path string, commit string, content string"
+        )
+        # append new files to the SAME source dir — a restarted stream resumes
+        # from its offset log and discovers only the new files (memory sink
+        # can't recover a checkpoint, so the output is a parquet sink)
+        df.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        deduped = stateful_dedup(stream, keys=["repo", "path", "commit"],
+                                 timeout_minutes=0.05)  # 3 s TTL
+        q = (deduped.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ck).outputMode("append")
+             .trigger(availableNow=True).start())
+        # availableNow + processing-time timeouts keeps triggering batches
+        # long after the data is processed (it waits to fire future
+        # timeouts); the data batch lands within seconds, so bound the wait
+        # and stop explicitly — the next restart must never race a
+        # still-live query on the same checkpoint
+        q.awaitTermination(15)
+        q.stop()
+        q.awaitTermination(30)
+        return spark.read.parquet(out).count()
+
+    # batch 1: key K emitted once
+    assert run_batch([("r", "K", "c", "v1")]) == 1
+    time.sleep(5)  # let K's state pass its 3 s TTL
+    # batch 2: unrelated key triggers processing; K's timed-out state evicts
+    run_batch([("r", "OTHER", "c", "v2")])
+    # batch 3: K reappears — state was evicted, so it emits again
+    run_batch([("r", "K", "c", "v3")])
+    rows = spark.read.parquet(out).collect()
+    k_emissions = sum(1 for r in rows if r["path"] == "K")
+    assert k_emissions == 2, f"expected re-emission after TTL, got {k_emissions}"
+    assert sum(1 for r in rows if r["path"] == "OTHER") == 1

@@ -80,7 +80,7 @@ def streaming_summary(
 def stateful_dedup(
     stream_df: DataFrame,
     keys: Sequence[str] = DEFAULT_KEYS,
-    timeout_minutes: int = 0,
+    timeout_minutes: float = 0,
 ):
     """Custom stateful operator: drop elements whose key was already seen —
     exactly-once key emission over an unbounded stream.
@@ -109,7 +109,7 @@ def stateful_dedup(
         if first:
             state.update((True,))
             if timeout_minutes:
-                state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+                state.setTimeoutDuration(int(timeout_minutes * 60 * 1000))
         emitted = False
         for pdf in pdfs:
             if first and not emitted and len(pdf):
