@@ -611,3 +611,48 @@ def test_range_join_matches_naive(spark):
     left = range_join(pts, iv, ["k"], "t", "lo", "hi", bucket_width=8, how="left")
     assert left.count() == len(naive) + (8 - len({p for p, _ in naive}))
     assert left.filter(F.col("iid").isNull()).count() == 8 - len({p for p, _ in naive})
+
+
+def test_timeseries_rollup_all_grains_one_scan(spark):
+    """Hypertable rollup: one ROLLUP scan produces hour+day+total buckets
+    matching independent per-grain groupBys."""
+    import pandas as pd
+
+    from validation_engine.relational import timeseries_rollup
+
+    ev = spark.createDataFrame(pd.DataFrame({
+        "ts": pd.to_datetime([
+            "2026-01-01 00:10", "2026-01-01 00:50", "2026-01-01 01:10",
+            "2026-01-01 23:59", "2026-01-02 05:00", "2026-01-02 05:30",
+        ]),
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+    }))
+    out = timeseries_rollup(
+        ev, "ts", {"n": F.count(F.lit(1)), "sv": F.sum("v")},
+        grains=("day", "hour"),
+    )
+    rows = {(r["grain"], str(r["bucket"])): (r["n"], r["sv"]) for r in out.collect()}
+
+    hourly = {str(r["b"]): (r["n"], r["sv"]) for r in ev.groupBy(
+        F.date_trunc("hour", "ts").alias("b")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")).collect()}
+    daily = {str(r["b"]): (r["n"], r["sv"]) for r in ev.groupBy(
+        F.date_trunc("day", "ts").alias("b")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")).collect()}
+
+    assert {b: v for (g, b), v in rows.items() if g == "hour"} == hourly
+    assert {b: v for (g, b), v in rows.items() if g == "day"} == daily
+    assert rows[("all", "None")] == (6, 21.0)
+    # single grouping-sets expansion over ONE source scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan and plan.count("LocalTableScan") == 1
+
+    # partitioned variant: per-source buckets, partition columns preserved
+    ev2 = ev.withColumn("src", F.lit("s1"))
+    out2 = timeseries_rollup(
+        ev2, "ts", {"n": F.count(F.lit(1))}, grains=("day", "hour"),
+        partition_by=["src"],
+    )
+    r2 = out2.collect()
+    assert all(r["src"] == "s1" for r in r2)
+    assert sum(1 for r in r2 if r["grain"] == "hour") == len(hourly)

@@ -131,3 +131,58 @@ def range_join(
         if c not in missing.columns:
             missing = missing.withColumn(c, F.lit(None).cast(matched.schema[c].dataType))
     return matched.unionByName(missing.select(*matched.columns))
+
+
+def timeseries_rollup(
+    df: DataFrame,
+    ts_col: str,
+    aggs: dict,
+    grains: Sequence[str] = ("day", "hour"),
+    partition_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Hypertable-style continuous aggregate: ONE scan produces the rollup at
+    EVERY time grain (``grains`` ordered coarse → fine) using hierarchical
+    ROLLUP grouping sets — the Spark-native equivalent of maintaining
+    per-hour/per-day materialized rollups without re-scanning per grain.
+
+    ``aggs``: ``{out_name: aggregate Column}``.  Returns
+    ``(grain, bucket [, partition_by...], *aggs)`` — one row per time bucket
+    per grain, plus a grain='all' total row (bucket null).  Output size is
+    bounded by time range × grain count (tiny next to the input), so
+    downstream joins can broadcast it.
+    """
+    grains = list(grains)
+    partition_by = list(partition_by or [])
+    gcols = [f"_g_{g}" for g in grains]
+    base = df.withColumns(
+        {c: F.date_trunc(g, F.col(ts_col)) for g, c in zip(grains, gcols)}
+    )
+    # grouping() markers must be computed INSIDE the aggregate; rollup also
+    # emits sets that roll the partition columns away, which get filtered out
+    part_marks = [
+        F.grouping(p).cast("int").alias(f"_gp_{i}")
+        for i, p in enumerate(partition_by)
+    ]
+    rolled = base.rollup(*partition_by, *gcols).agg(
+        F.grouping_id(*gcols).alias("_gid"),
+        *part_marks,
+        *[c.alias(n) for n, c in aggs.items()],
+    )
+    for i in range(len(partition_by)):
+        rolled = rolled.filter(F.col(f"_gp_{i}") == 0)
+
+    # _gid low bits mark rolled-away trunc columns: grain i is active when
+    # its column is grouped and every FINER column is rolled up, i.e.
+    # gid == 2^(n_finer) - 1; gid == 2^n - 1 is the all-time total
+    grain_expr = F.lit("all")
+    bucket_expr = F.lit(None).cast("timestamp")
+    for i, g in enumerate(grains):
+        gid_val = (1 << (len(grains) - 1 - i)) - 1
+        grain_expr = F.when(F.col("_gid") == gid_val, F.lit(g)).otherwise(grain_expr)
+        bucket_expr = F.when(F.col("_gid") == gid_val, F.col(gcols[i])).otherwise(bucket_expr)
+    return rolled.select(
+        grain_expr.alias("grain"),
+        bucket_expr.alias("bucket"),
+        *partition_by,
+        *aggs.keys(),
+    )
