@@ -643,9 +643,11 @@ def test_timeseries_rollup_all_grains_one_scan(spark):
     assert {b: v for (g, b), v in rows.items() if g == "hour"} == hourly
     assert {b: v for (g, b), v in rows.items() if g == "day"} == daily
     assert rows[("all", "None")] == (6, 21.0)
-    # single grouping-sets expansion over ONE source scan
+    # single grouping-sets expansion over ONE source scan (AQE prints the
+    # plan twice — final + initial — so inspect the final section only)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Expand" in plan and plan.count("LocalTableScan") == 1
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Expand" in final and final.count("LocalTableScan") == 1
 
     # partitioned variant: per-source buckets, partition columns preserved
     ev2 = ev.withColumn("src", F.lit("s1"))

@@ -157,19 +157,14 @@ def timeseries_rollup(
     base = df.withColumns(
         {c: F.date_trunc(g, F.col(ts_col)) for g, c in zip(grains, gcols)}
     )
-    # grouping() markers must be computed INSIDE the aggregate; rollup also
-    # emits sets that roll the partition columns away, which get filtered out
-    part_marks = [
-        F.grouping(p).cast("int").alias(f"_gp_{i}")
-        for i, p in enumerate(partition_by)
-    ]
+    # grouping_id() must span ALL grouping columns; partition columns come
+    # first (= high bits), so "partition columns fully grouped" is simply
+    # gid < 2^len(gcols), and the low bits are exactly the grain bits.
+    # rollup sets that roll a partition column away are filtered out here.
     rolled = base.rollup(*partition_by, *gcols).agg(
-        F.grouping_id(*gcols).alias("_gid"),
-        *part_marks,
+        F.grouping_id().alias("_gid"),
         *[c.alias(n) for n, c in aggs.items()],
-    )
-    for i in range(len(partition_by)):
-        rolled = rolled.filter(F.col(f"_gp_{i}") == 0)
+    ).filter(F.col("_gid") < (1 << len(gcols)))
 
     # _gid low bits mark rolled-away trunc columns: grain i is active when
     # its column is grouped and every FINER column is rolled up, i.e.
