@@ -624,3 +624,36 @@ def test_summary_idempotent_on_completion_retry(spark, tmp_path, corpus):
     stored = CheckpointManager(root).read_summary(spark, "sid")
     per_part = stored.groupBy("partition").agg(F.count(F.lit(1)).alias("n")).collect()
     assert all(r["n"] == 1 for r in per_part), "duplicated summary rows after retry"
+
+
+def test_chunked_commit_scans_input_once(spark, tmp_path):
+    """Per-partition commit must NOT re-execute the upstream plan per chunk:
+    with n_chunks=4 the report plan runs exactly once (one corpus scan), the
+    per-chunk violations/lineage derive from the already-written chunk files.
+    An accumulator inside a mapInPandas stage counts plan row-evaluations."""
+    import pandas as pd
+
+    n = 400
+    base = spark.range(n).select(
+        F.col("id"),
+        F.lit(True).alias("is_valid"),
+        F.lit(0).alias("ret_code"),
+        F.lit(None).cast("string").alias("comment"),
+        F.pmod(F.col("id"), F.lit(8)).cast("string").alias("_vpart"),
+    )
+    acc = spark.sparkContext.accumulator(0)
+
+    def counted(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    report = base.mapInPandas(counted, schema=base.schema)
+    ckpt = CheckpointManager(str(tmp_path / "one_scan"), n_chunks=4)
+    rep, viols = ckpt.commit_stage(
+        spark, "s", report, deriver=lambda r: r.filter(~F.col("is_valid")), run_id="r"
+    )
+    assert acc.value == n, f"input plan executed {acc.value / n:.1f}x (want 1x)"
+    assert rep.count() == n and viols.count() == 0
+    m = ckpt.manifest("s")
+    assert sorted(m["committed_chunks"]) == [0, 1, 2, 3]

@@ -125,6 +125,12 @@ class CheckpointManager:
     def is_complete(self, stage: str) -> bool:
         return bool(self.manifest(stage).get("complete"))
 
+    def _dir_exists(self, path: str) -> bool:
+        if self._remote:
+            fs, hpath, _ = self._hadoop_fs(path)
+            return bool(fs.exists(hpath))
+        return os.path.isdir(path)
+
     # -- commit protocol --------------------------------------------------
     def commit_stage(
         self,
@@ -134,26 +140,52 @@ class CheckpointManager:
         deriver,
         run_id: str,
     ) -> tuple[DataFrame, DataFrame]:
-        """Write the report chunk by chunk; VIOLATIONS are derived from the
-        already-written chunk files (``deriver(committed_chunk_df)``) so each
-        stage scans the input corpus exactly once.  The manifest records a
-        chunk only AFTER its data and lineage rows are durable.
-        Already-committed chunks are skipped (resume).  Returns the re-read
-        (committed) outputs so downstream stages consume the durable lineage
-        barrier, not a recomputation of the plan."""
+        """Write ALL pending chunks in ONE pass over the report plan
+        (``partitionBy(chunk)`` + dynamic partition overwrite), then commit
+        each already-durable chunk directory: violations derive from the
+        written chunk files (``deriver(committed_chunk_df)``), so a stage
+        scans the input corpus exactly ONCE regardless of ``n_chunks`` —
+        per-partition commit granularity at 10^12 files must not cost
+        n_chunks corpus scans.  The manifest records a chunk only AFTER its
+        data and lineage rows are durable.  Already-committed chunks are
+        skipped (resume): the dynamic overwrite only touches partitions
+        present in the written data, so committed chunk dirs survive a
+        crash-retry untouched.  Returns the re-read (committed) outputs so
+        downstream stages consume the durable lineage barrier, not a
+        recomputation of the plan."""
         d = self._stage_dir(stage)
         m = self.manifest(stage)
         committed = set(m["committed_chunks"])
         m.setdefault("chunk_metrics", {})
-        chunk_expr = F.pmod(F.xxhash64(F.col("_vpart")), F.lit(self.n_chunks))
+        pending = [c for c in range(self.n_chunks) if c not in committed]
 
-        for c in range(self.n_chunks):
-            if c in committed:
-                continue
-            rep_c = report.filter(chunk_expr == c) if self.n_chunks > 1 else report
-            # 1. data files (idempotent: overwrite the chunk directory)
-            rep_c.write.mode("overwrite").parquet(os.path.join(d, "report", f"chunk={c}"))
-            committed_rep = spark.read.parquet(os.path.join(d, "report", f"chunk={c}"))
+        if pending:
+            chunk_col = (
+                F.lit(0)
+                if self.n_chunks == 1
+                else F.pmod(F.xxhash64(F.col("_vpart")), F.lit(self.n_chunks))
+            ).cast("int")
+            staged = report.withColumn("chunk", chunk_col)
+            if len(pending) < self.n_chunks:
+                # resume: recompute only the uncommitted chunks' rows
+                staged = staged.filter(F.col("chunk").isin(pending))
+            (
+                staged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("chunk")
+                .parquet(os.path.join(d, "report"))
+            )
+
+        for c in pending:
+            chunk_dir = os.path.join(d, "report", f"chunk={c}")
+            if self._dir_exists(chunk_dir):
+                committed_rep = spark.read.parquet(chunk_dir)
+            else:
+                # a chunk with zero rows writes no partition directory; write
+                # an explicit empty one so every chunk dir exists (read_report
+                # on the root needs at least one footer for schema discovery)
+                committed_rep = spark.createDataFrame([], report.schema)
+                committed_rep.write.mode("overwrite").parquet(chunk_dir)
             deriver(committed_rep).write.mode("overwrite").parquet(
                 os.path.join(d, "violations", f"chunk={c}")
             )
