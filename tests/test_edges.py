@@ -82,3 +82,51 @@ def test_set_stage_on_empty_frame(spark, tmp_path):
     stage = SetStage("s", lambda f, k: f.withColumn("is_valid", F.lit(True)))
     res = Workflow([stage]).run(spark, df)
     assert res.reports["s"].count() == 0
+
+
+def test_exact_duplicates_caps_id_sample(spark):
+    """A mega-dup group must not materialize an unbounded id array on one
+    reducer: doc_ids is a bounded sorted sample, n_docs stays exact."""
+    from validation_engine.dedup import exact_duplicates
+
+    df = spark.range(250).select(
+        F.col("id"), F.lit("same text").alias("text")
+    ).union(spark.range(250, 253).select(F.col("id"), F.concat(F.lit("u"), "id")))
+    row = exact_duplicates(df, "id", "text", max_ids=10).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["n_docs"] == 250 and r["keeper"] == 0
+    assert r["doc_ids"] == list(range(10))
+
+
+def test_range_join_left_null_point_columns_not_duplicated(spark):
+    """A point row carrying a null column must appear exactly once in a
+    left range join (anti-join on a surrogate id, not on all columns)."""
+    from validation_engine.relational import range_join
+
+    pts = spark.createDataFrame(
+        [("a", 5.0, None), ("a", 50.0, "x")], "k string, t double, tag string"
+    )
+    iv = spark.createDataFrame(
+        [("a", 0.0, 10.0, "i1")], "k string, lo double, hi double, iv string"
+    )
+    out = range_join(pts, iv, ["k"], "t", "lo", "hi", bucket_width=8, how="left")
+    rows = out.collect()
+    assert len(rows) == 2
+    by_t = {r["t"]: r for r in rows}
+    assert by_t[5.0]["iv"] == "i1" and by_t[5.0]["tag"] is None
+    assert by_t[50.0]["iv"] is None and by_t[50.0]["tag"] == "x"
+
+
+def test_asof_join_tie_break_deterministic(spark):
+    """Multiple build rows at the SAME timestamp: the greatest value tuple
+    is carried, every run (deterministic tertiary sort, not shuffle order)."""
+    from validation_engine.relational import asof_join
+
+    quotes = spark.createDataFrame(
+        [("s", 10, v) for v in (7.0, 3.0, 9.0, 1.0)], "sym string, qts int, px double"
+    ).repartition(4)
+    trades = spark.createDataFrame([("s", 15)], "sym string, tts int")
+    for _ in range(3):
+        got = asof_join(trades, quotes, ["sym"], "tts", "qts").collect()
+        assert len(got) == 1 and got[0]["px_asof"] == 9.0

@@ -657,3 +657,21 @@ def test_chunked_commit_scans_input_once(spark, tmp_path):
     assert rep.count() == n and viols.count() == 0
     m = ckpt.manifest("s")
     assert sorted(m["committed_chunks"]) == [0, 1, 2, 3]
+
+
+def test_run_releases_report_caches(spark):
+    """Non-checkpointed runs persist each stage report for the in-run
+    consumers; run() must release those caches before returning so long
+    multi-stage workflows don't accumulate storage until eviction."""
+    jsc = spark.sparkContext._jsc
+    n_before = jsc.getPersistentRDDs().size()
+    df = _df(spark, [{"a": i, "content": "x"} for i in range(20)])
+    stages = [
+        ElementStage("s1", checks=[non_empty("content")]),
+        ElementStage("s2", checks=[], inputs={"s1": {}}),
+        ElementStage("s3", checks=[], inputs={"s2": {}}),
+    ]
+    res = Workflow(stages).run(spark, df)
+    assert jsc.getPersistentRDDs().size() == n_before, "stage report caches leaked"
+    # returned frames still usable after unpersist (recompute)
+    assert res.reports["s3"].count() == 20

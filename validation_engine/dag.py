@@ -259,6 +259,12 @@ class Workflow:
         # transform_index re-check their own derived frame
         n_base: Optional[int] = None
         extra_cache: dict = {}
+        # reports persisted on the non-checkpointed path; released at the end
+        # of run() (after the last in-run consumer) so a long multi-stage
+        # workflow doesn't accumulate cached blocks until executor storage
+        # evicts under pressure.  Callers that re-use the returned frames
+        # heavily should checkpoint or persist them themselves.
+        persisted: list = []
 
         for name in order:
             stage = self.stages[name]
@@ -326,6 +332,7 @@ class Workflow:
                 # single corpus scan: violations derive from the persisted
                 # report, not from a second pass over the source
                 report = report.persist()
+                persisted.append(report)
                 viols = out.deriver(report)
             if "_vpart" not in viols.columns:
                 viols = viols.withColumn("_vpart", F.lit("all"))
@@ -380,7 +387,21 @@ class Workflow:
             n_dropped = 0
             if stage.inputs:
                 if n_ds is not None:
-                    n_dropped = max(0, n_ds - totals["n_total"])
+                    # fast path: a zero delta proves nothing was dropped with
+                    # zero extra jobs.  A non-zero delta can ALSO come from a
+                    # stage fn that changes the report row count or from
+                    # upstream-report join fan-out, so it is cross-checked
+                    # against the exact dropped-key count before logging.
+                    if n_ds - totals["n_total"] != 0:
+                        n_dropped = dropped.count()
+                        if n_dropped != n_ds - totals["n_total"]:
+                            logger.warning(
+                                "[%s] report row count differs from the dataset "
+                                "by %d but only %d keys were dropped — the stage "
+                                "fn changed the row count or upstream reports "
+                                "fanned out",
+                                name, n_ds - totals["n_total"], n_dropped,
+                            )
                 else:  # strict_duplicates=False → no fused row count: one job
                     n_dropped = dropped.count()
                 if n_dropped:
@@ -418,6 +439,13 @@ class Workflow:
                 )
             reports[name] = report.drop("_vpart", "_viol")
             violations[name] = viols.drop("_vpart") if "_vpart" in viols.columns else viols
+
+        # release the per-stage report caches: every in-run consumer (summary
+        # aggregation, downstream joins, violation derivation actions) has
+        # executed by now; the returned DataFrames stay valid and recompute
+        # if re-collected
+        for p in persisted:
+            p.unpersist()
 
         return RunResult(
             reports=reports,

@@ -21,19 +21,28 @@ similarity thresholds; the verify join re-reads only candidate documents.
 
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame, functions as F
+
+logger = logging.getLogger(__name__)
 
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
 
 
-def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def exact_duplicates(
+    df: DataFrame, id_col: str, text_col: str, max_ids: int = 100
+) -> DataFrame:
     """Groups of byte-identical documents: (digest, n_docs, keeper, doc_ids).
 
-    ``sha2(text)`` is computed map-side; the shuffle carries (digest, id)."""
+    ``sha2(text)`` is computed map-side; the shuffle carries (digest, id).
+    ``doc_ids`` is a BOUNDED sample (first ``max_ids`` ids in sort order) —
+    one mega-dup group (millions of empty/boilerplate docs) must not
+    materialize a giant array row on a single reducer or in downstream
+    shuffles; ``n_docs`` stays exact."""
     digest = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
     return (
         df.select(digest.alias("digest"), F.col(id_col))
@@ -41,7 +50,9 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min(id_col).alias("keeper"),
-            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            F.slice(
+                F.sort_array(F.collect_list(id_col)), 1, int(max_ids)
+            ).alias("doc_ids"),
         )
         .filter(F.col("n_docs") > 1)
     )
@@ -458,6 +469,16 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    else:
+        # never report unconverged labels silently: downstream
+        # cluster_representatives would keep several representatives per
+        # true component
+        logger.warning(
+            "connected_components hit max_iter=%d without converging "
+            "(%d labels still changing) — component labels are incomplete; "
+            "raise max_iter (rounds needed ≈ graph diameter)",
+            max_iter, changed,
+        )
     return labels
 
 

@@ -243,18 +243,29 @@ def psi_drift(
     zero Python in the hot path.  Zero-count buckets are Laplace-smoothed so
     the log stays finite.
     """
-    hist = partition_histogram(df, value_col, partition_col, n_buckets, lo, hi)
+    spark = df.sparkSession
+    # ONE corpus scan: the per-(partition, bucket) histogram is tiny
+    # (n_partitions × n_buckets rows), so collect it once and rebuild it as a
+    # literal local frame — every downstream join broadcasts, the returned
+    # plan never re-scans the corpus, and nothing stays persisted after
+    # return (cache-leak-free).
+    hist_rows = partition_histogram(
+        df, value_col, partition_col, n_buckets, lo, hi
+    ).collect()
+    schema = "partition string, bucket int, n bigint"
+    hist = spark.createDataFrame(
+        [(r["partition"], r["bucket"], r["n"]) for r in hist_rows], schema
+    )
     # densify: missing (partition, bucket) pairs must participate as zeros,
     # then Laplace add-one smoothing keeps the log finite WITHOUT the
     # epsilon-ratio blowup (p=ε vs q≫ε contributes a spurious ~0.5/bucket)
-    hist = hist.persist()
+    tot = sum(r["n"] for r in hist_rows)  # 0 on empty input, never None
     parts = hist.select("partition").distinct()
     grid = parts.crossJoin(
-        hist.sparkSession.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+        spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
     )
     dense = grid.join(hist, ["partition", "bucket"], "left").fillna(0, ["n"])
     glob = dense.groupBy("bucket").agg(F.sum("n").alias("gn"))
-    tot = dense.agg(F.sum("n").alias("N")).collect()[0]["N"]
     pn = dense.groupBy("partition").agg(F.sum("n").alias("pn"))
     e = (
         dense.join(F.broadcast(glob), "bucket")
@@ -267,5 +278,4 @@ def psi_drift(
         F.max("pn").cast("bigint").alias("n"),
         F.round(F.sum("term"), 6).alias("psi"),
     )
-    hist.unpersist()
     return out.withColumn("drifted", F.col("psi") > threshold)

@@ -36,6 +36,12 @@ def asof_join(
     Value columns are emitted as ``<col><suffix>`` to avoid collisions;
     ties on the timestamp resolve to the right row (build side sorts before
     the probe side at equal timestamps — "at or before" includes equality).
+    Among MULTIPLE right rows sharing the same timestamp the carried values
+    come from the row with the greatest value tuple (deterministic tertiary
+    sort on the value columns, nulls first) — sort order after a shuffle is
+    otherwise not guaranteed, so without the tie-break results could vary
+    between runs.  Map-typed value columns are not orderable and are skipped
+    from the tie-break (ties among them remain unspecified).
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -69,9 +75,18 @@ def asof_join(
     both = probe.unionByName(build.select(*probe.columns))
 
     # backward: ascending ts, build rows first at equal ts, carry last build
-    # value forward; forward: the mirror (descending ts)
-    order = [F.col("_ats").asc(), F.col("_aside").asc()] if direction == "backward" \
-        else [F.col("_ats").desc(), F.col("_aside").asc()]
+    # value forward; forward: the mirror (descending ts).  Deterministic
+    # tie-break among equal-ts build rows: greatest orderable value tuple
+    # wins (probe rows carry null values, so their relative order is inert)
+    from pyspark.sql.types import MapType
+
+    tie = [
+        F.col(o).asc_nulls_first()
+        for c, o in zip(value_cols, out_vals)
+        if not isinstance(right.schema[c].dataType, MapType)
+    ]
+    order = [F.col("_ats").asc(), F.col("_aside").asc(), *tie] if direction == "backward" \
+        else [F.col("_ats").desc(), F.col("_aside").asc(), *tie]
     w = Window.partitionBy(*on).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -107,7 +122,14 @@ def range_join(
         raise ValueError("range_join supports how='inner' or 'left'")
     on = list(on)
     w = float(bucket_width)
-    pb = points.withColumn("_bkt", F.floor(F.col(point_col) / w))
+    # surrogate row id: the left-outer recovery anti-joins on it instead of
+    # on all point columns, so rows containing nulls (never equal to
+    # themselves under SQL semantics) aren't duplicated into both branches.
+    # Assigned BEFORE any shuffle, so both uses of the lineage see the same
+    # ids within one execution.
+    pts = points.withColumn("_rj_id", F.monotonically_increasing_id()) \
+        if how == "left" else points
+    pb = pts.withColumn("_bkt", F.floor(F.col(point_col) / w))
     ib = intervals.withColumn(
         "_bkt",
         F.explode(
@@ -125,12 +147,12 @@ def range_join(
         return j
     matched = j
     missing = pb.drop("_bkt").join(
-        matched.select(*points.columns), points.columns, "left_anti"
+        matched.select("_rj_id"), ["_rj_id"], "left_anti"
     )
     for c in matched.columns:
         if c not in missing.columns:
             missing = missing.withColumn(c, F.lit(None).cast(matched.schema[c].dataType))
-    return matched.unionByName(missing.select(*matched.columns))
+    return matched.unionByName(missing.select(*matched.columns)).drop("_rj_id")
 
 
 def timeseries_rollup(
