@@ -141,9 +141,9 @@ def main() -> None:
     qs = entrymod.queries()
     for name in (
         "q1_pricing_summary", "q3_top_orders", "q5_revenue_by_nation",
-        "uniqueness_lineitem", "hourly_event_rollup", "window_event_ranks",
+        "uniqueness_lineitem", "timeseries_rollup_events", "window_event_ranks",
         "token_histogram_top", "minhash_lsh_pairs", "langid_by_lang",
-        "chi2_drift_by_source", "embedding_topk", "simhash_documents",
+        "chi2_drift_by_source", "ivf_topk", "simhash_documents",
     ):
         t0 = time.time()
         n = qs[name](spark, SF_DIR).count()

@@ -658,3 +658,15 @@ def test_timeseries_rollup_all_grains_one_scan(spark):
     r2 = out2.collect()
     assert all(r["src"] == "s1" for r in r2)
     assert sum(1 for r in r2 if r["grain"] == "hour") == len(hourly)
+
+
+def test_asof_query_plan_has_no_nested_loop(spark):
+    """The verified asof_latest_event query must run through the merge-sort
+    asof_join: one shuffle+sort, no BroadcastNestedLoop / cartesian candidate
+    explosion (the naive inequality-join shape)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["asof_latest_event"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan  # the merge-sort carry-forward

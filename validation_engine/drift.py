@@ -148,6 +148,29 @@ def _erfc_vec(z):
 # ---------------------------------------------------------------------------
 
 
+def quantile_grid_reference(
+    df: DataFrame, value_col: str, m: int = 257, exact: bool = False
+) -> list:
+    """ECDF sketch of a baseline distribution as an ``m``-point quantile grid
+    — the scale-safe KS reference: ONE aggregation whose result is a bounded
+    array, never a driver collect of raw values.
+
+    ``exact=False`` (default, the 10^12-row path) uses ``percentile_approx``;
+    ``exact=True`` uses the exact ``percentile`` (a per-group sort —
+    distributed, but heavier) and is bit-reproducible by any engine with
+    linearly-interpolated quantiles (DuckDB ``quantile_cont``), which is what
+    the oracle-verified query path uses."""
+    grid = [i / (m - 1) for i in range(m)]
+    col = F.col(value_col).cast("double")
+    agg = (
+        F.percentile(col, F.array([F.lit(g) for g in grid]))
+        if exact
+        else F.percentile_approx(col, grid, 10_000)
+    )
+    vals = df.agg(agg.alias("q")).collect()[0]["q"]
+    return [float(v) for v in (vals or []) if v is not None]
+
+
 def ks_drift(
     df: DataFrame,
     value_col: str,
