@@ -85,15 +85,33 @@ def write_table(
     is a snapshot-committing ``createOrReplace``/``append``.
     """
     if is_table_identifier(target) and fmt is None:
+        from pyspark.errors.exceptions.captured import AnalysisException
+
         w = df.writeTo(target)
         if partition_by:
             import pyspark.sql.functions as F
 
             w = w.partitionedBy(*[F.col(c) for c in partition_by])
-        if mode == "append":
-            w.append()
-        else:
-            w.createOrReplace()
+        try:
+            if mode == "append":
+                w.append()
+            else:
+                w.createOrReplace()
+        except AnalysisException as e:
+            # v2 CREATE/REPLACE TABLE AS SELECT needs a v2 catalog (Iceberg);
+            # the built-in session catalog is v1-only, so fall back to the
+            # equivalent v1 writer — same table, same catalog semantics minus
+            # snapshot isolation.  On a real Iceberg catalog the v2 path runs.
+            msg = str(e)
+            if not any(
+                s in msg
+                for s in ("UNSUPPORTED_FEATURE", "does not support", "v1 table")
+            ):
+                raise
+            w1 = df.write.mode("append" if mode == "append" else "overwrite")
+            if partition_by:
+                w1 = w1.partitionBy(*list(partition_by))
+            w1.saveAsTable(target)
         return
     fmt = fmt or sniff_format(target)
     w = df.write.mode(mode).format(fmt)
