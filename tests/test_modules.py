@@ -158,6 +158,17 @@ def test_run_report_markdown(spark, corpus, tmp_path):
     assert "Validation run" in html and "checks" in html
     assert "lang_vs_extension" in html  # violations table present
     assert "<script" not in html  # static, no JS
+    # per-check drill-down: every violated check gets its own bounded
+    # top-k element table (reasons included)
+    assert "<details>" in html and "violating elements" in html
+    assert "drill-down `lang_vs_extension`" in md
+    import json as _json
+
+    d = _json.load(open(str(tmp_path / "report.json")))
+    dd = d["stages"]["checks"]["violations_drilldown"]
+    assert set(dd) == set(d["stages"]["checks"]["violations_by_check"])
+    assert all(1 <= len(v) <= 10 for v in dd.values())
+    assert all("reason" in ex for v in dd.values() for ex in v)
 
 
 def test_stateful_dedup_stream(spark, tmp_path):

@@ -43,6 +43,25 @@ def run_report_dict(
             {k: r[k] for k in viols.columns if k != "_vpart"}
             for r in viols.orderBy(*wf.keys).limit(max_examples).collect()
         ]
+        # per-check drill-down: top-k violating elements (by key order) for
+        # EVERY check — a rank<=k filter, which Spark pushes down as a
+        # WindowGroupLimit (partial per-map top-k before the shuffle), so a
+        # skewed check with millions of violations never full-sorts on one
+        # reducer; the collect is bounded by n_checks × max_examples
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("check_id").orderBy(*wf.keys)
+        drill_rows = (
+            viols.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_examples)
+            .drop("_rn")
+            .collect()
+        )
+        drilldown: dict = {}
+        for r in drill_rows:
+            drilldown.setdefault(r["check_id"], []).append(
+                {k: r[k] for k in viols.columns if k != "_vpart"}
+            )
         stages[name] = {
             "n_total": n_total,
             "n_valid": n_valid,
@@ -50,6 +69,7 @@ def run_report_dict(
             "n_warning": n_warning,
             "violations_by_check": dict(by_check),
             "violation_examples": examples,
+            "violations_drilldown": drilldown,
             "partitions": len(stage_summ),
             "dropped_inconsistent_keys": result.dropped_inconsistent.get(name, 0),
         }
@@ -79,6 +99,12 @@ def run_report_markdown(
             for ex in s["violation_examples"]:
                 key = ", ".join(str(ex[k]) for k in d["keys"])
                 lines.append(f"  - ({key}) `{ex['check_id']}`: {ex['reason']}")
+        for cid, exs in s.get("violations_drilldown", {}).items():
+            total = s["violations_by_check"].get(cid, len(exs))
+            lines.append(f"- drill-down `{cid}` (top {len(exs)} of {total}):")
+            for ex in exs:
+                key = ", ".join(str(ex[k]) for k in d["keys"])
+                lines.append(f"  - ({key}): {ex['reason']}")
         lines.append("")
     return "\n".join(lines)
 
@@ -133,6 +159,19 @@ def run_report_html(
             for cid, n in s["violations_by_check"].items():
                 out.append(f"<tr><td><code>{esc(str(cid))}</code></td><td>{n}</td></tr>")
             out.append("</table>")
+        for cid, exs in s.get("violations_drilldown", {}).items():
+            total = s["violations_by_check"].get(cid, len(exs))
+            out.append(
+                f"<details><summary><code>{esc(str(cid))}</code> — top "
+                f"{len(exs)} of {total} violating elements</summary>"
+                "<table class='examples'><tr><th>element</th><th>reason</th></tr>"
+            )
+            for ex in exs:
+                key = ", ".join(str(ex[k]) for k in d["keys"])
+                out.append(
+                    f"<tr><td>{esc(key)}</td><td>{esc(str(ex['reason']))}</td></tr>"
+                )
+            out.append("</table></details>")
         if s["violation_examples"]:
             out.append("<table class='examples'><tr><th>element</th><th>check</th><th>reason</th></tr>")
             for ex in s["violation_examples"]:
