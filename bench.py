@@ -25,6 +25,22 @@ import pyspark.sql.functions as F  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# host-contention hygiene: every timed query runs BENCH_ATTEMPTS times on a
+# FRESH plan (new lineage per attempt — re-collecting the same DataFrame
+# would reuse shuffle outputs and report ~0) and the best is recorded, so
+# round-over-round comparisons measure the engine, not neighbor load
+ATTEMPTS = int(os.environ.get("BENCH_ATTEMPTS", "2"))
+
+
+def best_of(make_run, n: int = 0) -> float:
+    """make_run: zero-arg callable building AND executing a fresh plan."""
+    best = None
+    for _ in range(n or ATTEMPTS):
+        t0 = time.time()
+        make_run()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
 
 
 def _sf() -> float:
@@ -81,15 +97,20 @@ def bench_validate_suite(spark, n_files: int) -> dict:
     files = files.persist()
     n = files.count()
 
-    ckpt = tempfile.mkdtemp(prefix="ve_bench_ckpt_")
-    t0 = time.time()
-    n_invalid, n_uniq_viol, n_ref_viol, _sink = run_suite(files, ckpt)
-    wall = time.time() - t0
+    best = None
+    results = None
+    for _ in range(ATTEMPTS):
+        ckpt = tempfile.mkdtemp(prefix="ve_bench_ckpt_")
+        t0 = time.time()
+        results = run_suite(files, ckpt)
+        wall = time.time() - t0
+        best = wall if best is None else min(best, wall)
+    n_invalid, n_uniq_viol, n_ref_viol, _sink = results
     files.unpersist()
     return {
         "n_rows": n,
-        "sec": round(wall, 3),
-        "rows_per_sec": round(n / wall, 1),
+        "sec": round(best, 3),
+        "rows_per_sec": round(n / best, 1),
         "n_invalid": n_invalid,
         "n_uniqueness_violations": n_uniq_viol,
         "n_referential_violations": n_ref_viol,
@@ -127,14 +148,14 @@ def main() -> None:
         .persist()
     )
     n_docs = docs.count()
-    t0 = time.time()
-    exact_dedup(docs, "id", "text").count()
-    queries["dedup_exact_corpus"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    minhash_lsh_candidates(
-        docs, "id", "text", k=3, n_hashes=16, bands=4, max_band_freq=50
-    ).count()
-    queries["dedup_minhash_lsh_corpus"] = round(time.time() - t0, 3)
+    queries["dedup_exact_corpus"] = best_of(
+        lambda: exact_dedup(docs, "id", "text").count()
+    )
+    queries["dedup_minhash_lsh_corpus"] = best_of(
+        lambda: minhash_lsh_candidates(
+            docs, "id", "text", k=3, n_hashes=16, bands=4, max_band_freq=50
+        ).count()
+    )
     docs.unpersist()
 
     # representative engine queries on the driver testdata
@@ -145,9 +166,7 @@ def main() -> None:
         "token_histogram_top", "minhash_lsh_pairs", "langid_by_lang",
         "chi2_drift_by_source", "ivf_topk", "simhash_documents",
     ):
-        t0 = time.time()
-        n = qs[name](spark, SF_DIR).count()
-        queries[name] = round(time.time() - t0, 3)
+        queries[name] = best_of(lambda: qs[name](spark, SF_DIR).count())
 
     total = round(sum(queries.values()), 3)
     print(
@@ -161,6 +180,7 @@ def main() -> None:
                 "rows_per_sec": suite["rows_per_sec"],
                 "suite_rows": suite["n_rows"],
                 "cpus": CPUS,
+                "attempts": ATTEMPTS,
             }
         )
     )
