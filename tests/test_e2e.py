@@ -115,7 +115,7 @@ def test_warning_checks_keep_validity(spark, corpus):
     # row emitted (reference warning semantics, result.py:42-43)
     from validation_engine import Check, ElementStage, Workflow, non_empty
 
-    files = corpus["files"].dropDuplicates(["repo", "path", "commit"]).limit(300)
+    files = corpus["files"].dropDuplicates(["repo", "path", "commit"]).orderBy("repo", "path", "commit").limit(300)
     stage = ElementStage(
         "warnchk",
         checks=[
@@ -151,7 +151,7 @@ def test_cli_end_to_end_with_defaults_cfg(spark, corpus, tmp_path, capsys):
 
     from validation_engine import cli
 
-    files = corpus["files"].dropDuplicates(["repo", "path", "commit"]).limit(200)
+    files = corpus["files"].dropDuplicates(["repo", "path", "commit"]).orderBy("repo", "path", "commit").limit(200)
     inp = str(tmp_path / "files.parquet")
     files.write.mode("overwrite").parquet(inp)
 

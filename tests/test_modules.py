@@ -141,7 +141,7 @@ def test_run_report_markdown(spark, corpus, tmp_path):
     from validation_engine import lang_matches_extension
     from validation_engine.report import run_report_markdown, write_run_report
 
-    files = corpus["files"].dropDuplicates(["repo", "path", "commit"]).limit(300)
+    files = corpus["files"].dropDuplicates(["repo", "path", "commit"]).orderBy("repo", "path", "commit").limit(300)
     wf = Workflow([ElementStage("checks", checks=[non_empty("content"), lang_matches_extension()])])
     res = wf.run(spark, files)
     md = run_report_markdown(wf, res)
@@ -240,7 +240,7 @@ def test_bucketed_join_is_exchange_free(spark, corpus, tmp_path):
 
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        files = corpus["files"].dropDuplicates(["repo", "path", "commit"]).limit(500)
+        files = corpus["files"].dropDuplicates(["repo", "path", "commit"]).orderBy("repo", "path", "commit").limit(500)
         write_bucketed(files.select("repo", "path", "commit", "lang"),
                        "t_files_b", ["repo", "path", "commit"], n_buckets=4)
         write_bucketed(

@@ -242,7 +242,7 @@ class KillAfter(CheckpointManager):
 
 
 def test_resume_skips_committed_chunks(spark, tmp_path, corpus):
-    files = corpus["files"].dropDuplicates(KEYS).limit(500)
+    files = corpus["files"].dropDuplicates(KEYS).orderBy(*KEYS).limit(500)
     stage = ElementStage("chk", checks=[non_empty("content")])
     root = str(tmp_path / "ckpt")
 
@@ -305,7 +305,7 @@ def test_nested_workflow(spark):
 
 
 def test_resume_restores_summaries(spark, tmp_path, corpus):
-    files = corpus["files"].dropDuplicates(KEYS).limit(200)
+    files = corpus["files"].dropDuplicates(KEYS).orderBy(*KEYS).limit(200)
     stage = ElementStage("chk2", checks=[non_empty("content")])
     root = str(tmp_path / "ckpt2")
     wf1 = Workflow([stage], n_buckets=4, checkpoint=CheckpointManager(root))
@@ -398,7 +398,7 @@ def test_workflow_input_schema_contract(spark):
 
 def test_checkpoint_manifest_via_hadoop_fs(spark, corpus, tmp_path):
     # file:// URI exercises the Hadoop FileSystem manifest path end-to-end
-    files = corpus["files"].dropDuplicates(KEYS).limit(100)
+    files = corpus["files"].dropDuplicates(KEYS).orderBy(*KEYS).limit(100)
     root = "file://" + str(tmp_path / "hfs_ckpt")
     stage = ElementStage("hfs", checks=[non_empty("content")])
     wf = Workflow([stage], n_buckets=4, checkpoint=CheckpointManager(root, 2))
@@ -480,7 +480,7 @@ def test_key_mutation_raises_not_retried(spark):
 
 
 def test_lineage_idempotent_on_chunk_retry(spark, tmp_path, corpus):
-    files = corpus["files"].dropDuplicates(KEYS).limit(200)
+    files = corpus["files"].dropDuplicates(KEYS).orderBy(*KEYS).limit(200)
     stage = ElementStage("lin", checks=[non_empty("content")])
     root = str(tmp_path / "ckpt_lin")
     ckpt = CheckpointManager(root, n_chunks=2)
