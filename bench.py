@@ -63,14 +63,14 @@ def bench_validate_suite(spark, n_files: int) -> dict:
     from validation_engine.drift import chi_square_drift
     from validation_engine.stats import column_profile
 
-    def run_suite(files, ckpt):
+    def run_suite(files, ckpt, n_chunks=1):
         stage = ElementStage(
             "checks",
             checks=[non_empty("content"), lang_matches_extension(), sha256_equals()],
         )
         wf = Workflow(
             [stage], n_buckets=64,
-            checkpoint=CheckpointManager(ckpt, n_chunks=1),
+            checkpoint=CheckpointManager(ckpt, n_chunks=n_chunks),
             strict_duplicates=False,
         )
         res = wf.run(spark, files)
@@ -105,12 +105,23 @@ def bench_validate_suite(spark, n_files: int) -> dict:
         results = run_suite(files, ckpt)
         wall = time.time() - t0
         best = wall if best is None else min(best, wall)
+    # per-partition commit granularity (north_rule): 8 atomically-committed
+    # chunks must cost ≈ one commit, NOT 8 corpus scans (single-scan
+    # partitionBy write, round 3)
+    best8 = None
+    for _ in range(ATTEMPTS):
+        ckpt = tempfile.mkdtemp(prefix="ve_bench_ckpt8_")
+        t0 = time.time()
+        run_suite(files, ckpt, n_chunks=8)
+        wall = time.time() - t0
+        best8 = wall if best8 is None else min(best8, wall)
     n_invalid, n_uniq_viol, n_ref_viol, _sink = results
     files.unpersist()
     return {
         "n_rows": n,
         "sec": round(best, 3),
         "rows_per_sec": round(n / best, 1),
+        "sec_8chunk_commits": round(best8, 3),
         "n_invalid": n_invalid,
         "n_uniqueness_violations": n_uniq_viol,
         "n_referential_violations": n_ref_viol,
@@ -135,6 +146,7 @@ def main() -> None:
     # headline: full validation suite on the synthesized corpus
     suite = bench_validate_suite(spark, n_files)
     queries["validate_suite"] = suite["sec"]
+    queries["validate_suite_8chunks"] = suite["sec_8chunk_commits"]
 
     # dedup pipeline at corpus scale: exact + MinHash-LSH over the same
     # synthesized files (capped buckets, affine hash family)

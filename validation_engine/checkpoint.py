@@ -140,117 +140,179 @@ class CheckpointManager:
         deriver,
         run_id: str,
     ) -> tuple[DataFrame, DataFrame]:
-        """Write ALL pending chunks in ONE pass over the report plan
-        (``partitionBy(chunk)`` + dynamic partition overwrite), then commit
-        each already-durable chunk directory: violations derive from the
-        written chunk files (``deriver(committed_chunk_df)``), so a stage
-        scans the input corpus exactly ONCE regardless of ``n_chunks`` —
-        per-partition commit granularity at 10^12 files must not cost
-        n_chunks corpus scans.  The manifest records a chunk only AFTER its
-        data and lineage rows are durable.  Already-committed chunks are
-        skipped (resume): the dynamic overwrite only touches partitions
-        present in the written data, so committed chunk dirs survive a
-        crash-retry untouched.  Returns the re-read (committed) outputs so
-        downstream stages consume the durable lineage barrier, not a
-        recomputation of the plan."""
+        """Commit protocol, O(1) corpus scans and O(1) derivation jobs
+        regardless of ``n_chunks``:
+
+        1. STAGE: one pass over the report plan writes every pending chunk
+           directory (``partitionBy(chunk)`` + dynamic partition overwrite —
+           committed dirs are never touched).  The manifest's ``staged`` set
+           records that those dirs are durable, so a crash ANYWHERE after
+           this step resumes without re-scanning the corpus.
+        2. DERIVE (batched): ONE read of the staged chunk files produces the
+           violations for all pending chunks (written ``partitionBy(chunk)``
+           — a violation row lands in its report row's chunk, since the
+           chunk id is a pure function of ``_vpart``), and ONE aggregation
+           produces every chunk's lineage rows + summary/consistency metrics
+           (the DAG never re-aggregates a checkpointed report).
+        3. COMMIT: per chunk, manifest write LAST — the commit point.  A
+           chunk is recorded only after its data, violations and lineage are
+           durable; killed runs retry only un-committed chunks, and every
+           retry is a chunk-scoped overwrite (idempotent).
+
+        Returns the re-read (committed) outputs so downstream stages consume
+        the durable lineage barrier, not a recomputation of the plan."""
         d = self._stage_dir(stage)
         m = self.manifest(stage)
         committed = set(m["committed_chunks"])
         m.setdefault("chunk_metrics", {})
         pending = [c for c in range(self.n_chunks) if c not in committed]
+        if not pending:
+            return self.read_report(spark, stage), self.read_violations(spark, stage)
 
-        if pending:
-            chunk_col = (
-                F.lit(0)
-                if self.n_chunks == 1
-                else F.pmod(F.xxhash64(F.col("_vpart")), F.lit(self.n_chunks))
-            ).cast("int")
-            staged = report.withColumn("chunk", chunk_col)
+        chunk_of = (
+            F.lit(0)
+            if self.n_chunks == 1
+            else F.pmod(F.xxhash64(F.col("_vpart")), F.lit(self.n_chunks))
+        ).cast("int")
+
+        # -- 1. stage data files (the ONLY corpus scan; skipped on resume
+        # when a prior run already staged these chunks)
+        if not set(pending) <= set(m.get("staged", [])):
+            staged_df = report.withColumn("chunk", chunk_of)
             if len(pending) < self.n_chunks:
                 # resume: recompute only the uncommitted chunks' rows
-                staged = staged.filter(F.col("chunk").isin(pending))
+                staged_df = staged_df.filter(F.col("chunk").isin(pending))
             (
-                staged.write.mode("overwrite")
+                staged_df.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("chunk")
                 .parquet(os.path.join(d, "report"))
             )
+            m["staged"] = sorted(set(pending) | committed)
+            self._write_manifest(stage, m)
 
+        # zero-row chunks write no partition dir: create explicit empty ones
+        # (root reads need a footer per dir, and the batch read lists dirs)
+        chunk_dirs = []
         for c in pending:
-            chunk_dir = os.path.join(d, "report", f"chunk={c}")
-            if self._dir_exists(chunk_dir):
-                committed_rep = spark.read.parquet(chunk_dir)
-            else:
-                # a chunk with zero rows writes no partition directory; write
-                # an explicit empty one so every chunk dir exists (read_report
-                # on the root needs at least one footer for schema discovery)
-                committed_rep = spark.createDataFrame([], report.schema)
-                committed_rep.write.mode("overwrite").parquet(chunk_dir)
-            deriver(committed_rep).write.mode("overwrite").parquet(
-                os.path.join(d, "violations", f"chunk={c}")
-            )
-            # 2. one fused aggregation over the committed chunk produces the
-            # lineage rows AND the summary/consistency metrics (the DAG never
-            # re-aggregates a checkpointed report)
-            viol_count = (
-                F.sum(F.coalesce(F.size("_viol"), F.lit(0)))
-                if "_viol" in committed_rep.columns
-                else F.lit(0)
-            )
-            agg_rows = (
-                committed_rep.groupBy("_vpart")
-                .agg(
-                    viol_count.cast("long").alias("n_violation_rows"),
-                    F.count(F.lit(1)).alias("n_total"),
-                    F.count(F.when(F.col("is_valid"), 1)).alias("n_valid"),
-                    F.count(F.when(F.col("ret_code") > 1, 1)).alias("n_warning"),
-                    F.count(F.when(F.col("is_valid").isNull(), 1)).alias("null_valid"),
-                    F.count(
-                        F.when(F.col("is_valid") & (F.col("ret_code") == 1), 1)
-                    ).alias("valid_but_1"),
-                    F.count(
-                        F.when(~F.col("is_valid") & (F.col("ret_code") == 0), 1)
-                    ).alias("invalid_but_0"),
-                    F.count(
-                        F.when(
-                            (F.col("ret_code") > 1)
-                            & (F.col("comment").isNull() | (F.col("comment") == "")),
-                            1,
-                        )
-                    ).alias("warning_no_comment"),
-                )
-                .collect()
-            )
-            ts = _now()
-            from .schema import LINEAGE_SCHEMA
+            cd = os.path.join(d, "report", f"chunk={c}")
+            if not self._dir_exists(cd):
+                spark.createDataFrame([], report.schema).write.mode(
+                    "overwrite"
+                ).parquet(cd)
+            chunk_dirs.append(cd)
 
-            lineage_rows = [
-                {
-                    "stage": stage,
-                    "partition": r["_vpart"],
-                    "run_id": run_id,
-                    "committed_at": ts,
-                    "n_rows": r["n_total"],
-                }
-                for r in agg_rows
-            ]
-            # chunk-scoped overwrite (NOT append): a crash between this write
-            # and the manifest commit makes the chunk retry on resume, and the
-            # retry must be idempotent — same invariant as report/violations —
-            # so 'one lineage row per committed partition' survives crashes
-            spark.createDataFrame(lineage_rows or [], schema=LINEAGE_SCHEMA).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(d, "lineage", f"chunk={c}"))
-            # 3. manifest LAST — the commit point (metrics ride along)
+        # -- 2a. batched violations from the STAGED files, never the corpus
+        rep_pend = spark.read.option(
+            "basePath", os.path.join(d, "report")
+        ).parquet(*chunk_dirs)
+        viols = deriver(rep_pend.drop("chunk"))
+        if "_vpart" in viols.columns:
+            (
+                viols.withColumn("chunk", chunk_of)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("chunk")
+                .parquet(os.path.join(d, "violations"))
+            )
+            empty_viol = spark.createDataFrame([], viols.schema)
+            for c in pending:
+                vd = os.path.join(d, "violations", f"chunk={c}")
+                if not self._dir_exists(vd):
+                    empty_viol.write.mode("overwrite").parquet(vd)
+        else:
+            # custom deriver dropped the partition tag → chunk placement is
+            # underivable; fall back to per-chunk derivation (rare path)
+            for c in pending:
+                rep_c = spark.read.parquet(os.path.join(d, "report", f"chunk={c}"))
+                deriver(rep_c).write.mode("overwrite").parquet(
+                    os.path.join(d, "violations", f"chunk={c}")
+                )
+
+        # -- 2b. batched lineage + metrics: ONE aggregation for all chunks
+        viol_count = (
+            F.sum(F.coalesce(F.size("_viol"), F.lit(0)))
+            if "_viol" in rep_pend.columns
+            else F.lit(0)
+        )
+        agg_rows = (
+            rep_pend.groupBy("chunk", "_vpart")
+            .agg(
+                viol_count.cast("long").alias("n_violation_rows"),
+                F.count(F.lit(1)).alias("n_total"),
+                F.count(F.when(F.col("is_valid"), 1)).alias("n_valid"),
+                F.count(F.when(F.col("ret_code") > 1, 1)).alias("n_warning"),
+                F.count(F.when(F.col("is_valid").isNull(), 1)).alias("null_valid"),
+                F.count(
+                    F.when(F.col("is_valid") & (F.col("ret_code") == 1), 1)
+                ).alias("valid_but_1"),
+                F.count(
+                    F.when(~F.col("is_valid") & (F.col("ret_code") == 0), 1)
+                ).alias("invalid_but_0"),
+                F.count(
+                    F.when(
+                        (F.col("ret_code") > 1)
+                        & (F.col("comment").isNull() | (F.col("comment") == "")),
+                        1,
+                    )
+                ).alias("warning_no_comment"),
+            )
+            .collect()
+        )
+        by_chunk: dict = {}
+        for r in agg_rows:
+            by_chunk.setdefault(int(r["chunk"]), []).append(r)
+
+        ts = _now()
+        from pyspark.sql import types as T
+
+        from .schema import LINEAGE_SCHEMA
+
+        lineage_rows = [
+            {
+                "stage": stage,
+                "partition": r["_vpart"],
+                "run_id": run_id,
+                "committed_at": ts,
+                "n_rows": r["n_total"],
+                "chunk": int(r["chunk"]),
+            }
+            for r in agg_rows
+        ]
+        lineage_schema_c = T.StructType(
+            list(LINEAGE_SCHEMA.fields) + [T.StructField("chunk", T.IntegerType())]
+        )
+        # chunk-scoped overwrites (NOT append): a crash before a chunk's
+        # manifest commit retries it on resume, and the retry must be
+        # idempotent — 'one lineage row per committed partition' survives
+        if lineage_rows:
+            (
+                spark.createDataFrame(lineage_rows, schema=lineage_schema_c)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("chunk")
+                .parquet(os.path.join(d, "lineage"))
+            )
+        empty_lin = spark.createDataFrame([], schema=LINEAGE_SCHEMA)
+        for c in pending:
+            ld = os.path.join(d, "lineage", f"chunk={c}")
+            if c not in by_chunk and not self._dir_exists(ld):
+                empty_lin.write.mode("overwrite").parquet(ld)
+
+        # -- 3. per-chunk manifest commits, LAST (driver-side only)
+        for c in pending:
             committed.add(c)
             m["committed_chunks"] = sorted(committed)
             m["chunk_metrics"][str(c)] = {
-                r["_vpart"]: {k: r[k] for k in (
-                    "n_total", "n_valid", "n_warning", "null_valid",
-                    "valid_but_1", "invalid_but_0", "warning_no_comment",
-                    "n_violation_rows",
-                )}
-                for r in agg_rows
+                r["_vpart"]: {
+                    k: r[k]
+                    for k in (
+                        "n_total", "n_valid", "n_warning", "null_valid",
+                        "valid_but_1", "invalid_but_0", "warning_no_comment",
+                        "n_violation_rows",
+                    )
+                }
+                for r in by_chunk.get(c, [])
             }
             self._write_manifest(stage, m)
 
