@@ -670,3 +670,35 @@ def test_asof_query_plan_has_no_nested_loop(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
     assert "Window" in plan  # the merge-sort carry-forward
+
+
+def test_unigram_lm_score_ranks_typical_text_higher(spark):
+    """Unigram LM quality proxy: documents made of corpus-frequent tokens
+    score higher avg_logprob than rare/OOV-heavy ones; hand-checked values
+    on a tiny corpus; vocab cap keeps the broadcast bounded."""
+    import math
+
+    from validation_engine.text import unigram_lm_score
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the mat"),
+        (3, "zzq qxv wvx"),          # all-rare tokens
+        (4, "the the the the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in unigram_lm_score(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # 'the' dominates the corpus → doc 4 is the most typical
+    assert out[4]["avg_logprob"] > out[1]["avg_logprob"] > out[3]["avg_logprob"]
+    assert out[3]["ppl_proxy"] > out[1]["ppl_proxy"]
+    # hand check doc 4: all tokens 'the' (count 8 in a corpus of 19 tokens,
+    # 9 distinct) → lp = log((8+1)/(19+9))
+    assert abs(out[4]["avg_logprob"] - round(math.log(9 / 28), 6)) < 1e-9
+    assert out[4]["n_tokens"] == 4
+    # vocab cap: with vocab_size=1 only 'the' is in-vocab (count 8, total 8,
+    # v 1); everything else gets the floor log(1/(8+1))
+    capped = {r["doc_id"]: r for r in
+              unigram_lm_score(df, "doc_id", "text", vocab_size=1).collect()}
+    exp3 = round(math.log(1 / 9), 6)
+    assert abs(capped[3]["avg_logprob"] - exp3) < 1e-6

@@ -272,3 +272,73 @@ def repetition_ratio(col, unit: str = "line") -> Column:
     return F.when(total <= 0, F.lit(0.0)).otherwise(
         F.round(1.0 - F.size(F.array_distinct(units)) / total.cast("double"), 6)
     )
+
+
+def unigram_lm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 100_000,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus-level unigram language-model quality score per document —
+    the classic cheap perplexity proxy training-data pipelines use to rank
+    documents before an expensive model-based filter.
+
+    Two-phase, both scale-shaped:
+
+    1. LM build: ONE aggregation over the exploded token stream —
+       the shuffle carries (token, partial count) after map-side combine;
+       the vocabulary is capped to the ``vocab_size`` most frequent tokens
+       (so the LM broadcast stays bounded no matter the corpus) and tokens
+       below ``min_count`` are dropped.
+    2. Scoring: tokens explode map-side, the (tiny) LM broadcast-joins onto
+       them (no shuffle), and the per-document mean log-probability
+       aggregates with map-side partial sums — the only shuffle carries one
+       (id, sum, n) row per document per input partition.
+
+    Out-of-vocabulary tokens get the Laplace floor ``log(1 / (N + V))``.
+    Returns (id_col, n_tokens, avg_logprob, ppl_proxy) — higher avg_logprob
+    = more "typical" text; ``ppl_proxy = exp(-avg_logprob)``.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(lower_tokens(F.col(text_col))).alias("_tok")
+    ).filter(F.length("_tok") > 0)
+
+    counts = (
+        toks.groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= int(min_count))
+    )
+    # bounded vocabulary: top-V by frequency (TakeOrdered k-heap, no global
+    # sort materialization), collected ONCE — the LM is a driver-side object
+    # of ≤ vocab_size rows, rebuilt as a literal broadcast frame
+    top = counts.orderBy(F.desc("_n"), F.asc("_tok")).limit(int(vocab_size))
+    lm_rows = top.collect()
+    total = sum(r["_n"] for r in lm_rows)
+    v = len(lm_rows)
+    if v == 0:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], f"{id_col} string, n_tokens bigint, avg_logprob double, ppl_proxy double"
+        )
+    import math
+
+    denom = float(total + v)
+    floor = math.log(1.0 / denom)
+    spark = df.sparkSession
+    lm = spark.createDataFrame(
+        [(r["_tok"], math.log((r["_n"] + 1) / denom)) for r in lm_rows],
+        "_tok string, _lp double",
+    )
+    scored = (
+        toks.join(F.broadcast(lm), "_tok", "left")
+        .withColumn("_lp", F.coalesce(F.col("_lp"), F.lit(floor)))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+        )
+        .withColumn("ppl_proxy", F.round(F.exp(-F.col("avg_logprob")), 4))
+    )
+    return scored
