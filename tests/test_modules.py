@@ -335,3 +335,62 @@ def test_catalog_table_write_read_roundtrip(spark):
         assert got.count() == 10 and set(got.columns) == {"id", "g"}
     finally:
         spark.sql("DROP TABLE IF EXISTS default.ve_cat_smoke")
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed summary with a watermark: a window only emits
+    once the watermark passes it, and rows arriving LATER than the watermark
+    are dropped from state — the bounded-state guarantee that makes windowed
+    validation summaries safe on an unbounded stream."""
+    from validation_engine.streaming import streaming_report, streaming_summary
+
+    src = str(tmp_path / "late_src")
+    ck = str(tmp_path / "late_ck")
+
+    def batch(ids, base_offset_s):
+        return spark.createDataFrame(
+            [("r", f"p{base_offset_s}_{i}", "c", "body") for i in ids],
+            "repo string, path string, commit string, content string",
+        ).select(
+            "*",
+            (F.lit("2026-01-01 00:00:00").cast("timestamp")
+             + F.make_interval(secs=F.lit(base_offset_s))).alias("ts"),
+        )
+
+    # batch 1: minute-0 rows, plus a minute-5 row that advances the
+    # watermark (1 minute) far past the minute-0 window
+    b1 = batch(range(30), 10).unionByName(batch([990], 300))
+    b1.write.mode("overwrite").parquet(src)
+
+    sink = str(tmp_path / "late_out")
+
+    def run_once():
+        stream = spark.readStream.schema(b1.schema).parquet(src)
+        report, _ = streaming_report(stream, [non_empty("content")], stage="s")
+        summ = streaming_summary(report, "ts", window="1 minute", watermark="1 minute")
+        # parquet sink: append-mode + checkpoint RECOVERY across restarts
+        # (the memory sink cannot recover a checkpoint)
+        q = (
+            summ.withColumn("ws", F.col("window.start").cast("string"))
+            .drop("window")
+            .writeStream.format("parquet").option("path", sink)
+            .option("checkpointLocation", ck).outputMode("append")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once()
+    rows = {r["ws"]: r["n_total"] for r in spark.read.parquet(sink).collect()}
+    # minute-0 window closed (watermark = 05:00 - 1min passed it) → emitted
+    assert rows.get("2026-01-01 00:00:00") == 30
+
+    # batch 2: LATE minute-0 rows (behind the watermark) + fresh minute-10
+    # rows; the late rows must NOT re-open or update the emitted window
+    batch(range(5), 15).unionByName(batch(range(20), 600)).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    out = spark.read.parquet(sink).filter(F.col("ws") == "2026-01-01 00:00:00")
+    totals = [r["n_total"] for r in out.collect()]
+    assert totals == [30], f"late rows leaked into a closed window: {totals}"
