@@ -595,12 +595,16 @@ def q_ngram_jaccard_pairs(spark, sf):
 
 
 def q_langid_by_lang(spark, sf):
-    from validation_engine.text import language_id, lower_tokens
+    """Language ID with BOTH shared-array stagings: lowered tokens once,
+    then the per-language scores array once (interpreted marker filters
+    evaluate a single time; the argmax references the staged column)."""
+    from validation_engine.text import lang_from_scores, lang_scores, lower_tokens
 
     docs = _t(spark, sf, "documents")
-    staged = docs.select(F.col("lang"), lower_tokens("text").alias("_toks"))
+    toks = docs.select(F.col("lang"), lower_tokens("text").alias("_toks"))
+    staged = toks.select("lang", lang_scores(F.col("_toks")).alias("_sc"))
     return (
-        staged.select("lang", language_id(tokens=F.col("_toks")).alias("lang_id"))
+        staged.select("lang", lang_from_scores(F.col("_sc")).alias("lang_id"))
         .groupBy("lang", "lang_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )
