@@ -130,3 +130,19 @@ def test_asof_join_tie_break_deterministic(spark):
     for _ in range(3):
         got = asof_join(trades, quotes, ["sym"], "tts", "qts").collect()
         assert len(got) == 1 and got[0]["px_asof"] == 9.0
+
+
+def test_connected_components_warns_on_nonconvergence(spark, caplog):
+    """max_iter smaller than the graph diameter must WARN, never silently
+    return partial component labels (ADVICE r2)."""
+    import logging
+
+    from validation_engine.dedup import connected_components
+
+    # a 6-node chain needs ~3+ min-label rounds; max_iter=1 cannot converge
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a bigint, id_b bigint"
+    )
+    with caplog.at_level(logging.WARNING, logger="validation_engine.dedup"):
+        connected_components(pairs, max_iter=1).collect()
+    assert any("max_iter" in m for m in caplog.messages)

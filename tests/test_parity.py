@@ -675,3 +675,48 @@ def test_run_releases_report_caches(spark):
     assert jsc.getPersistentRDDs().size() == n_before, "stage report caches leaked"
     # returned frames still usable after unpersist (recompute)
     assert res.reports["s3"].count() == 20
+
+
+def test_staged_resume_skips_corpus_rescan(spark, tmp_path):
+    """Crash AFTER the staging write but BEFORE any chunk commit: the
+    manifest 'staged' marker lets the resume finish every chunk WITHOUT
+    re-executing the upstream plan (zero additional corpus scans)."""
+    n = 200
+    base = spark.range(n).select(
+        F.col("id"),
+        F.lit(True).alias("is_valid"),
+        F.lit(0).alias("ret_code"),
+        F.lit(None).cast("string").alias("comment"),
+        F.pmod(F.col("id"), F.lit(8)).cast("string").alias("_vpart"),
+    )
+    acc = spark.sparkContext.accumulator(0)
+
+    def counted(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    report = base.mapInPandas(counted, schema=base.schema)
+    root = str(tmp_path / "staged_resume")
+    deriver = lambda r: r.filter(~F.col("is_valid"))  # noqa: E731
+
+    class KillAfterStaging(CheckpointManager):
+        def _write_manifest(self, stage, m):
+            super()._write_manifest(stage, m)
+            if m.get("staged") and not m["committed_chunks"]:
+                raise KeyboardInterrupt("crash between staging and commits")
+
+    with pytest.raises(KeyboardInterrupt):
+        KillAfterStaging(root, n_chunks=4).commit_stage(
+            spark, "s", report, deriver, run_id="r1"
+        )
+    assert acc.value == n  # staged exactly once
+    m = CheckpointManager(root, 4).manifest("s")
+    assert m["staged"] == [0, 1, 2, 3] and m["committed_chunks"] == []
+
+    rep, viols = CheckpointManager(root, n_chunks=4).commit_stage(
+        spark, "s", report, deriver, run_id="r2"
+    )
+    assert acc.value == n, "resume re-scanned the corpus despite staged marker"
+    assert rep.count() == n and viols.count() == 0
+    assert CheckpointManager(root, 4).manifest("s")["committed_chunks"] == [0, 1, 2, 3]
