@@ -702,3 +702,34 @@ def test_unigram_lm_score_ranks_typical_text_higher(spark):
               unigram_lm_score(df, "doc_id", "text", vocab_size=1).collect()}
     exp3 = round(math.log(1 / 9), 6)
     assert abs(capped[3]["avg_logprob"] - exp3) < 1e-6
+
+
+def test_bm25_topk_ranking_and_plan(spark):
+    """BM25: term-frequency and rarity both rank as expected; empty-hit
+    query returns an empty frame; plan is a top-k heap with the token
+    stream filtered to query terms before any aggregation."""
+    from validation_engine.text import bm25_topk
+
+    rows = [
+        (1, "spark spark spark engine"),          # high tf for 'spark'
+        (2, "spark engine"),
+        (3, "the quick brown fox"),
+        (4, "engine engine engine engine"),       # tf for common 'engine'
+        (5, "a spark of genius"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = bm25_topk(df, "doc_id", "text", "spark", k=3).collect()
+    assert [r["doc_id"] for r in got][0] == 1          # highest tf wins
+    assert {r["doc_id"] for r in got} == {1, 2, 5}     # only docs containing it
+    assert got[0]["score"] > got[-1]["score"] > 0
+
+    # rarity: 'fox' (df=1) outweighs 'engine' (df=3) for a doc with both
+    both = bm25_topk(df, "doc_id", "text", "fox engine", k=5).collect()
+    assert both[0]["doc_id"] == 3
+
+    assert bm25_topk(df, "doc_id", "text", "zzzznope", k=3).count() == 0
+
+    plan = bm25_topk(df, "doc_id", "text", "spark engine", k=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "_tok" in plan and "Filter" in plan  # query-term filter pre-agg

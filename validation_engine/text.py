@@ -365,3 +365,75 @@ def unigram_lm_score(
         .withColumn("ppl_proxy", F.round(F.exp(-F.col("avg_logprob")), 4))
     )
     return scored
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k text search — the classic inverted-index ranking, shaped
+    so only QUERY-TOKEN rows ever shuffle:
+
+    * per-document length + the (doc, token) stream are computed in one
+      scan; the stream is filtered to the query's tokens BEFORE any shuffle
+      (a literal isin predicate, pushable through the explode), so term
+      frequencies aggregate over a stream proportional to query-term
+      occurrences, not corpus tokens;
+    * document frequencies (idf) come from the same filtered aggregate —
+      ≤ |query| rows, broadcast back onto the scores;
+    * the result is a TakeOrderedAndProject k-heap, never a global sort.
+
+    Returns (id_col, score) — BM25 with the standard Robertson idf
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))``.
+    """
+    import math as _math
+
+    terms = sorted({t for t in query.lower().split() if t})
+    if not terms:
+        raise ValueError("query has no tokens")
+    spark = df.sparkSession
+
+    base = df.select(
+        F.col(id_col),
+        lower_tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        id_col, F.size("_toks").alias("_dl"), F.col("_toks")
+    )
+    # N and avgdl: one tiny aggregate over (doc, length) — no token shuffle
+    stats = base.agg(
+        F.count(F.lit(1)).alias("N"), F.avg("_dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["N"]), float(stats["avgdl"] or 1.0)
+
+    hits = (
+        base.select(id_col, "_dl", F.explode("_toks").alias("_tok"))
+        .filter(F.col("_tok").isin(terms))
+        .groupBy(id_col, "_tok")
+        .agg(F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl"))
+    )
+    dfreq = hits.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    idf_rows = dfreq.collect()  # ≤ |query| rows
+    idf = {
+        r["_tok"]: _math.log(1.0 + (n_docs - r["_df"] + 0.5) / (r["_df"] + 0.5))
+        for r in idf_rows
+    }
+    if not idf:  # no query token appears anywhere in the corpus
+        return base.select(id_col, F.lit(0.0).alias("score")).limit(0)
+    idf_df = spark.createDataFrame(
+        [(t, v) for t, v in idf.items()], "_tok string, _idf double"
+    )
+    norm = F.col("_tf") * (k1 + 1) / (
+        F.col("_tf") + k1 * (1 - b + b * F.col("_dl") / F.lit(avgdl))
+    )
+    scored = (
+        hits.join(F.broadcast(idf_df), "_tok")
+        .withColumn("_s", F.col("_idf") * norm)
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_s"), 6).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
