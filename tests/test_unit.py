@@ -144,3 +144,37 @@ def test_schema_issues_and_enforce(spark):
         [("r", "p", "c", "py", "x")], "repo string, path string, commit string, lang string, content string"
     )
     assert schema_issues(files, INPUT_SCHEMA) == []
+
+
+def test_in_range_and_length_between_checks(spark):
+    from validation_engine import ElementStage, Workflow, in_range, length_between
+
+    df = spark.createDataFrame(
+        [("r", f"p{i}", "c", v, t) for i, (v, t) in enumerate(
+            [(5, "hello"), (15, "x"), (-1, "a massively long piece of text"), (None, "ok")]
+        )],
+        "repo string, path string, commit string, v int, t string",
+    )
+    stage = ElementStage("rng", checks=[
+        in_range("v", 0, 10),
+        length_between("t", 2, 10),
+    ])
+    res = Workflow([stage]).run(spark, df)
+    rep = {r["path"]: r for r in res.reports["rng"].collect()}
+    assert rep["p0"]["is_valid"] is True
+    assert rep["p1"]["is_valid"] is False           # v out of range + t short
+    assert "outside" in rep["p1"]["comment"]
+    assert rep["p2"]["is_valid"] is False           # v<0 and t too long
+    assert rep["p3"]["is_valid"] is False           # null v fails in_range
+    v = {(r["path"], r["check_id"]) for r in res.violations["rng"].collect()}
+    assert ("p1", "in_range_v") in v and ("p1", "length_between_t") in v
+    assert ("p2", "length_between_t") in v
+
+    # one-sided + validation errors
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        in_range("v")
+    one = ElementStage("one", checks=[in_range("v", lo=0)])
+    res2 = Workflow([one]).run(spark, df.filter(F.col("v").isNotNull()))
+    rep2 = {r["path"]: r["is_valid"] for r in res2.reports["one"].collect()}
+    assert rep2 == {"p0": True, "p1": True, "p2": False}

@@ -18,8 +18,10 @@ from .checkpoint import CheckpointManager
 from .checks import (
     Check,
     compile_checks,
+    in_range,
     in_set,
     lang_matches_extension,
+    length_between,
     matches,
     non_empty,
     not_null,
@@ -46,9 +48,9 @@ __all__ = [
     "Check", "CheckpointManager", "DEFAULT_KEYS", "ElementStage",
     "PandasElementStage", "RowFunctionStage", "RunResult", "SKIP_COMMENT",
     "SetStage", "Stage", "StageOutput", "SubWorkflowStage",
-    "ValidationResult", "Workflow", "compile_checks", "get_spark", "in_set",
+    "ValidationResult", "Workflow", "compile_checks", "get_spark", "in_range", "in_set",
     "row_function",
-    "lang_matches_extension", "matches", "non_empty", "not_null",
+    "lang_matches_extension", "length_between", "matches", "non_empty", "not_null",
     "referential_violations", "sha256_equals", "uniqueness_violations",
     "violations_to_verdicts",
 ]

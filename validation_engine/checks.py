@@ -88,6 +88,46 @@ def matches(col: str, pattern: str, check_id: Optional[str] = None) -> Check:
     )
 
 
+def in_range(
+    col: str, lo=None, hi=None, check_id: Optional[str] = None
+) -> Check:
+    """Numeric bounds (inclusive); pass one of lo/hi for a one-sided check."""
+    if lo is None and hi is None:
+        raise ValueError("in_range needs lo and/or hi")
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (F.col(col) >= F.lit(lo))
+    if hi is not None:
+        pred = pred & (F.col(col) <= F.lit(hi))
+    return Check(
+        check_id or f"in_range_{col}",
+        pred,
+        F.concat(
+            F.lit(f"column '{col}' value "), F.col(col).cast("string"),
+            F.lit(f" outside [{lo}, {hi}]"),
+        ),
+    )
+
+
+def length_between(
+    col: str, lo: int = 0, hi: Optional[int] = None, check_id: Optional[str] = None
+) -> Check:
+    """String/binary length bounds (inclusive) — the usual too-short /
+    too-long document gate."""
+    ln = F.length(F.col(col))
+    pred = ln >= F.lit(int(lo))
+    if hi is not None:
+        pred = pred & (ln <= F.lit(int(hi)))
+    return Check(
+        check_id or f"length_between_{col}",
+        pred,
+        F.concat(
+            F.lit(f"column '{col}' length "), ln.cast("string"),
+            F.lit(f" outside [{lo}, {hi if hi is not None else '∞'}]"),
+        ),
+    )
+
+
 #: extension → expected language (north_star lang-vs-extension consistency).
 DEFAULT_EXT_LANG = {
     "py": "python",

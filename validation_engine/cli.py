@@ -54,6 +54,12 @@ CHECK_BUILDERS = {
     "not_null": lambda spec: C.not_null(spec["col"]),
     "in_set": lambda spec: C.in_set(spec["col"], spec["allowed"]),
     "matches": lambda spec: C.matches(spec["col"], spec["pattern"]),
+    "in_range": lambda spec: C.in_range(
+        spec["col"], spec.get("lo"), spec.get("hi")
+    ),
+    "length_between": lambda spec: C.length_between(
+        spec["col"], spec.get("lo", 0), spec.get("hi")
+    ),
     "lang_matches_extension": lambda spec: C.lang_matches_extension(
         spec.get("path_col", "path"), spec.get("lang_col", "lang"),
         spec.get("ext_lang"),
