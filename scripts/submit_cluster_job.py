@@ -1,0 +1,46 @@
+"""spark-submit job: multi-executor validation with a PYTHON stage.
+
+Run with:
+  spark-submit --master 'local-cluster[2,1,2048]' \
+      --conf spark.executor.memory=2g --py-files /tmp/ve.zip \
+      /tmp/submit_cluster_job.py
+
+The engine comes ONLY from the --py-files zip (no repo on PYTHONPATH);
+the PandasElementStage proves executor-side Python workers import it.
+"""
+import json
+
+import pandas as pd
+from pyspark.sql import SparkSession, functions as F
+
+from validation_engine import CheckpointManager, ElementStage, PandasElementStage, Workflow, non_empty
+from validation_engine.datagen import spark_codefiles
+
+
+def py_check(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pd.DataFrame(index=pdf.index)
+    out["is_valid"] = pdf["content"].str.len() < 10_000
+    return out
+
+
+def main():
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    files = spark_codefiles(spark, 50_000, n_dup=0)
+    wf = Workflow(
+        [ElementStage("basic", checks=[non_empty("content")]),
+         PandasElementStage("py_len", py_check, inputs={"basic": {}})],
+        checkpoint=CheckpointManager("/tmp/submit_ckpt", n_chunks=2),
+        strict_duplicates=False,
+    )
+    res = wf.run(spark, files)
+    n_total = sum(s["n_total"] for s in res.summaries if s["stage"] == "py_len")
+    n_valid = sum(s["n_valid"] for s in res.summaries if s["stage"] == "py_len")
+    n_exec = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1
+    print("SUBMIT_RESULT " + json.dumps(
+        {"n_total": n_total, "n_valid": n_valid, "executors": n_exec}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
