@@ -733,3 +733,45 @@ def test_bm25_topk_ranking_and_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "_tok" in plan and "Filter" in plan  # query-term filter pre-agg
+
+
+def test_wasserstein_and_js_drift_flag_planted_partition(spark, corpus):
+    """W1 (earth-mover) and Jensen-Shannon drift: the planted-drift repo is
+    flagged, others mostly aren't; W1 is normalized to [0,1]; JSD bounded by
+    ln 2; a partition identical to the pool scores ~0 on both."""
+    import math
+
+    from validation_engine.drift import js_divergence_drift, wasserstein_drift
+
+    files = corpus["files"].dropDuplicates(["repo", "path", "commit"])
+    drifted_repo = corpus["expected"]["drift_repo"]
+
+    # small per-repo samples (~75 rows) make the baseline noisy, so assert
+    # SEPARATION: the planted repo is the clear maximum on both metrics,
+    # and thresholds tuned to the data flag it without mass false positives
+    w = {r["partition"]: r for r in
+         wasserstein_drift(files, F.length("content"), "repo", n_buckets=32,
+                           threshold=0.25).collect()}
+    assert all(0.0 <= r["w1_norm"] <= 1.0 for r in w.values())
+    assert max(w.values(), key=lambda r: r["w1_norm"])["partition"] == drifted_repo
+    assert w[drifted_repo]["drifted"]
+    assert sum(1 for r in w.values() if r["drifted"]) <= 3
+
+    j = {r["partition"]: r for r in
+         js_divergence_drift(files, F.length("content"), "repo", n_buckets=32,
+                             threshold=0.3).collect()}
+    assert all(0.0 <= r["jsd"] <= math.log(2) + 1e-9 for r in j.values())
+    assert max(j.values(), key=lambda r: r["jsd"])["partition"] == drifted_repo
+    assert j[drifted_repo]["drifted"]
+    assert sum(1 for r in j.values() if r["drifted"]) <= 3
+
+    # sanity: a two-partition frame where both halves share one distribution
+    same = spark.range(2000).select(
+        (F.col("id") % 2).cast("string").alias("p"), (F.col("id") % 97).alias("v")
+    )
+    w2 = {r["partition"]: r["w1_norm"] for r in
+          wasserstein_drift(same, "v", "p", n_buckets=16, lo=0.0, hi=97.0).collect()}
+    assert all(v < 0.02 for v in w2.values())
+    j2 = {r["partition"]: r["jsd"] for r in
+          js_divergence_drift(same, "v", "p", n_buckets=16, lo=0.0, hi=97.0).collect()}
+    assert all(v < 0.01 for v in j2.values())

@@ -302,3 +302,103 @@ def psi_drift(
         F.round(F.sum("term"), 6).alias("psi"),
     )
     return out.withColumn("drifted", F.col("psi") > threshold)
+
+
+def wasserstein_drift(
+    df: DataFrame,
+    value_col,
+    partition_col: str,
+    n_buckets: int = 64,
+    lo: Optional[float] = None,
+    hi: Optional[float] = None,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Earth-mover (Wasserstein-1) distance per partition vs the pooled
+    distribution, on the shared bucket grid: ``W1 ≈ span/B · Σ_b |CDF_p(b)
+    − CDF_g(b)|`` — the metric drift monitors prefer over KS when the SIZE
+    of the shift matters, not just its existence.  ``threshold`` is in
+    NORMALIZED units (W1 / span: 0 = identical, 1 = opposite ends).
+
+    Same scale shape as :func:`chi_square_drift`: one per-(partition,
+    bucket) aggregation; the CDF accumulation runs over n_partitions ×
+    n_buckets rows with window sums — zero Python, no driver collect of
+    data values."""
+    from pyspark.sql import Window
+
+    if lo is None or hi is None:
+        v = F.col(value_col) if isinstance(value_col, str) else value_col
+        row = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).collect()[0]
+        lo = float(row["lo"]) if lo is None else float(lo)
+        hi = float(row["hi"]) if hi is None else float(hi)
+    hist = partition_histogram(df, value_col, partition_col, n_buckets, lo, hi)
+    parts = hist.select("partition").distinct()
+    grid = parts.crossJoin(
+        hist.sparkSession.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    )
+    dense = grid.join(hist, ["partition", "bucket"], "left").fillna(0, ["n"])
+    w_part = Window.partitionBy("partition").orderBy("bucket")
+    w_all = Window.partitionBy("bucket")
+    # per-partition and pooled CDFs on the shared grid
+    e = (
+        dense.withColumn("pn", F.sum("n").over(Window.partitionBy("partition")))
+        .withColumn("gn_b", F.sum("n").over(w_all))
+        .withColumn("gN", F.sum("n").over(Window.partitionBy()))
+        .withColumn("cdf_p", F.sum("n").over(w_part) / F.greatest("pn", F.lit(1)))
+        .withColumn(
+            "cdf_g",
+            F.sum(F.col("gn_b") / F.greatest("gN", F.lit(1))).over(w_part),
+        )
+    )
+    out = e.groupBy("partition").agg(
+        F.max("pn").cast("bigint").alias("n"),
+        F.round(F.avg(F.abs(F.col("cdf_p") - F.col("cdf_g"))), 6).alias("w1_norm"),
+    )
+    return out.withColumn("drifted", F.col("w1_norm") > threshold)
+
+
+def js_divergence_drift(
+    df: DataFrame,
+    value_col,
+    partition_col: str,
+    n_buckets: int = 32,
+    lo: Optional[float] = None,
+    hi: Optional[float] = None,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Jensen–Shannon divergence (natural log; 0 ≤ JSD ≤ ln 2) per partition
+    vs the pooled histogram — symmetric, bounded, and defined for
+    zero-count buckets without smoothing hacks (0·ln0 = 0 by convention).
+
+    One per-(partition, bucket) aggregation; the divergence itself runs
+    over n_partitions × n_buckets rows of pure expressions."""
+    hist = partition_histogram(df, value_col, partition_col, n_buckets, lo, hi)
+    parts = hist.select("partition").distinct()
+    grid = parts.crossJoin(
+        hist.sparkSession.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    )
+    dense = grid.join(hist, ["partition", "bucket"], "left").fillna(0, ["n"])
+    glob = dense.groupBy("bucket").agg(F.sum("n").alias("gn"))
+    tot_rows = glob.collect()  # n_buckets rows — bounded
+    tot = sum(r["gn"] for r in tot_rows) or 1
+    glob_df = dense.sparkSession.createDataFrame(
+        [(r["bucket"], r["gn"] / tot) for r in tot_rows], "bucket int, q double"
+    )
+    pn = dense.groupBy("partition").agg(F.sum("n").alias("pn"))
+    xlx = lambda x, ref: F.when(  # noqa: E731  x·ln(x/ref), 0 when x=0
+        x > 0, x * F.log(x / ref)
+    ).otherwise(F.lit(0.0))
+    e = (
+        dense.join(F.broadcast(glob_df), "bucket")
+        .join(F.broadcast(pn), "partition")
+        .withColumn("p", F.col("n") / F.greatest("pn", F.lit(1)))
+        .withColumn("m", (F.col("p") + F.col("q")) / 2)
+        .withColumn(
+            "term",
+            0.5 * xlx(F.col("p"), F.col("m")) + 0.5 * xlx(F.col("q"), F.col("m")),
+        )
+    )
+    out = e.groupBy("partition").agg(
+        F.max("pn").cast("bigint").alias("n"),
+        F.round(F.sum("term"), 6).alias("jsd"),
+    )
+    return out.withColumn("drifted", F.col("jsd") > threshold)
