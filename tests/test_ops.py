@@ -775,3 +775,19 @@ def test_wasserstein_and_js_drift_flag_planted_partition(spark, corpus):
     j2 = {r["partition"]: r["jsd"] for r in
           js_divergence_drift(same, "v", "p", n_buckets=16, lo=0.0, hi=97.0).collect()}
     assert all(v < 0.01 for v in j2.values())
+
+
+def test_unpivot_melt_roundtrip(spark):
+    """Wide→long reshaping (df.unpivot / melt) with the pivot inverse:
+    unpivot(events_pivot-style wide frame) re-aggregates to the original
+    long counts — covers the UNPIVOT relational surface."""
+    long = spark.createDataFrame(
+        [("u1", "click", 3), ("u1", "view", 5), ("u2", "click", 7)],
+        "user string, event string, n int",
+    )
+    wide = long.groupBy("user").pivot("event", ["click", "view"]).sum("n")
+    melted = wide.unpivot("user", ["click", "view"], "event", "n") \
+                 .filter(F.col("n").isNotNull())
+    back = {(r["user"], r["event"]): r["n"] for r in melted.collect()}
+    orig = {(r["user"], r["event"]): r["n"] for r in long.collect()}
+    assert back == orig

@@ -123,3 +123,51 @@ def test_pack_strict_matches_sequential_oracle(tokens, max_tokens):
         sums[out[i]] = sums.get(out[i], 0) + t
         counts[out[i]] = counts.get(out[i], 0) + 1
     assert all(s <= max_tokens for b, s in sums.items() if counts[b] > 1)
+
+
+# --- timeseries_rollup vs independent per-grain groupBys --------------------
+
+ts_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),                     # event_type
+        st.integers(min_value=0, max_value=3 * 86400 - 1),    # secs offset
+        st.integers(min_value=-50, max_value=50),             # value
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(ts_rows)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_timeseries_rollup_matches_per_grain_groupbys(spark, rows):
+    """For ANY small event set, the single-ROLLUP-scan operator equals the
+    naive one-groupBy-per-grain formulation at every grain."""
+    from validation_engine.relational import timeseries_rollup
+
+    df = spark.createDataFrame(rows, "et string, off int, v int").select(
+        "et",
+        (F.lit("2026-02-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("off"))).alias("ts"),
+        "v",
+    )
+    got = timeseries_rollup(
+        df, "ts",
+        aggs={"n": F.count(F.lit(1)), "s": F.sum("v").cast("bigint")},
+        grains=("day", "hour"), partition_by=["et"],
+    ).collect()
+    by_key = {(r["grain"], r["bucket"], r["et"]): (r["n"], r["s"]) for r in got}
+    assert len(by_key) == len(got), "duplicate (grain,bucket,et) rows"
+
+    naive = {}
+    for grain in ("day", "hour"):
+        for r in df.groupBy(F.date_trunc(grain, "ts").alias("b"), "et").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").cast("bigint").alias("s")
+        ).collect():
+            naive[(grain, r["b"], r["et"])] = (r["n"], r["s"])
+    for r in df.groupBy("et").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").cast("bigint").alias("s")
+    ).collect():
+        naive[("all", None, r["et"])] = (r["n"], r["s"])
+    assert by_key == naive
