@@ -146,3 +146,33 @@ def test_connected_components_warns_on_nonconvergence(spark, caplog):
     with caplog.at_level(logging.WARNING, logger="validation_engine.dedup"):
         connected_components(pairs, max_iter=1).collect()
     assert any("max_iter" in m for m in caplog.messages)
+
+
+def test_lsh_mega_bucket_dropped_before_list_aggregation(spark):
+    """max_band_freq must gate a mega-bucket BEFORE any list aggregation
+    builds its member array (the plan filters on a window count over the
+    same partitioning — no second exchange), and small groups still pair."""
+    from validation_engine.dedup import minhash_lsh_candidates
+
+    boiler = [(i, "exact same boilerplate text repeated everywhere always") for i in range(500)]
+    pairish = [
+        (1001, "a unique document about spark shuffles and partitions today"),
+        (1002, "a unique document about spark shuffles and partitions tonight"),
+    ]
+    df = spark.createDataFrame(boiler + pairish, "id long, text string")
+    cand = minhash_lsh_candidates(df, "id", "text", k=3, n_hashes=16, bands=4,
+                                  max_band_freq=50)
+    pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert (1001, 1002) in pairs
+    assert not any(a < 1000 and b < 1000 for a, b in pairs), "mega-bucket leaked pairs"
+    # plan: exactly ONE exchange feeds window-count + groupBy (reused
+    # partitioning), and the size gate (_bn filter) precedes the list
+    # aggregation.  Assert on a FRESH un-executed plan: after an action AQE
+    # rewrites the tree into query stages whose string duplicates operators.
+    fresh = minhash_lsh_candidates(df, "id", "text", k=3, n_hashes=16,
+                                   bands=4, max_band_freq=50)
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(bkey") == 1, plan
+    # tree prints parent-first: the _bn size gate must be BELOW (textually
+    # after) the collect_list aggregate it feeds
+    assert plan.index("collect_list") < plan.index("_bn"), plan

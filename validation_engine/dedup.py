@@ -71,6 +71,29 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _bucket_groups(banded: DataFrame, key: str, val: str, max_freq) -> DataFrame:
+    """(key, _members=collect_list(val)) for buckets with 2..max_freq rows.
+
+    The size gate runs BEFORE the list aggregation — a window count over
+    the bucket key — so one mega-bucket (boilerplate collapsing millions of
+    docs onto one key) never materializes an unbounded array in aggregation
+    state on a single reducer; it is dropped while still a stream of rows.
+    The groupBy that follows reuses the window's hash partitioning (no
+    second exchange — ENSURE_REQUIREMENTS is already satisfied)."""
+    from pyspark.sql import Window
+
+    sized = banded.withColumn("_bn", F.count(F.lit(1)).over(Window.partitionBy(key)))
+    cond = F.col("_bn") >= 2
+    if max_freq is not None:
+        cond = cond & (F.col("_bn") <= int(max_freq))
+    return (
+        sized.filter(cond)
+        .drop("_bn")
+        .groupBy(key)
+        .agg(F.collect_list(val).alias("_members"))
+    )
+
+
 def token_shingles(col, k: int = 3) -> Column:
     """Token k-gram shingles as an array<string> — pure array intrinsics:
     transform over a 0..n-k index sequence, slice+concat per position."""
@@ -194,13 +217,9 @@ def minhash_lsh_candidates(
             )
         ).alias("bkey"),
     )
-    buckets = (
-        banded.groupBy("bkey")
-        .agg(F.collect_list("_id").alias("ids"))
-        .filter(F.size("ids") >= 2)
+    buckets = _bucket_groups(banded, "bkey", "_id", max_band_freq).withColumnRenamed(
+        "_members", "ids"
     )
-    if max_band_freq is not None:
-        buckets = buckets.filter(F.size("ids") <= max_band_freq)
     a = buckets.select(F.explode("ids").alias("id_a"), F.col("ids"))
     pairs = (
         a.select("id_a", F.explode("ids").alias("id_b"))
@@ -310,6 +329,7 @@ def simhash_near_duplicates(
     text_col: str,
     max_hamming: int = 3,
     n_bands: int = 4,
+    max_band_freq: Optional[int] = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
@@ -339,10 +359,8 @@ def simhash_near_duplicates(
             )
         ).alias("bkey"),
     )
-    buckets = (
-        banded.groupBy("bkey")
-        .agg(F.collect_list("v").alias("vs"))
-        .filter(F.size("vs") >= 2)
+    buckets = _bucket_groups(banded, "bkey", "v", max_band_freq).withColumnRenamed(
+        "_members", "vs"
     )
     a = buckets.select(F.explode("vs").alias("a"), F.col("vs"))
     return (
