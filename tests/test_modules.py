@@ -394,3 +394,41 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     out = spark.read.parquet(sink).filter(F.col("ws") == "2026-01-01 00:00:00")
     totals = [r["n_total"] for r in out.collect()]
     assert totals == [30], f"late rows leaked into a closed window: {totals}"
+
+
+def test_compare_runs_flags_validity_regression(spark, tmp_path):
+    """Two checkpointed runs on drifting data: compare_runs flags exactly
+    the partitions whose valid-rate dropped beyond tolerance, surfaces
+    added/removed partitions as nulls, and reads straight from the
+    committed summary tables."""
+    from validation_engine import CheckpointManager, ElementStage, Workflow, in_range
+    from validation_engine.report import compare_runs
+
+    def data(bad_frac):
+        n = 200
+        return spark.range(n).select(
+            F.lit("r").alias("repo"),
+            F.concat(F.lit("p"), F.col("id")).alias("path"),
+            F.lit("c").alias("commit"),
+            F.when(F.col("id") < int(n * bad_frac), -1).otherwise(5).alias("v"),
+        )
+
+    stage = lambda: ElementStage("rng", checks=[in_range("v", 0, 10)])  # noqa: E731
+    r1 = str(tmp_path / "run1"); r2 = str(tmp_path / "run2")
+    Workflow([stage()], n_buckets=4, checkpoint=CheckpointManager(r1)).run(spark, data(0.0))
+    Workflow([stage()], n_buckets=4, checkpoint=CheckpointManager(r2)).run(spark, data(0.5))
+
+    prev = CheckpointManager(r1).read_summary(spark, "rng")
+    cur = CheckpointManager(r2).read_summary(spark, "rng")
+    out = compare_runs(prev, cur, tolerance=0.05).collect()
+    assert all(r["rate_prev"] == 1.0 for r in out)
+    assert any(r["regressed"] for r in out)
+    total_prev = sum(r["n_prev"] for r in out)
+    total_cur = sum(r["n_cur"] for r in out)
+    assert total_prev == total_cur == 200
+    # weighted current rate ≈ 0.5 overall
+    valid_cur = sum(r["rate_cur"] * r["n_cur"] for r in out)
+    assert abs(valid_cur / total_cur - 0.5) < 0.01
+    # identical runs → nothing regressed
+    same = compare_runs(prev, prev, tolerance=0.01).collect()
+    assert not any(r["regressed"] for r in same)

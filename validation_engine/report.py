@@ -199,3 +199,37 @@ def write_run_report(
         json.dump(d, f, indent=2, default=str)
     with open(base + ".html", "w") as f:
         f.write(run_report_html(wf, result, max_examples, _d=d))
+
+
+def compare_runs(prev_summary, cur_summary, tolerance: float = 0.01):
+    """Run-over-run validity regression detection: join two (tiny) summary
+    tables on (stage, partition) and flag partitions whose valid-rate
+    dropped by more than ``tolerance`` — the monitoring hook a scheduled
+    validation pipeline runs after every commit (both inputs come from
+    ``CheckpointManager.read_summary`` or ``RunResult.summaries``).
+
+    Returns (stage, partition, rate_prev, rate_cur, delta, n_prev, n_cur,
+    regressed), full-outer joined so added/removed partitions surface too
+    (null rates on the missing side, regressed = null there — inspect).
+    Everything is n_stages × n_partitions rows — driver-light by design.
+    """
+    def rates(df, suffix):
+        return df.select(
+            "stage", "partition",
+            F.col("n_total").alias(f"n_{suffix}"),
+            F.when(F.col("n_total") > 0,
+                   F.col("n_valid") / F.col("n_total")).alias(f"rate_{suffix}"),
+        )
+
+    j = rates(prev_summary, "prev").join(
+        rates(cur_summary, "cur"), ["stage", "partition"], "full_outer"
+    )
+    delta = F.round(F.col("rate_cur") - F.col("rate_prev"), 6)
+    return j.select(
+        "stage", "partition",
+        F.round("rate_prev", 6).alias("rate_prev"),
+        F.round("rate_cur", 6).alias("rate_cur"),
+        delta.alias("delta"),
+        "n_prev", "n_cur",
+        (delta < -float(tolerance)).alias("regressed"),
+    )
