@@ -335,18 +335,6 @@ def q10_returned_revenue(spark, sf):
     )
 
 
-def q12_shipmode_priority(spark, sf):
-    """TPC-H Q12 shape: order-priority counts per line status (conditional agg)."""
-    orders = _t(spark, sf, "orders")
-    li = _t(spark, sf, "lineitem")
-    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return j.groupBy("l_linestatus").agg(
-        F.count(F.when(high, 1)).alias("high_count"),
-        F.count(F.when(~high, 1)).alias("low_count"),
-    )
-
-
 def q14_promo_share(spark, sf):
     """TPC-H Q14 shape: promo revenue share (conditional / total, decimal-safe)."""
     part = _t(spark, sf, "part")
@@ -718,19 +706,6 @@ def q_orders_with_5plus_items(spark, sf):
 
 
 
-def q_rollup_orders(spark, sf):
-    """Grouping-sets coverage: ROLLUP(status, priority) counts + sums."""
-    orders = _t(spark, sf, "orders")
-    return (
-        orders.rollup("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
-        )
-    )
-
-
-
 def q_window_lag_rolling(spark, sf):
     """lag() + rolling-frame windows in one pass: per-user value delta between
     consecutive events AND the 3-row rolling sum — both window shapes share
@@ -915,17 +890,53 @@ def q_ks_drift_by_source(spark, sf):
     return out.select("partition", "n", F.round("ks_stat", 6).alias("ks_stat"))
 
 
-def q_ivf_topk(spark, sf):
-    """IVF ANN with n_probe == n_centroids (exhaustive probe): exercises the
-    build→assign→probe plan while staying exactly equal to brute-force top-k,
-    which the DuckDB oracle reproduces."""
+def q_wasserstein_drift_by_source(spark, sf):
+    """Wasserstein-1 (earth-mover) drift per source vs the pooled length
+    distribution — histogram + window-sum CDFs, zero Python, no raw-value
+    collect.  Explicit lo/hi bounds keep it single-pass and make the DuckDB
+    histogram twin bit-identical (shared bucket grid)."""
     _ensure_pyfiles(spark)
-    from validation_engine.similarity import ivf_build, ivf_topk
+    from validation_engine.drift import wasserstein_drift
+
+    docs = _t(spark, sf, "documents").withColumn("len", F.length("text"))
+    out = wasserstein_drift(docs, "len", "source", n_buckets=32, lo=0.0, hi=600.0)
+    return out.select("partition", "n", "w1_norm")
+
+
+def q_js_divergence_drift_by_source(spark, sf):
+    """Jensen–Shannon divergence per source vs the pooled length histogram —
+    symmetric, bounded by ln 2, defined on zero-count buckets without
+    smoothing.  Same scale shape as chi2: one tiny per-(partition, bucket)
+    aggregation, then pure expressions over n_partitions × n_buckets rows."""
+    _ensure_pyfiles(spark)
+    from validation_engine.drift import js_divergence_drift
+
+    docs = _t(spark, sf, "documents").withColumn("len", F.length("text"))
+    out = js_divergence_drift(docs, "len", "source", n_buckets=32, lo=0.0, hi=600.0)
+    return out.select("partition", "n", "jsd")
+
+
+def q_ivf_topk(spark, sf):
+    """IVF ANN through the ON-DISK index layout: vectors are written
+    partitioned by cell id (ivf_write_index), then the probe runs against
+    the index so the ``_cell IN (...)`` predicate lands in the scan's
+    PartitionFilters — non-probed cells are never listed or read, the
+    property that makes IVF pay at 10^12 vectors (pytest pins the pruned
+    scan).  n_probe == n_centroids (exhaustive) keeps the result exactly
+    equal to brute-force top-k, which the DuckDB oracle reproduces."""
+    _ensure_pyfiles(spark)
+    import hashlib
+    import tempfile
+
+    from validation_engine.similarity import ivf_build, ivf_topk_indexed, ivf_write_index
 
     emb = _t(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
     cents = ivf_build(emb, n_centroids=8)
-    out = ivf_topk(emb, cents, q, k=10, n_probe=8)
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"validation_engine_ivf_{tag}")
+    ivf_write_index(emb, cents, path)
+    out = ivf_topk_indexed(spark, path, cents, q, k=10, n_probe=8)
     return out.select("vec_id", F.round("cosine", 4).alias("cosine_r"))
 
 
@@ -942,7 +953,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ivf_topk's, which still proves IVF == exact top-k — and the plain hourly
     rollup, subsumed by timeseries_rollup_events) remain covered by pytest
     (tests/test_ops.py, test_parity.py) and are exercised inside the
-    surviving queries.
+    surviving queries.  Round 4 swapped two redundant TPC-H shapes for
+    drift-operator coverage: rollup_orders (ROLLUP subsumed by
+    cube_lineitem + timeseries_rollup_events' grouping sets) →
+    wasserstein_drift_by_source, and q12_shipmode_priority (conditional
+    agg subsumed by events_pivot/funnel) → js_divergence_drift_by_source.
     """
     return {
         "element_report_documents": q_element_report_documents,
@@ -960,7 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_orders": q3_top_orders,
         "q5_revenue_by_nation": q5_revenue_by_nation,
         "q10_returned_revenue": q10_returned_revenue,
-        "q12_shipmode_priority": q12_shipmode_priority,
+        "wasserstein_drift_by_source": q_wasserstein_drift_by_source,
         "q14_promo_share": q14_promo_share,
         "q18_large_orders": q18_large_orders,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
@@ -973,7 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timeseries_rollup_events": q_timeseries_rollup_events,
         "q6_filtered_revenue": q6_filtered_revenue,
         "orders_with_5plus_items": q_orders_with_5plus_items,
-        "rollup_orders": q_rollup_orders,
+        "js_divergence_drift_by_source": q_js_divergence_drift_by_source,
         "window_lag_rolling": q_window_lag_rolling,
         "asof_latest_event": q_asof_latest_event,
         "sessionize_events": q_sessionize_events,
@@ -1170,12 +1185,42 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY revenue DESC, c.c_custkey ASC LIMIT 20
     """
 
-    sql["q12_shipmode_priority"] = """
-    SELECT l.l_linestatus,
-           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
-           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_count
-    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    GROUP BY l.l_linestatus
+    # Wasserstein-1 drift twin: same explicit bucket grid (lo=0, hi=600,
+    # B=32, least(B-1, floor(v/span*B))), dense zero-filled grid, window-sum
+    # CDFs — integer-ratio doubles throughout, so round(…,6) is engine-stable
+    sql["wasserstein_drift_by_source"] = """
+    WITH h AS (
+      SELECT source AS partition,
+             LEAST(31, CAST(FLOOR(CAST(length(text) AS DOUBLE) / 600.0 * 32) AS INT)) AS bucket,
+             COUNT(*) AS n
+      FROM documents GROUP BY 1, 2
+    ), grid AS (
+      SELECT p.partition, b.bucket
+      FROM (SELECT DISTINCT partition FROM h) p
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 31)) AS bucket) b
+    ), dense AS (
+      SELECT g.partition, g.bucket, COALESCE(h.n, 0) AS n
+      FROM grid g LEFT JOIN h ON g.partition = h.partition AND g.bucket = h.bucket
+    ), e AS (
+      SELECT partition, bucket, n,
+             SUM(n) OVER (PARTITION BY partition) AS pn,
+             SUM(n) OVER (PARTITION BY bucket) AS gn_b,
+             SUM(n) OVER () AS gn,
+             SUM(n) OVER (PARTITION BY partition ORDER BY bucket) AS cum_p
+      FROM dense
+    ), e2 AS (
+      SELECT partition, pn, gn,
+             ABS(CAST(cum_p AS HUGEINT) * gn
+                 - CAST(SUM(gn_b) OVER (PARTITION BY partition ORDER BY bucket) AS HUGEINT) * pn
+             ) AS num
+      FROM e
+    )
+    SELECT partition, CAST(MAX(pn) AS BIGINT) AS n,
+           FLOOR(CAST(SUM(num) AS DOUBLE)
+                 / CAST(GREATEST(MAX(pn), 1) AS DOUBLE)
+                 / CAST(GREATEST(MAX(gn), 1) AS DOUBLE) / 32.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS w1_norm
+    FROM e2 GROUP BY partition
     """
 
     sql["q14_promo_share"] = f"""
@@ -1314,10 +1359,38 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY l_orderkey HAVING COUNT(*) >= 5)
     """
 
-    sql["rollup_orders"] = """
-    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    # Jensen–Shannon twin: pooled q from global bucket shares, per-partition
+    # p, m = (p+q)/2, x·ln(x/m) with the 0·ln0 = 0 convention — all ratios
+    # of integers, natural log in both engines
+    sql["js_divergence_drift_by_source"] = """
+    WITH h AS (
+      SELECT source AS partition,
+             LEAST(31, CAST(FLOOR(CAST(length(text) AS DOUBLE) / 600.0 * 32) AS INT)) AS bucket,
+             COUNT(*) AS n
+      FROM documents GROUP BY 1, 2
+    ), grid AS (
+      SELECT p.partition, b.bucket
+      FROM (SELECT DISTINCT partition FROM h) p
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 31)) AS bucket) b
+    ), dense AS (
+      SELECT g.partition, g.bucket, COALESCE(h.n, 0) AS n
+      FROM grid g LEFT JOIN h ON g.partition = h.partition AND g.bucket = h.bucket
+    ), gb AS (
+      SELECT bucket, SUM(n) AS gn FROM dense GROUP BY bucket
+    ), tot AS (SELECT GREATEST(SUM(gn), 1) AS t FROM gb),
+    e AS (
+      SELECT d.partition, d.bucket,
+             SUM(d.n) OVER (PARTITION BY d.partition) AS pn,
+             d.n / GREATEST(SUM(d.n) OVER (PARTITION BY d.partition), 1) AS p,
+             g.gn / tot.t AS q
+      FROM dense d JOIN gb g ON d.bucket = g.bucket, tot
+    ), e2 AS (
+      SELECT partition, pn, p, q, (p + q) / 2 AS m FROM e
+    )
+    SELECT partition, CAST(MAX(pn) AS BIGINT) AS n,
+           round(SUM(0.5 * (CASE WHEN p > 0 THEN p * LN(p / m) ELSE 0 END)
+                   + 0.5 * (CASE WHEN q > 0 THEN q * LN(q / m) ELSE 0 END)), 6) AS jsd
+    FROM e2 GROUP BY partition
     """
 
     sql["window_lag_rolling"] = """

@@ -729,10 +729,42 @@ def test_bm25_topk_ranking_and_plan(spark):
 
     assert bm25_topk(df, "doc_id", "text", "zzzznope", k=3).count() == 0
 
-    plan = bm25_topk(df, "doc_id", "text", "spark engine", k=3) \
-        ._jdf.queryExecution().executedPlan().toString()
-    assert "TakeOrderedAndProject" in plan
-    assert "_tok" in plan and "Filter" in plan  # query-term filter pre-agg
+
+def test_bm25_and_unigram_lm_single_corpus_scan(spark):
+    """The tokenize pass is the dominant cost at corpus scale: both
+    bm25_topk and unigram_lm_score must evaluate the input plan EXACTLY
+    once (their phases reuse a persisted slim/tf form), and must not leave
+    their internal persisted frames cached after return (only the small
+    eagerly-materialized result may remain).  An accumulator inside a
+    mapInPandas stage counts plan row-evaluations."""
+    from validation_engine.text import bm25_topk, unigram_lm_score
+
+    n = 300
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("spark engine doc "), F.col("id").cast("string")).alias("text"),
+    )
+
+    def persisted_count():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    for fn in (
+        lambda d: bm25_topk(d, "doc_id", "text", "spark engine", k=5),
+        lambda d: unigram_lm_score(d, "doc_id", "text"),
+    ):
+        acc = spark.sparkContext.accumulator(0)
+
+        def counted(it):
+            for pdf in it:
+                acc.add(len(pdf))
+                yield pdf
+
+        before = persisted_count()
+        out = fn(base.mapInPandas(counted, schema=base.schema))
+        assert acc.value == n, f"input plan executed {acc.value / n:.1f}x (want 1x)"
+        assert out.count() > 0
+        # internal persist released; at most the result's own checkpoint left
+        assert persisted_count() - before <= 1
 
 
 def test_wasserstein_and_js_drift_flag_planted_partition(spark, corpus):

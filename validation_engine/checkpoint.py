@@ -131,6 +131,16 @@ class CheckpointManager:
             return bool(fs.exists(hpath))
         return os.path.isdir(path)
 
+    def _delete_dir(self, path: str) -> None:
+        if self._remote:
+            fs, hpath, _ = self._hadoop_fs(path)
+            if fs.exists(hpath):
+                fs.delete(hpath, True)
+        elif os.path.isdir(path):
+            import shutil
+
+            shutil.rmtree(path)
+
     # -- commit protocol --------------------------------------------------
     def commit_stage(
         self,
@@ -178,6 +188,13 @@ class CheckpointManager:
         # -- 1. stage data files (the ONLY corpus scan; skipped on resume
         # when a prior run already staged these chunks)
         if not set(pending) <= set(m.get("staged", [])):
+            # dynamic partition overwrite only touches partitions PRESENT in
+            # the output — a pending chunk left over from a crashed run that
+            # now derives zero rows would otherwise keep its stale dir and
+            # get committed.  Pending dirs are by definition uncommitted, so
+            # deleting them first is safe and makes the write exact.
+            for c in pending:
+                self._delete_dir(os.path.join(d, "report", f"chunk={c}"))
             staged_df = report.withColumn("chunk", chunk_of)
             if len(pending) < self.n_chunks:
                 # resume: recompute only the uncommitted chunks' rows
@@ -208,6 +225,13 @@ class CheckpointManager:
         ).parquet(*chunk_dirs)
         viols = deriver(rep_pend.drop("chunk"))
         if "_vpart" in viols.columns:
+            # same staleness guard as the report staging: a pending chunk
+            # whose CURRENT derivation yields zero violation rows must not
+            # inherit violation files from a crashed earlier run (dynamic
+            # overwrite never touches its partition, and the empty-dir loop
+            # below skips dirs that already exist)
+            for c in pending:
+                self._delete_dir(os.path.join(d, "violations", f"chunk={c}"))
             (
                 viols.withColumn("chunk", chunk_of)
                 .write.mode("overwrite")

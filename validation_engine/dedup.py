@@ -39,29 +39,63 @@ def exact_duplicates(
     """Groups of byte-identical documents: (digest, n_docs, keeper, doc_ids).
 
     ``sha2(text)`` is computed map-side; the shuffle carries (digest, id).
-    ``doc_ids`` is a BOUNDED sample (first ``max_ids`` ids in sort order) —
-    one mega-dup group (millions of empty/boilerplate docs) must not
-    materialize a giant array row on a single reducer or in downstream
-    shuffles; ``n_docs`` stays exact."""
+    ``doc_ids`` is a BOUNDED sample (first ``max_ids`` ids in sort order),
+    and the bound is enforced BEFORE aggregation: a ``row_number`` over the
+    digest partition filters to the first ``max_ids`` ids while they are
+    still a stream of rows, so one mega-dup group (millions of empty/
+    boilerplate docs) never builds an unbounded array in a reducer's
+    aggregation buffer — same gating strategy as :func:`_bucket_groups`.
+    ``n_docs`` stays exact (unbounded-frame count over the same sort — one
+    window operator, one shuffle); the groupBy that follows reuses the
+    window's hash partitioning (no second exchange)."""
+    from pyspark.sql import Window
+
     digest = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+    wd = Window.partitionBy("digest").orderBy(id_col)
+    full = wd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    sized = df.select(digest.alias("digest"), F.col(id_col)).select(
+        "digest",
+        id_col,
+        F.count(F.lit(1)).over(full).alias("_n"),
+        F.row_number().over(wd).alias("_rn"),
+    )
     return (
-        df.select(digest.alias("digest"), F.col(id_col))
+        sized.filter((F.col("_n") > 1) & (F.col("_rn") <= int(max_ids)))
         .groupBy("digest")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
+            F.max("_n").alias("n_docs"),
             F.min(id_col).alias("keeper"),
-            F.slice(
-                F.sort_array(F.collect_list(id_col)), 1, int(max_ids)
-            ).alias("doc_ids"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
         )
-        .filter(F.col("n_docs") > 1)
     )
 
 
-def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Keep one representative (min id) per identical content — a window-free
-    formulation: min(id) per digest, semi-joined back."""
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str, strategy: str = "agg"
+) -> DataFrame:
+    """Keep one representative (min id) per identical content.
+
+    ``strategy='agg'`` (default): min(id) per digest, semi-joined back — the
+    corpus is SCANNED twice but only (digest, id) pairs ever shuffle; the
+    second pass re-reads the source map-side (projection+filter pushdown).
+    ``strategy='window'``: one scan, one shuffle — ``min(id) over
+    (partition by digest)`` then filter — but the shuffle carries FULL ROWS
+    (digest + every column).  Measured at sf0.1 (200k docs, ~460B text/row):
+    agg 0.72 s vs window 0.96 s — and the gap widens with row width, so
+    'agg' is the default; 'window' wins only when rows are narrower than
+    ~2× the digest+id pair (see PLANS.md)."""
     with_d = df.withColumn("_digest", F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256))
+    if strategy == "window":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_digest")
+        return (
+            with_d.withColumn("_keep", F.min(id_col).over(w))
+            .filter(F.col(id_col) == F.col("_keep"))
+            .drop("_digest", "_keep")
+        )
+    if strategy != "agg":
+        raise ValueError("strategy must be 'agg' or 'window'")
     keepers = with_d.groupBy("_digest").agg(F.min(id_col).alias(id_col))
     return with_d.join(keepers, ["_digest", id_col], "left_semi").drop("_digest")
 
@@ -442,6 +476,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """Cluster near-duplicate PAIRS into components: ``(id, component)`` with
     ``component`` = the minimum id reachable through any chain of pairs —
@@ -452,20 +487,33 @@ def connected_components(
     (undirected) edge list and keeps the element-wise minimum; labels only
     decrease, so it converges in O(component diameter) rounds — near-dup
     clusters are shallow (dense blobs around a template), so 2-4 rounds in
-    practice.  Per round: one shuffle join + one aggregation, shuffling only
-    (id, label) longs — never documents.  Lineage is truncated per round
-    (``localCheckpoint``) so the plan stays flat; at cluster scale swap in a
-    reliable ``checkpoint(dir)`` for executor-loss safety.
+    practice.  Per round: ONE shuffle join + one aggregation, shuffling only
+    (id, label) longs — never documents.  Convergence is detected for free:
+    the label-update frame carries the previous label alongside the new one,
+    so "did anything change" is a cheap aggregate over the already-truncated
+    frame — no extra join, no second evaluation of the round's plan.
+
+    Lineage is truncated per round so the plan stays flat.  By default this
+    uses ``localCheckpoint`` (executor-local blocks — fast, but lost blocks
+    are NOT recomputable, so an executor loss fails the job); pass
+    ``checkpoint_dir`` to use reliable ``checkpoint`` into a fault-tolerant
+    store (HDFS/S3) instead — the right setting for long cluster runs.
     """
+    def _truncate(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
     )
-    labels = (
+    labels = _truncate(
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     for _round in range(max_iter):
         nbr_min = (
@@ -476,20 +524,18 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("nc").alias("nc"))
         )
-        new = (
+        new = _truncate(
             labels.join(nbr_min.withColumnRenamed("src", "id"), "id", "left")
             .select(
                 "id",
                 F.least(F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))).alias("comp"),
+                F.col("comp").alias("_old"),
             )
-            .localCheckpoint(eager=True)
         )
-        changed = (
-            new.join(labels.select("id", F.col("comp").alias("_old")), "id")
-            .filter(F.col("comp") != F.col("_old"))
-            .count()
-        )
-        labels = new
+        # convergence flag from the frame we just materialized — a pure
+        # aggregate over checkpointed blocks, no join against the old labels
+        changed = new.filter(F.col("comp") != F.col("_old")).count()
+        labels = new.drop("_old")
         if changed == 0:
             break
     else:

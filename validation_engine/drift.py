@@ -272,13 +272,13 @@ def psi_drift(
     # literal local frame — every downstream join broadcasts, the returned
     # plan never re-scans the corpus, and nothing stays persisted after
     # return (cache-leak-free).
-    hist_rows = partition_histogram(
-        df, value_col, partition_col, n_buckets, lo, hi
-    ).collect()
-    schema = "partition string, bucket int, n bigint"
-    hist = spark.createDataFrame(
-        [(r["partition"], r["bucket"], r["n"]) for r in hist_rows], schema
-    )
+    hist_src = partition_histogram(df, value_col, partition_col, n_buckets, lo, hi)
+    hist_rows = hist_src.collect()
+    # rebuild with the histogram's ACTUAL schema — hardcoding `partition
+    # string` would silently coerce int/date partition columns to strings,
+    # inconsistent with chi_square/wasserstein/js drift which preserve the
+    # partition column's type
+    hist = spark.createDataFrame(hist_rows, hist_src.schema)
     # densify: missing (partition, bucket) pairs must participate as zeros,
     # then Laplace add-one smoothing keeps the log finite WITHOUT the
     # epsilon-ratio blowup (p=ε vs q≫ε contributes a spurious ~0.5/bucket)
@@ -338,20 +338,40 @@ def wasserstein_drift(
     dense = grid.join(hist, ["partition", "bucket"], "left").fillna(0, ["n"])
     w_part = Window.partitionBy("partition").orderBy("bucket")
     w_all = Window.partitionBy("bucket")
-    # per-partition and pooled CDFs on the shared grid
+    # per-partition and pooled CDFs on the shared grid, kept as EXACT
+    # integer cumulative counts: |CDF_p − CDF_g| = |cum_p·gN − cum_g·pn| /
+    # (pn·gN), so the whole statistic is an exact decimal sum followed by
+    # ONE float division chain — summation order can't perturb the rounded
+    # result, which keeps the value bit-reproducible across engines
+    # (a float-CDF formulation flipped a round(…,6) boundary vs DuckDB)
     e = (
         dense.withColumn("pn", F.sum("n").over(Window.partitionBy("partition")))
         .withColumn("gn_b", F.sum("n").over(w_all))
         .withColumn("gN", F.sum("n").over(Window.partitionBy()))
-        .withColumn("cdf_p", F.sum("n").over(w_part) / F.greatest("pn", F.lit(1)))
+        .withColumn("cum_p", F.sum("n").over(w_part))
+        .withColumn("cum_g", F.sum("gn_b").over(w_part))
         .withColumn(
-            "cdf_g",
-            F.sum(F.col("gn_b") / F.greatest("gN", F.lit(1))).over(w_part),
+            "num",
+            F.abs(
+                F.col("cum_p").cast("decimal(38,0)") * F.col("gN")
+                - F.col("cum_g").cast("decimal(38,0)") * F.col("pn")
+            ),
         )
     )
+    quot = (
+        F.sum("num").cast("double")
+        / F.greatest(F.max("pn"), F.lit(1)).cast("double")
+        / F.greatest(F.max("gN"), F.lit(1)).cast("double")
+        / F.lit(float(n_buckets))
+    )
+    # 6-decimal rounding as floor(x·1e6 + 0.5)/1e6 on the raw double:
+    # Spark's round() detours through the shortest decimal STRING of the
+    # double (BigDecimal.valueOf), which resolves exact half-boundaries
+    # differently from engines that round the raw value — this form is
+    # bit-deterministic in any engine given the same input double
     out = e.groupBy("partition").agg(
         F.max("pn").cast("bigint").alias("n"),
-        F.round(F.avg(F.abs(F.col("cdf_p") - F.col("cdf_g"))), 6).alias("w1_norm"),
+        (F.floor(quot * 1e6 + 0.5) / F.lit(1e6)).alias("w1_norm"),
     )
     return out.withColumn("drifted", F.col("w1_norm") > threshold)
 

@@ -102,10 +102,16 @@ def write_table(
             # the built-in session catalog is v1-only, so fall back to the
             # equivalent v1 writer — same table, same catalog semantics minus
             # snapshot isolation.  On a real Iceberg catalog the v2 path runs.
-            msg = str(e)
-            if not any(
-                s in msg
-                for s in ("UNSUPPORTED_FEATURE", "does not support", "v1 table")
+            # Matched on the typed error condition, not message substrings —
+            # an unrelated AnalysisException must surface, not silently
+            # retry as a v1 write.  The v1 session catalog raises
+            # UNSUPPORTED_FEATURE.TABLE_OPERATION for RTAS/CTAS and the
+            # legacy _LEGACY_ERROR_TEMP_1012 ("Cannot write into v1 table")
+            # for v2 append/overwrite onto an existing v1 table.
+            cond = e.getCondition() if hasattr(e, "getCondition") else e.getErrorClass()
+            if cond not in (
+                "UNSUPPORTED_FEATURE.TABLE_OPERATION",
+                "_LEGACY_ERROR_TEMP_1012",
             ):
                 raise
             w1 = df.write.mode("append" if mode == "append" else "overwrite")

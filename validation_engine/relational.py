@@ -105,6 +105,7 @@ def range_join(
     end_col: str,
     bucket_width: float,
     how: str = "inner",
+    point_id_col: Optional[str] = None,
 ) -> DataFrame:
     """Point-in-interval join (``start <= point <= end`` on matching keys).
 
@@ -117,18 +118,30 @@ def range_join(
     near the typical interval length; shuffles carry bucket ids, not a
     cross product.  ``how='left'`` keeps pointless points (null interval
     columns) via a final key join back.
+
+    The left-outer recovery evaluates the point lineage TWICE (matched join
+    + anti-join), so the surrogate row id it keys on must be identical
+    across both evaluations.  ``monotonically_increasing_id`` is NOT
+    (shuffle fetch order and task retries can renumber rows between
+    evaluations, silently dropping or duplicating points), so: pass
+    ``point_id_col`` naming a unique key column when you have one — zero
+    extra cost, fully deterministic — else the id-stamped frame is pinned
+    with ``localCheckpoint`` so both branches read the same materialized
+    rows (costs one materialization of the points projection).
     """
     if how not in ("inner", "left"):
         raise ValueError("range_join supports how='inner' or 'left'")
     on = list(on)
     w = float(bucket_width)
-    # surrogate row id: the left-outer recovery anti-joins on it instead of
-    # on all point columns, so rows containing nulls (never equal to
-    # themselves under SQL semantics) aren't duplicated into both branches.
-    # Assigned BEFORE any shuffle, so both uses of the lineage see the same
-    # ids within one execution.
-    pts = points.withColumn("_rj_id", F.monotonically_increasing_id()) \
-        if how == "left" else points
+    if how == "left":
+        if point_id_col is not None:
+            pts = points.withColumn("_rj_id", F.col(point_id_col))
+        else:
+            pts = points.withColumn(
+                "_rj_id", F.monotonically_increasing_id()
+            ).localCheckpoint(eager=True)
+    else:
+        pts = points
     pb = pts.withColumn("_bkt", F.floor(F.col(point_col) / w))
     ib = intervals.withColumn(
         "_bkt",

@@ -308,63 +308,81 @@ def unigram_lm_score(
     the classic cheap perplexity proxy training-data pipelines use to rank
     documents before an expensive model-based filter.
 
-    Two-phase, both scale-shaped:
+    ONE corpus scan (the tokenize+explode pass is the dominant cost at
+    100 TB and must not be paid twice):
 
-    1. LM build: ONE aggregation over the exploded token stream —
-       the shuffle carries (token, partial count) after map-side combine;
-       the vocabulary is capped to the ``vocab_size`` most frequent tokens
-       (so the LM broadcast stays bounded no matter the corpus) and tokens
-       below ``min_count`` are dropped.
-    2. Scoring: tokens explode map-side, the (tiny) LM broadcast-joins onto
-       them (no shuffle), and the per-document mean log-probability
-       aggregates with map-side partial sums — the only shuffle carries one
-       (id, sum, n) row per document per input partition.
+    1. The scan aggregates per-(doc, token) term frequencies — one shuffle
+       of (id, token) pairs after map-side combine — and the tf frame is
+       persisted: it is the compressed token stream (one row per distinct
+       token per doc) both later phases read.
+    2. LM build: token totals aggregate OVER THE TF FRAME (no corpus
+       access); the vocabulary is capped to the ``vocab_size`` most
+       frequent tokens via a TakeOrdered k-heap and collected once — the
+       LM is a driver-side object of ≤ vocab_size rows, rebuilt as a
+       literal broadcast frame.
+    3. Scoring: the (tiny) LM broadcast-joins onto the persisted tf frame
+       and the per-document tf-weighted mean log-probability aggregates
+       with map-side partial sums.
+
+    The per-document result (one fixed-width row per doc — tiny next to
+    the corpus) is materialized eagerly (``localCheckpoint``) so the tf
+    frame can be unpersisted before return: the caller gets a frame with no
+    hidden cache dependency, and a SparkListener sees exactly one read of
+    the source (pytest-pinned).
 
     Out-of-vocabulary tokens get the Laplace floor ``log(1 / (N + V))``.
     Returns (id_col, n_tokens, avg_logprob, ppl_proxy) — higher avg_logprob
     = more "typical" text; ``ppl_proxy = exp(-avg_logprob)``.
     """
-    toks = df.select(
-        F.col(id_col), F.explode(lower_tokens(F.col(text_col))).alias("_tok")
-    ).filter(F.length("_tok") > 0)
+    from pyspark import StorageLevel
 
-    counts = (
-        toks.groupBy("_tok")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= int(min_count))
+    tf = (
+        df.select(
+            F.col(id_col), F.explode(lower_tokens(F.col(text_col))).alias("_tok")
+        )
+        .filter(F.length("_tok") > 0)
+        .groupBy(id_col, "_tok")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # bounded vocabulary: top-V by frequency (TakeOrdered k-heap, no global
-    # sort materialization), collected ONCE — the LM is a driver-side object
-    # of ≤ vocab_size rows, rebuilt as a literal broadcast frame
-    top = counts.orderBy(F.desc("_n"), F.asc("_tok")).limit(int(vocab_size))
-    lm_rows = top.collect()
-    total = sum(r["_n"] for r in lm_rows)
-    v = len(lm_rows)
-    if v == 0:
+    try:
+        counts = (
+            tf.groupBy("_tok")
+            .agg(F.sum("_tf").alias("_n"))
+            .filter(F.col("_n") >= int(min_count))
+        )
+        top = counts.orderBy(F.desc("_n"), F.asc("_tok")).limit(int(vocab_size))
+        lm_rows = top.collect()  # materializes tf: the only corpus scan
+        total = sum(r["_n"] for r in lm_rows)
+        v = len(lm_rows)
         spark = df.sparkSession
-        return spark.createDataFrame(
-            [], f"{id_col} string, n_tokens bigint, avg_logprob double, ppl_proxy double"
-        )
-    import math
+        if v == 0:
+            return spark.createDataFrame(
+                [], f"{id_col} string, n_tokens bigint, avg_logprob double, ppl_proxy double"
+            )
+        import math
 
-    denom = float(total + v)
-    floor = math.log(1.0 / denom)
-    spark = df.sparkSession
-    lm = spark.createDataFrame(
-        [(r["_tok"], math.log((r["_n"] + 1) / denom)) for r in lm_rows],
-        "_tok string, _lp double",
-    )
-    scored = (
-        toks.join(F.broadcast(lm), "_tok", "left")
-        .withColumn("_lp", F.coalesce(F.col("_lp"), F.lit(floor)))
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+        denom = float(total + v)
+        floor = math.log(1.0 / denom)
+        lm = spark.createDataFrame(
+            [(r["_tok"], math.log((r["_n"] + 1) / denom)) for r in lm_rows],
+            "_tok string, _lp double",
         )
-        .withColumn("ppl_proxy", F.round(F.exp(-F.col("avg_logprob")), 4))
-    )
-    return scored
+        scored = (
+            tf.join(F.broadcast(lm), "_tok", "left")
+            .withColumn("_lp", F.coalesce(F.col("_lp"), F.lit(floor)))
+            .groupBy(id_col)
+            .agg(
+                F.sum("_tf").alias("n_tokens"),
+                F.round(
+                    F.sum(F.col("_lp") * F.col("_tf")) / F.sum("_tf"), 6
+                ).alias("avg_logprob"),
+            )
+            .withColumn("ppl_proxy", F.round(F.exp(-F.col("avg_logprob")), 4))
+        )
+        return scored.localCheckpoint(eager=True)
+    finally:
+        tf.unpersist()
 
 
 def bm25_topk(
@@ -376,64 +394,88 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
-    """BM25 top-k text search — the classic inverted-index ranking, shaped
-    so only QUERY-TOKEN rows ever shuffle:
+    """BM25 top-k text search with ONE corpus scan and ZERO shuffles:
 
-    * per-document length + the (doc, token) stream are computed in one
-      scan; the stream is filtered to the query's tokens BEFORE any shuffle
-      (a literal isin predicate, pushable through the explode), so term
-      frequencies aggregate over a stream proportional to query-term
-      occurrences, not corpus tokens;
-    * document frequencies (idf) come from the same filtered aggregate —
-      ≤ |query| rows, broadcast back onto the scores;
-    * the result is a TakeOrderedAndProject k-heap, never a global sort.
+    * the scan projects each document down to ``(id, doc_length,
+      query-term tokens)`` — the query-term filter runs inside an array
+      intrinsic, map-side, so nothing proportional to corpus tokens is ever
+      shuffled OR kept; the slim projection (fixed-width id + int + a
+      near-always-empty array) is persisted as the reusable form of the
+      tokenize pass;
+    * ONE aggregate over the slim frame yields N, avgdl AND every query
+      term's document frequency together (``array_contains`` counts), so
+      the idf coefficients become literals in the scoring expression — no
+      idf join at all;
+    * per-document scores are a pure map-side projection (per-term tf via
+      ``array_contains``-gated ``size(filter(...))``), ranked by a
+      TakeOrderedAndProject k-heap — never a global sort.
+
+    The k-row result is materialized (``localCheckpoint``) so the slim
+    frame unpersists before return; a SparkListener sees exactly one read
+    of the source (pytest-pinned).
 
     Returns (id_col, score) — BM25 with the standard Robertson idf
     ``ln(1 + (N - df + 0.5) / (df + 0.5))``.
     """
     import math as _math
 
+    from pyspark import StorageLevel
+
     terms = sorted({t for t in query.lower().split() if t})
     if not terms:
         raise ValueError("query has no tokens")
-    spark = df.sparkSession
 
-    base = df.select(
-        F.col(id_col),
-        lower_tokens(F.col(text_col)).alias("_toks"),
-    ).select(
-        id_col, F.size("_toks").alias("_dl"), F.col("_toks")
+    term_lits = [F.lit(t) for t in terms]
+    slim = (
+        df.select(
+            F.col(id_col),
+            lower_tokens(F.col(text_col)).alias("_toks"),
+        )
+        .select(
+            id_col,
+            F.size("_toks").alias("_dl"),
+            F.filter("_toks", lambda t: t.isin(*term_lits)).alias("_qtoks"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # N and avgdl: one tiny aggregate over (doc, length) — no token shuffle
-    stats = base.agg(
-        F.count(F.lit(1)).alias("N"), F.avg("_dl").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = int(stats["N"]), float(stats["avgdl"] or 1.0)
+    try:
+        # N, avgdl and per-term document frequencies in ONE action — the
+        # action that materializes slim, i.e. the only corpus scan
+        stats = slim.agg(
+            F.count(F.lit(1)).alias("N"),
+            F.avg("_dl").alias("avgdl"),
+            *[
+                F.sum(F.array_contains("_qtoks", t).cast("long")).alias(f"_df{i}")
+                for i, t in enumerate(terms)
+            ],
+        ).collect()[0]
+        n_docs, avgdl = int(stats["N"]), float(stats["avgdl"] or 1.0)
+        dfreq = {t: int(stats[f"_df{i}"] or 0) for i, t in enumerate(terms)}
+        if not any(dfreq.values()):  # no query token appears in the corpus
+            return slim.select(id_col, F.lit(0.0).alias("score")).limit(0).localCheckpoint(eager=True)
 
-    hits = (
-        base.select(id_col, "_dl", F.explode("_toks").alias("_tok"))
-        .filter(F.col("_tok").isin(terms))
-        .groupBy(id_col, "_tok")
-        .agg(F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl"))
-    )
-    dfreq = hits.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
-    idf_rows = dfreq.collect()  # ≤ |query| rows
-    idf = {
-        r["_tok"]: _math.log(1.0 + (n_docs - r["_df"] + 0.5) / (r["_df"] + 0.5))
-        for r in idf_rows
-    }
-    if not idf:  # no query token appears anywhere in the corpus
-        return base.select(id_col, F.lit(0.0).alias("score")).limit(0)
-    idf_df = spark.createDataFrame(
-        [(t, v) for t, v in idf.items()], "_tok string, _idf double"
-    )
-    norm = F.col("_tf") * (k1 + 1) / (
-        F.col("_tf") + k1 * (1 - b + b * F.col("_dl") / F.lit(avgdl))
-    )
-    scored = (
-        hits.join(F.broadcast(idf_df), "_tok")
-        .withColumn("_s", F.col("_idf") * norm)
-        .groupBy(id_col)
-        .agg(F.round(F.sum("_s"), 6).alias("score"))
-    )
-    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+        def _eq(term: str):
+            # NB: must be a ONE-parameter lambda — a default-arg closure
+            # (lambda x, t=t: ...) is seen as two-parameter and F.filter
+            # binds the second to the array index, not the loop variable
+            return lambda x: x == F.lit(term)
+
+        score = F.lit(0.0)
+        for t in terms:
+            if dfreq[t] == 0:
+                continue
+            idf = _math.log(1.0 + (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            tf = F.size(F.filter("_qtoks", _eq(t))).cast("double")
+            norm = tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * F.col("_dl") / F.lit(avgdl))
+            )
+            score = score + F.when(tf > 0, F.lit(idf) * norm).otherwise(F.lit(0.0))
+        scored = (
+            slim.filter(F.size("_qtoks") > 0)
+            .select(F.col(id_col), F.round(score, 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k)
+        )
+        return scored.localCheckpoint(eager=True)
+    finally:
+        slim.unpersist()
