@@ -199,6 +199,55 @@ def test_cli_end_to_end_with_defaults_cfg(spark, corpus, tmp_path, capsys):
     assert os.path.exists(report2) and rc2 == 1
 
 
+def test_cli_compare_flags_planted_regression(spark, tmp_path, capsys):
+    """End-to-end `cli compare`: two checkpointed runs (clean, then with
+    planted failures) → the compare subcommand flags the regression and
+    exits 1; identical runs exit 0.  Also covers --report-html on run."""
+    import json
+    import os
+
+    from validation_engine import cli
+
+    def write_input(path, bad_frac):
+        n = 200
+        spark.range(n).select(
+            F.lit("r").alias("repo"),
+            F.concat(F.lit("p"), F.col("id")).alias("path"),
+            F.lit("c").alias("commit"),
+            F.when(F.col("id") < int(n * bad_frac), F.lit("")).otherwise(
+                F.lit("body")
+            ).alias("content"),
+        ).write.mode("overwrite").parquet(path)
+
+    wf_json = {
+        "keys": ["repo", "path", "commit"],
+        "n_buckets": 4,
+        "stages": [{"name": "basic",
+                    "checks": [{"type": "non_empty", "col": "content"}]}],
+    }
+    cfg = str(tmp_path / "wf.json")
+    with open(cfg, "w") as f:
+        json.dump(wf_json, f)
+
+    inp1, inp2 = str(tmp_path / "in1.pq"), str(tmp_path / "in2.pq")
+    ck1, ck2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
+    write_input(inp1, 0.0)
+    write_input(inp2, 0.4)
+    html = str(tmp_path / "run.html")
+    assert cli.main(["--input", inp1, "--config", cfg, "--checkpoint", ck1,
+                     "--report-html", html]) == 0
+    assert os.path.exists(html) and "PASSED" in open(html).read()
+    assert cli.main(["--input", inp2, "--config", cfg, "--checkpoint", ck2]) == 1
+    capsys.readouterr()
+
+    rc = cli.main(["compare", "--prev", ck1, "--cur", ck2, "--tolerance", "0.05"])
+    out = capsys.readouterr().out
+    assert rc == 1 and "REGRESSED" in out
+    # identical runs → clean exit
+    rc_same = cli.main(["compare", "--prev", ck1, "--cur", ck1])
+    assert rc_same == 0
+
+
 def test_quarantine_rows_match_invalids(spark, corpus, tmp_path):
     """Quarantine = invalid elements with payload: exactly the rows any
     stage marked invalid, payload columns intact, written for reprocessing."""

@@ -308,6 +308,52 @@ def test_stateful_dedup_state_ttl_eviction(spark, tmp_path):
     assert sum(1 for r in rows if r["path"] == "OTHER") == 1
 
 
+def test_stateful_dedup_event_time_ttl_under_fast_replay(spark, tmp_path):
+    """EVENT-time TTL: hours of event time replayed in seconds of wall time
+    must still evict state — the watermark, not the wall clock, drives the
+    TTL (a processing-time TTL of 30 min would evict nothing in this test).
+    Sequence: K emits at 10:00; its 10:10 duplicate is suppressed; two later
+    batches advance the watermark past K's last-seen + 30 min TTL (timeouts
+    fire only for keys WITHOUT data in the firing batch, hence two); K at
+    12:20 then re-emits against evicted state."""
+    from validation_engine.streaming import stateful_dedup
+
+    src = str(tmp_path / "ett_src")
+    ck = str(tmp_path / "ett_ck")
+    out = str(tmp_path / "ett_out")
+
+    def run_batch(rows):
+        df = spark.createDataFrame(
+            rows, "repo string, path string, commit string, ts timestamp"
+        )
+        df.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        deduped = stateful_dedup(
+            stream, keys=["repo", "path", "commit"],
+            event_time_col="ts", event_ttl_minutes=30,
+        )
+        q = (deduped.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ck).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        q.stop()
+        q.awaitTermination(30)
+
+    from datetime import datetime
+
+    t = lambda h, m: datetime(2026, 1, 1, h, m)  # noqa: E731
+    run_batch([("r", "K", "c", t(10, 0))])
+    run_batch([("r", "K", "c", t(10, 10))])        # dup within TTL → suppressed
+    run_batch([("r", "W1", "c", t(12, 0))])        # watermark → ~11:59
+    run_batch([("r", "W2", "c", t(12, 10))])       # fires K's 10:40 timeout
+    run_batch([("r", "K", "c", t(12, 20))])        # state evicted → re-emit
+    rows = spark.read.parquet(out).collect()
+    k = sorted(str(r["ts"]) for r in rows if r["path"] == "K")
+    assert len(k) == 2, f"expected eviction + re-emission, got {k}"
+    assert k == ["2026-01-01 10:00:00", "2026-01-01 12:20:00"]
+    assert sum(1 for r in rows if r["path"].startswith("W")) == 2
+
+
 def test_catalog_table_write_read_roundtrip(spark):
     """Catalog-identifier branch of write_table/read_dataset against the
     built-in session catalog: createOrReplace (v2, falls back to the v1

@@ -720,3 +720,42 @@ def test_staged_resume_skips_corpus_rescan(spark, tmp_path):
     assert acc.value == n, "resume re-scanned the corpus despite staged marker"
     assert rep.count() == n and viols.count() == 0
     assert CheckpointManager(root, 4).manifest("s")["committed_chunks"] == [0, 1, 2, 3]
+
+
+def test_resume_with_changed_deriver_drops_stale_violations(spark, tmp_path):
+    """Crash AFTER the violations were staged but BEFORE any chunk commit,
+    then resume with a deriver that now yields ZERO rows for every chunk:
+    the stale violation files from the crashed run must NOT be committed
+    (dynamic partition overwrite never touches a partition absent from the
+    new output, so the resume has to clear pending dirs explicitly)."""
+    n = 200
+    base = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") >= 50).alias("is_valid"),
+        F.lit(0).alias("ret_code"),
+        F.lit(None).cast("string").alias("comment"),
+        F.pmod(F.col("id"), F.lit(8)).cast("string").alias("_vpart"),
+    )
+    root = str(tmp_path / "stale_viols")
+    bad_rows = lambda r: r.filter(~F.col("is_valid"))  # noqa: E731
+
+    class KillBeforeFirstCommit(CheckpointManager):
+        def _write_manifest(self, stage, m):
+            if m.get("committed_chunks"):
+                raise KeyboardInterrupt("crash before first chunk commit")
+            super()._write_manifest(stage, m)
+
+    with pytest.raises(KeyboardInterrupt):
+        KillBeforeFirstCommit(root, n_chunks=4).commit_stage(
+            spark, "s", base, bad_rows, run_id="r1"
+        )
+    m = CheckpointManager(root, 4).manifest("s")
+    assert m["staged"] == [0, 1, 2, 3] and m["committed_chunks"] == []
+
+    # the checks were FIXED between the crash and the resume: no violations
+    none = lambda r: r.filter(F.lit(False))  # noqa: E731
+    rep, viols = CheckpointManager(root, n_chunks=4).commit_stage(
+        spark, "s", base, none, run_id="r2"
+    )
+    assert rep.count() == n
+    assert viols.count() == 0, "stale violations from the crashed run committed"

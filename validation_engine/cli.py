@@ -124,7 +124,70 @@ def load_defaults_cfg(path: str | None = None) -> dict:
     return dict(cp["validation_engine"])
 
 
+def compare_main(argv) -> int:
+    """``python -m validation_engine.cli compare``: run-over-run validity
+    regression detection over two checkpoint roots (the monitoring hook a
+    scheduled pipeline runs after every commit).  Exit code 1 iff any
+    (stage, partition) regressed beyond the tolerance."""
+    import os
+
+    p = argparse.ArgumentParser(
+        prog="validation_engine.cli compare",
+        description="flag partitions whose valid-rate dropped between runs",
+    )
+    p.add_argument("--prev", required=True, help="baseline checkpoint root")
+    p.add_argument("--cur", required=True, help="candidate checkpoint root")
+    p.add_argument(
+        "--stage", action="append", default=None,
+        help="stage name (repeatable); default: every stage present in both roots",
+    )
+    p.add_argument("--tolerance", type=float, default=0.01)
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from .report import compare_runs
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = get_spark("validation-engine-compare", master=args.master)
+    prev_ck, cur_ck = CheckpointManager(args.prev), CheckpointManager(args.cur)
+    stages = args.stage
+    if stages is None:
+        def _stages(root):
+            d = os.path.join(root, "stages")
+            return set(os.listdir(d)) if os.path.isdir(d) else set()
+
+        stages = sorted(_stages(args.prev) & _stages(args.cur))
+        if not stages:
+            print("no common stages under the two checkpoint roots", file=sys.stderr)
+            return 2
+    n_regressed = 0
+    for st in stages:
+        out = compare_runs(
+            prev_ck.read_summary(spark, st),
+            cur_ck.read_summary(spark, st),
+            tolerance=args.tolerance,
+        ).orderBy("stage", "partition")
+        rows = out.collect()
+        for r in rows:
+            mark = "REGRESSED" if r["regressed"] else ("?" if r["regressed"] is None else "ok")
+            print(
+                f"{r['stage']}\t{r['partition']}\t"
+                f"{r['rate_prev']} -> {r['rate_cur']} (delta {r['delta']})\t{mark}"
+            )
+        n_regressed += sum(1 for r in rows if r["regressed"])
+    print(f"regressed partitions: {n_regressed}")
+    if not preexisting:
+        spark.stop()
+    return 1 if n_regressed else 0
+
+
 def main(argv=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "compare":
+        return compare_main(argv[1:])
     pre = argparse.ArgumentParser(add_help=False)
     pre.add_argument(
         "--defaults-cfg", default=None,
@@ -141,6 +204,9 @@ def main(argv=None) -> int:
                    help="workflow JSON")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--report", default=None, help="markdown report output path")
+    p.add_argument("--report-html", default=None,
+                   help="write the self-contained HTML report (with per-check "
+                        "drill-down) to this path")
     p.add_argument("--master", default=None)
     known = {a.dest for a in p._actions}
     p.set_defaults(**{k: v for k, v in defaults.items() if k in known})
@@ -183,7 +249,13 @@ def main(argv=None) -> int:
     if args.report:
         write_run_report(wf, res, args.report)
         print(f"report written to {args.report}")
-    else:
+    if args.report_html:
+        from .report import run_report_html
+
+        with open(args.report_html, "w") as f:
+            f.write(run_report_html(wf, res))
+        print(f"html report written to {args.report_html}")
+    if not args.report and not args.report_html:
         print(run_report_markdown(wf, res))
     n_invalid = sum(s["n_total"] - s["n_valid"] for s in res.summaries)
     if not preexisting:

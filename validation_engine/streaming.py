@@ -81,25 +81,49 @@ def stateful_dedup(
     stream_df: DataFrame,
     keys: Sequence[str] = DEFAULT_KEYS,
     timeout_minutes: float = 0,
+    event_time_col: Optional[str] = None,
+    event_ttl_minutes: float = 0,
+    event_watermark: str = "1 minute",
 ):
     """Custom stateful operator: drop elements whose key was already seen —
     exactly-once key emission over an unbounded stream.
 
     ``applyInPandasWithState`` keeps one tiny state row per key group; the
-    state is just "seen" (plus an optional processing-time timeout to bound
-    state size on high-cardinality keys).  This is the Structured-Streaming
-    analogue of the batch duplicate-key rejection (`task.py:448-453`).
+    state is just "seen" plus an optional timeout to bound state size on
+    high-cardinality key domains.  Two TTL modes:
+
+    * ``timeout_minutes`` — PROCESSING-time TTL: state evicts after the
+      wall-clock interval.  Fine for live ingestion, but under a fast
+      replay/backfill (hours of event time in seconds of wall time) it
+      evicts nothing, so state grows with the whole replayed key domain.
+    * ``event_time_col`` + ``event_ttl_minutes`` — EVENT-time TTL: state
+      evicts once the WATERMARK passes last-seen-event-time + TTL, so the
+      state bound holds no matter how fast history is replayed (the
+      watermark advances with the data, not the clock).  A watermark
+      (``event_watermark`` delay) is applied to ``event_time_col`` —
+      required by Spark for event-time timeouts.  The TTL slides: each
+      sighting of a key re-arms its eviction from that sighting's event
+      time.  Documented tradeoff of any TTL: an evicted key re-emits if it
+      reappears later.
+
+    This is the Structured-Streaming analogue of the batch duplicate-key
+    rejection (`task.py:448-453`).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    if event_time_col is not None:
+        if not event_ttl_minutes:
+            raise ValueError("event_time_col requires event_ttl_minutes > 0")
+        stream_df = stream_df.withWatermark(event_time_col, event_watermark)
+        timeout = GroupStateTimeout.EventTimeTimeout
+    elif timeout_minutes:
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
+    else:
+        timeout = GroupStateTimeout.NoTimeout
     out_schema = stream_df.schema
     state_schema = "seen boolean"
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if timeout_minutes
-        else GroupStateTimeout.NoTimeout
-    )
+    ttl_ms = int(event_ttl_minutes * 60 * 1000)
 
     def dedup_fn(key, pdfs, state: "GroupState"):
         if state.hasTimedOut:
@@ -108,13 +132,24 @@ def stateful_dedup(
         first = not state.exists
         if first:
             state.update((True,))
-            if timeout_minutes:
+            if timeout_minutes and event_time_col is None:
                 state.setTimeoutDuration(int(timeout_minutes * 60 * 1000))
         emitted = False
+        max_ts = None
         for pdf in pdfs:
-            if first and not emitted and len(pdf):
-                yield pdf.iloc[[0]]
-                emitted = True
+            if len(pdf):
+                if event_time_col is not None:
+                    m = pdf[event_time_col].max()
+                    max_ts = m if max_ts is None else max(max_ts, m)
+                if first and not emitted:
+                    yield pdf.iloc[[0]]
+                    emitted = True
+        if event_time_col is not None and max_ts is not None:
+            # re-arm eviction at last-seen event time + TTL; a timeout
+            # timestamp at or below the current watermark is illegal (it
+            # would already have fired), so clamp just past it
+            ts = int(pd.Timestamp(max_ts).value // 1_000_000) + ttl_ms
+            state.setTimeoutTimestamp(max(ts, state.getCurrentWatermarkMs() + 1))
 
     return stream_df.groupBy(*[F.col(k) for k in keys]).applyInPandasWithState(
         dedup_fn,
