@@ -1,0 +1,48 @@
+"""One-off 10×-data anchor for the scaling bands (VERDICT round-4 #8):
+run the full constraint suite at sf1-equivalent size (6M synthesized code
+files — the same 6M-rows/sf formula bench.py uses) and record rows/s next
+to the sf0.1 point.  If the engine's claims hold (per-row work constant,
+shuffles linear), rows/s should be near-flat from 600k → 6M rows.
+
+Usage: SF1_ROWS=6000000 python scripts/sf1_suite_bench.py
+Writes BENCH/sf1_suite_r4.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+from validation_engine.session import get_spark  # noqa: E402
+
+ROWS = int(os.environ.get("SF1_ROWS", "6000000"))
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> None:
+    spark = get_spark(
+        "ve-sf1-bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    suite = bench.bench_validate_suite(spark, ROWS)
+    out = {
+        "rows": suite["n_rows"],
+        "cpus": CPUS,
+        "suite_sec": suite["sec"],
+        "rows_per_sec": suite["rows_per_sec"],
+        "sec_8chunk_commits": suite["sec_8chunk_commits"],
+        "n_invalid": suite["n_invalid"],
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/sf1_suite_r4.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

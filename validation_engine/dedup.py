@@ -71,19 +71,21 @@ def exact_duplicates(
 
 
 def exact_dedup(
-    df: DataFrame, id_col: str, text_col: str, strategy: str = "agg"
+    df: DataFrame, id_col: str, text_col: str, strategy: str = "window"
 ) -> DataFrame:
     """Keep one representative (min id) per identical content.
 
-    ``strategy='agg'`` (default): min(id) per digest, semi-joined back — the
-    corpus is SCANNED twice but only (digest, id) pairs ever shuffle; the
-    second pass re-reads the source map-side (projection+filter pushdown).
-    ``strategy='window'``: one scan, one shuffle — ``min(id) over
-    (partition by digest)`` then filter — but the shuffle carries FULL ROWS
-    (digest + every column).  Measured at sf0.1 (200k docs, ~460B text/row):
-    agg 0.72 s vs window 0.96 s — and the gap widens with row width, so
-    'agg' is the default; 'window' wins only when rows are narrower than
-    ~2× the digest+id pair (see PLANS.md)."""
+    ``strategy='window'`` (default): ONE scan, ONE shuffle — ``min(id) over
+    (partition by digest)``, then keep the row carrying the min.  The
+    shuffle carries full rows, but so does the alternative below (its
+    semi-join probe side also shuffles full rows) — and it pays a second
+    scan and a second shuffle of (digest, id) pairs on top, so the window
+    formulation strictly dominates.  Measured at sf0.1 (best of 3):
+    window 0.52 s vs agg 0.91 s; the keeper aggregate is NOT broadcastable
+    at scale (one (digest, id) row per distinct document), so the join
+    never becomes shuffle-free.  ``strategy='agg'`` is kept for sources
+    where a second scan is cheaper than sorting within digest partitions
+    (e.g. re-reading a pruned columnar scan beats sorting multi-MB rows)."""
     with_d = df.withColumn("_digest", F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256))
     if strategy == "window":
         from pyspark.sql import Window
