@@ -885,3 +885,53 @@ def test_ivf_query_path_partition_pruned(spark):
     assert "PartitionFilters: [" in plan
     assert "_cell" in plan.split("PartitionFilters")[1][:160]
     assert out.count() == 10
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    """13-gram decontamination: a training doc embedding a benchmark
+    passage is flagged with the right overlap count; clean docs are not;
+    the benchmark n-gram set broadcasts (plan assertion)."""
+    from validation_engine.text import decontaminate
+
+    passage = " ".join(f"w{i}" for i in range(20))          # 20 tokens
+    clean = " ".join(f"x{i}" for i in range(30))
+    train = spark.createDataFrame(
+        [
+            (1, f"intro words {passage} trailing words"),   # contains passage
+            (2, clean),
+            (3, "short doc"),                               # < n tokens
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame([(passage,)], "q string")
+    out = decontaminate(train, "doc_id", "text", bench, "q", n=13)
+    rows = {r["doc_id"]: r["n_contaminated_ngrams"] for r in out.collect()}
+    # the 20-token passage yields 8 distinct 13-grams, all present in doc 1
+    assert rows == {1: 8}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_pii_counts_and_redaction(spark):
+    """PII scan + redact: counts per category are exact, redaction removes
+    every match and leaves clean text untouched."""
+    from validation_engine.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.user+x@example.com or call 415-555-1234"),
+            (2, "server 10.0.42.7 ssn 123-45-6789 and 10.0.42.8"),
+            (3, "nothing sensitive here, version 1.2 build 34"),
+        ],
+        "doc_id int, text string",
+    )
+    counts = {r["doc_id"]: r for r in pii_counts(df, "doc_id", "text").collect()}
+    assert counts[1]["n_email"] == 1 and counts[1]["n_phone"] == 1
+    assert counts[2]["n_ipv4"] == 2 and counts[2]["n_ssn"] == 1
+    assert counts[3]["n_pii_total"] == 0
+    red = {r["doc_id"]: r["r"] for r in
+           df.select("doc_id", redact_pii("text").alias("r")).collect()}
+    assert "example.com" not in red[1] and "415" not in red[1]
+    assert red[1].count("[PII]") == 2
+    assert "10.0.42.7" not in red[2] and "123-45-6789" not in red[2]
+    assert red[3] == "nothing sensitive here, version 1.2 build 34"

@@ -479,3 +479,89 @@ def bm25_topk(
         return scored.localCheckpoint(eager=True)
     finally:
         slim.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination + PII scrubbing
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench: DataFrame,
+    bench_text_col: str,
+    n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination — the standard pretraining hygiene step:
+    flag training documents sharing any token ``n``-gram (13 by default,
+    the GPT-3/PaLM convention) with a held-out benchmark/test set.
+
+    Scale shape: the benchmark side is SMALL (evaluation sets are MBs) —
+    its distinct n-gram hashes collapse to one bounded frame that
+    BROADCASTS; the corpus side streams its n-gram hashes map-side into the
+    broadcast-hash semi-join, so the only shuffle is the final per-doc
+    count aggregation of matching rows (rare by construction).  Nothing
+    corpus-sized is ever shuffled and the corpus is scanned once.
+
+    Returns ``(id_col, n_contaminated_ngrams)`` for documents with at least
+    ``min_hits`` overlapping n-grams — feed to an anti-join to drop them.
+    """
+    from .dedup import token_shingles
+
+    bgrams = (
+        bench.select(F.explode(token_shingles(bench_text_col, n)).alias("_g"))
+        .select(F.xxhash64("_g").alias("_gh"))
+        .distinct()
+    )
+    dgrams = df.select(
+        F.col(id_col), F.explode(token_shingles(text_col, n)).alias("_g")
+    ).select(id_col, F.xxhash64("_g").alias("_gh"))
+    hits = (
+        dgrams.join(F.broadcast(bgrams), "_gh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+        .filter(F.col("n_contaminated_ngrams") >= int(min_hits))
+    )
+    return hits
+
+
+# conservative, precision-leaning patterns — a production pipeline swaps in
+# its compliance-approved set; the OPERATOR (count/redact plumbing) is the
+# engine surface, the patterns are config
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"(?<![0-9])(?:\+?1[-. ]?)?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}(?![0-9])",
+    "ipv4": r"(?<![0-9.])(?:[0-9]{1,3}\.){3}[0-9]{1,3}(?![0-9.])",
+    "ssn": r"(?<![0-9])[0-9]{3}-[0-9]{2}-[0-9]{4}(?![0-9])",
+}
+
+
+def pii_counts(df: DataFrame, id_col: str, text_col: str, patterns=None) -> DataFrame:
+    """Per-document PII hit counts, one column per pattern plus a total —
+    pure ``regexp_count`` expressions (JVM regex, whole-stage codegen, zero
+    Python): the filter stage of a redaction pipeline, and a quality signal
+    on its own (PII-dense pages are rarely good training text)."""
+    patterns = patterns or PII_PATTERNS
+    counts = {
+        f"n_{name}": F.regexp_count(F.col(text_col), F.lit(rx))
+        for name, rx in patterns.items()
+    }
+    out = df.select(F.col(id_col), *[c.alias(a) for a, c in counts.items()])
+    total = None
+    for a in counts:
+        total = F.col(a) if total is None else total + F.col(a)
+    return out.withColumn("n_pii_total", total)
+
+
+def redact_pii(col, patterns=None, token: str = "[PII]") -> Column:
+    """Replace every PII match with ``token`` — chained ``regexp_replace``
+    (one pass per pattern, all JVM-side).  Use with ``withColumn`` to
+    produce the redacted corpus; pair with :func:`pii_counts` to audit."""
+    col = F.col(col) if isinstance(col, str) else col
+    patterns = patterns or PII_PATTERNS
+    for rx in patterns.values():
+        col = F.regexp_replace(col, rx, token)
+    return col
