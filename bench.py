@@ -168,6 +168,17 @@ def main() -> None:
             docs, "id", "text", k=3, n_hashes=16, bands=4, max_band_freq=50
         ).count()
     )
+    # round-4 single-scan text ops over the same corpus: BM25 (one scan,
+    # zero shuffles) and the unigram-LM quality proxy (one scan, persisted
+    # tf frame) — both eager, so the call itself is the measured work
+    from validation_engine.text import bm25_topk, unigram_lm_score
+
+    queries["bm25_topk_corpus"] = best_of(
+        lambda: bm25_topk(docs, "id", "text", "def main return", k=10).count()
+    )
+    queries["unigram_lm_corpus"] = best_of(
+        lambda: unigram_lm_score(docs, "id", "text", vocab_size=50_000).count()
+    )
     docs.unpersist()
 
     # representative engine queries on the driver testdata
