@@ -935,3 +935,47 @@ def test_pii_counts_and_redaction(spark):
     assert red[1].count("[PII]") == 2
     assert "10.0.42.7" not in red[2] and "123-45-6789" not in red[2]
     assert red[3] == "nothing sensitive here, version 1.2 build 34"
+
+
+def test_connected_components_star_deep_chain_and_random(spark):
+    """algorithm='star' (large-star/small-star): a 120-node chain —
+    diameter far beyond what label propagation could close in the same
+    round budget — resolves in O(log² n) rounds; randomized graphs match a
+    driver union-find exactly."""
+    import random
+
+    import pandas as pd
+
+    from validation_engine.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(119)]
+    pairs = spark.createDataFrame(pd.DataFrame(chain, columns=["id_a", "id_b"]))
+    got = {r["id"]: r["comp"] for r in
+           connected_components(pairs, algorithm="star", max_iter=15).collect()}
+    assert got == {i: 0 for i in range(120)}
+
+    for seed in (7, 8):
+        rng = random.Random(seed)
+        nodes = list(range(40))
+        edges = [
+            (min(a, b), max(a, b))
+            for a, b in (rng.sample(nodes, 2) for _ in range(30))
+        ]
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expect = {x: find(x) for x in parent}
+        pairs = spark.createDataFrame(pd.DataFrame(edges, columns=["id_a", "id_b"]))
+        got = {r["id"]: r["comp"] for r in
+               connected_components(pairs, algorithm="star").collect()}
+        assert got == expect, f"seed {seed}: star mismatch"
