@@ -644,13 +644,15 @@ def connected_components(
 
 
 def cluster_representatives(
-    df: DataFrame, pairs: DataFrame, id_col: str
+    df: DataFrame, pairs: DataFrame, id_col: str, **cc_kwargs
 ) -> DataFrame:
     """Keep one representative (min id) per near-duplicate component; rows
     not in any pair pass through untouched.  The anti-join ships only the
     (small) drop-list against the corpus — single shuffle-free pass when the
-    drop side broadcasts."""
-    comps = connected_components(pairs)
+    drop side broadcasts.  ``cc_kwargs`` forward to
+    :func:`connected_components` (``algorithm=``, ``checkpoint_dir=``,
+    ``max_iter=``)."""
+    comps = connected_components(pairs, **cc_kwargs)
     to_drop = comps.filter(F.col("id") != F.col("comp")).select(
         F.col("id").alias(id_col)
     )

@@ -8,6 +8,11 @@ corpus scale with zero Python in the hot path:
 * ``token_count``     — whitespace + BPE-ish regex token counts
 * ``fingerprint``     — 64-bit rolling/document fingerprint (xxhash of
                         normalized token stream)
+* ``unigram_lm_score`` / ``bm25_topk`` — corpus-level LM quality proxy and
+                        ranked search, both single-corpus-scan
+* ``decontaminate``   — 13-gram benchmark-overlap detection (broadcast
+                        semi-join)
+* ``pii_counts`` / ``redact_pii`` — PII scan + redaction (regex chains)
 
 The expressions are deliberately reproducible in ANSI SQL (DuckDB oracles in
 ``__spark_entry__``) — simple splits and arithmetic, no engine-specific regex
