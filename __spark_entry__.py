@@ -944,9 +944,21 @@ def q_ivf_topk(spark, sf):
     if os.path.exists(os.path.join(path, "_SUCCESS")) and os.path.exists(cent_path):
         cents = np.load(cent_path)
     else:
+        # populate via build-aside + atomic rename: a concurrent process
+        # (parallel bench attempt / test) must never observe a half-written
+        # index or have its own deleted mid-read by mode='overwrite'
         cents = ivf_build(emb, n_centroids=8)
-        ivf_write_index(emb, cents, path, files_per_cell=4)
-        np.save(cent_path, cents)
+        tmp = f"{path}.tmp{os.getpid()}"
+        ivf_write_index(emb, cents, tmp, files_per_cell=4)
+        np.save(tmp + ".centroids.npy", cents)
+        try:
+            os.replace(tmp + ".centroids.npy", cent_path)
+            os.rename(tmp, path)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race — use winner's
+            cents = np.load(cent_path)
     out = ivf_topk_indexed(spark, path, cents, q, k=10, n_probe=8)
     return out.select("vec_id", F.round("cosine", 4).alias("cosine_r"))
 

@@ -281,26 +281,41 @@ def test_stateful_dedup_state_ttl_eviction(spark, tmp_path):
         df.write.mode("append").parquet(src)
         stream = spark.readStream.schema(df.schema).parquet(src)
         deduped = stateful_dedup(stream, keys=["repo", "path", "commit"],
-                                 timeout_minutes=0.05)  # 3 s TTL
+                                 timeout_minutes=0.25)  # 15 s TTL — must
+        # outlast the ~5-10 s stream-restart latency so the duplicate batch
+        # arrives INSIDE the TTL (Spark fires expired timers as soon as
+        # possible after a restart, even in a batch where the key has data)
         q = (deduped.writeStream.format("parquet").option("path", out)
              .option("checkpointLocation", ck).outputMode("append")
              .trigger(availableNow=True).start())
         # availableNow + processing-time timeouts keeps triggering batches
         # long after the data is processed (it waits to fire future
-        # timeouts); the data batch lands within seconds, so bound the wait
-        # and stop explicitly — the next restart must never race a
-        # still-live query on the same checkpoint
-        q.awaitTermination(15)
+        # timeouts; processAllAvailable never goes idle either), so the
+        # query must be stopped explicitly — but only AFTER the DATA batch
+        # reports progress (progress is emitted post-commit): stop()
+        # racing a mid-commit data batch loses the key's state and the
+        # dedup re-emits.  A lost timeout-only batch merely re-fires.
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if any((p or {}).get("numInputRows", 0) > 0 for p in q.recentProgress):
+                break
+            time.sleep(0.5)
         q.stop()
         q.awaitTermination(30)
         return spark.read.parquet(out).count()
 
     # batch 1: key K emitted once
     assert run_batch([("r", "K", "c", "v1")]) == 1
-    time.sleep(5)  # let K's state pass its 3 s TTL
-    # batch 2: unrelated key triggers processing; K's timed-out state evicts
+    # batch 2: DUPLICATE K within the TTL — suppressed, and (critically)
+    # the TTL must be RE-ARMED: Spark clears a group's pending timeout on
+    # every data invocation, so a first-sighting-only arm would leave
+    # re-seen keys immortal — the final re-emission below would never
+    # happen (regression guard for that bug)
+    assert run_batch([("r", "K", "c", "v1b")]) == 1
+    time.sleep(20)  # let K's re-armed state pass its 15 s TTL
+    # batch 3: unrelated key triggers processing; K's timed-out state evicts
     run_batch([("r", "OTHER", "c", "v2")])
-    # batch 3: K reappears — state was evicted, so it emits again
+    # batch 4: K reappears — state was evicted, so it emits again
     run_batch([("r", "K", "c", "v3")])
     rows = spark.read.parquet(out).collect()
     k_emissions = sum(1 for r in rows if r["path"] == "K")

@@ -979,3 +979,37 @@ def test_connected_components_star_deep_chain_and_random(spark):
         got = {r["id"]: r["comp"] for r in
                connected_components(pairs, algorithm="star").collect()}
         assert got == expect, f"seed {seed}: star mismatch"
+
+
+def test_connected_components_star_self_pairs_and_parity(spark):
+    """A node appearing ONLY in self-pairs must come back labeled under
+    both algorithms (regression: star used to drop it entirely)."""
+    from validation_engine.dedup import connected_components
+
+    pairs = spark.createDataFrame([(5, 5), (1, 2)], "id_a int, id_b int")
+    for algo in ("label", "star"):
+        got = {r["id"]: r["comp"] for r in
+               connected_components(pairs, algorithm=algo).collect()}
+        assert got == {1: 1, 2: 1, 5: 5}, f"{algo}: {got}"
+
+
+def test_decontaminate_short_benchmark_rows(spark):
+    """Benchmark rows shorter than n tokens are matched by whole-item
+    containment (the convention for short eval items), not silently
+    unmatchable shingles; long rows still go through n-gram overlap."""
+    from validation_engine.text import decontaminate
+
+    short_item = "what is the capital of peru answer lima"        # 8 tokens
+    passage = " ".join(f"w{i}" for i in range(20))
+    train = spark.createDataFrame(
+        [
+            (1, f"quiz dump {short_item} more filler text"),      # contains item
+            (2, f"intro {passage} outro"),                        # 13-gram overlap
+            (3, "totally unrelated clean document body"),
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame([(short_item,), (passage,)], "q string")
+    out = {r["doc_id"]: r["n_contaminated_ngrams"] for r in
+           decontaminate(train, "doc_id", "text", bench, "q", n=13).collect()}
+    assert out[1] == 1 and out[2] == 8 and 3 not in out

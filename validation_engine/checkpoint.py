@@ -393,6 +393,30 @@ class CheckpointManager:
     def read_summary(self, spark: SparkSession, stage: str) -> DataFrame:
         return spark.read.parquet(os.path.join(self._stage_dir(stage), "summary"))
 
+    def list_stages(self) -> list:
+        """Stage names committed under this root — works for remote
+        (``s3a://``-style) roots via the Hadoop FileSystem, not just the
+        local FS (an active SparkSession is required for remote roots)."""
+        d = (
+            f"{self.root.rstrip('/')}/stages"
+            if self._remote
+            else os.path.join(self.root, "stages")
+        )
+        if self._remote:
+            fs, hpath, _ = self._hadoop_fs(d)
+            if not fs.exists(hpath):
+                return []
+            return sorted(
+                st.getPath().getName()
+                for st in fs.listStatus(hpath)
+                if st.isDirectory()
+            )
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            n for n in os.listdir(d) if os.path.isdir(os.path.join(d, n))
+        )
+
 
 def _now() -> str:
     return time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime())

@@ -129,8 +129,6 @@ def compare_main(argv) -> int:
     regression detection over two checkpoint roots (the monitoring hook a
     scheduled pipeline runs after every commit).  Exit code 1 iff any
     (stage, partition) regressed beyond the tolerance."""
-    import os
-
     p = argparse.ArgumentParser(
         prog="validation_engine.cli compare",
         description="flag partitions whose valid-rate dropped between runs",
@@ -154,11 +152,9 @@ def compare_main(argv) -> int:
     prev_ck, cur_ck = CheckpointManager(args.prev), CheckpointManager(args.cur)
     stages = args.stage
     if stages is None:
-        def _stages(root):
-            d = os.path.join(root, "stages")
-            return set(os.listdir(d)) if os.path.isdir(d) else set()
-
-        stages = sorted(_stages(args.prev) & _stages(args.cur))
+        # Hadoop-FS-aware listing: works for s3a://-style roots too (the
+        # session is already up at this point, which remote listing needs)
+        stages = sorted(set(prev_ck.list_stages()) & set(cur_ck.list_stages()))
         if not stages:
             print("no common stages under the two checkpoint roots", file=sys.stderr)
             return 2

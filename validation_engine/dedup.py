@@ -487,6 +487,14 @@ def _star_components(
     small-star: every neighbor v ≤ u (v ≠ m) re-attaches to m.  The edge
     set monotonically flattens into stars rooted at component minima.
     """
+    # node universe BEFORE dropping self-loops: a node appearing only in
+    # self-pairs must still come back labeled (as its own component), the
+    # same contract the label-propagation path honors
+    all_nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
     cur = _truncate(
         edges.filter(F.col("src") != F.col("dst"))
         .select(F.col("src").alias("u"), F.col("dst").alias("v"))
@@ -538,12 +546,16 @@ def _star_components(
             "star connected_components hit max_iter=%d without a stable "
             "edge set — labels may be incomplete", max_iter,
         )
-    # stars: every edge is (node ≥ root → root); roots label themselves
+    # stars: every edge is (node ≥ root → root); roots label themselves;
+    # nodes with no surviving edge (self-pair-only) are their own component
     labels = nbrs.select(F.col("u").alias("id"), F.col("v").alias("comp"))
     roots = labels.select(F.col("comp").alias("id")).distinct().withColumn(
         "comp", F.col("id")
     )
-    return labels.union(roots).groupBy("id").agg(F.min("comp").alias("comp"))
+    comp_map = labels.union(roots).groupBy("id").agg(F.min("comp").alias("comp"))
+    return all_nodes.join(comp_map, "id", "left").select(
+        "id", F.coalesce("comp", F.col("id")).alias("comp")
+    )
 
 
 def connected_components(
@@ -574,6 +586,11 @@ def connected_components(
     are NOT recomputable, so an executor loss fails the job); pass
     ``checkpoint_dir`` to use reliable ``checkpoint`` into a fault-tolerant
     store (HDFS/S3) instead — the right setting for long cluster runs.
+    Use a PER-RUN directory and delete it after consuming the result:
+    superseded rounds' snapshots stay on disk for the application's
+    lifetime unless ``spark.cleaner.referenceTracking.cleanCheckpoints``
+    is enabled.  The session's previous checkpoint dir is restored on
+    return (``setCheckpointDir`` is otherwise session-global).
 
     ``algorithm='star'`` switches to alternating large-star/small-star
     (:func:`_star_components`) — O(log² n) rounds on ANY graph shape, the
@@ -590,57 +607,70 @@ def connected_components(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
+    sc = pairs.sparkSession.sparkContext
+    prev_ckpt = None
     if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-    if algorithm == "star":
-        return _star_components(
-            pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
-            max_iter,
-            _truncate,
-        )
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
-    )
-    labels = _truncate(
-        edges.select(F.col("src").alias("id")).distinct()
-        .withColumn("comp", F.col("id"))
-    )
-    for _round in range(max_iter):
-        nbr_min = (
-            edges.join(
-                labels.select(F.col("id").alias("dst"), F.col("comp").alias("nc")),
-                "dst",
+        try:
+            opt = sc._jsc.sc().getCheckpointDir()
+            prev_ckpt = opt.get() if opt.isDefined() else None
+        except Exception:
+            prev_ckpt = None
+        sc.setCheckpointDir(checkpoint_dir)
+    try:
+        if algorithm == "star":
+            return _star_components(
+                pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                max_iter,
+                _truncate,
             )
-            .groupBy("src")
-            .agg(F.min("nc").alias("nc"))
+        edges = (
+            pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+            .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+            .distinct()
         )
-        new = _truncate(
-            labels.join(nbr_min.withColumnRenamed("src", "id"), "id", "left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))).alias("comp"),
-                F.col("comp").alias("_old"),
+        labels = _truncate(
+            edges.select(F.col("src").alias("id")).distinct()
+            .withColumn("comp", F.col("id"))
+        )
+        for _round in range(max_iter):
+            nbr_min = (
+                edges.join(
+                    labels.select(F.col("id").alias("dst"), F.col("comp").alias("nc")),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.min("nc").alias("nc"))
             )
-        )
-        # convergence flag from the frame we just materialized — a pure
-        # aggregate over checkpointed blocks, no join against the old labels
-        changed = new.filter(F.col("comp") != F.col("_old")).count()
-        labels = new.drop("_old")
-        if changed == 0:
-            break
-    else:
-        # never report unconverged labels silently: downstream
-        # cluster_representatives would keep several representatives per
-        # true component
-        logger.warning(
-            "connected_components hit max_iter=%d without converging "
-            "(%d labels still changing) — component labels are incomplete; "
-            "raise max_iter (rounds needed ≈ graph diameter)",
-            max_iter, changed,
-        )
-    return labels
+            new = _truncate(
+                labels.join(nbr_min.withColumnRenamed("src", "id"), "id", "left")
+                .select(
+                    "id",
+                    F.least(F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))).alias("comp"),
+                    F.col("comp").alias("_old"),
+                )
+            )
+            # convergence flag from the frame we just materialized — a pure
+            # aggregate over checkpointed blocks, no join against old labels
+            changed = new.filter(F.col("comp") != F.col("_old")).count()
+            labels = new.drop("_old")
+            if changed == 0:
+                break
+        else:
+            # never report unconverged labels silently: downstream
+            # cluster_representatives would keep several representatives per
+            # true component
+            logger.warning(
+                "connected_components hit max_iter=%d without converging "
+                "(%d labels still changing) — component labels are incomplete; "
+                "raise max_iter (rounds needed ≈ graph diameter)",
+                max_iter, changed,
+            )
+        return labels
+    finally:
+        # setCheckpointDir is session-global: restore what the caller had
+        # (every frame this function returns is already eagerly checkpointed)
+        if checkpoint_dir is not None and prev_ckpt is not None:
+            sc.setCheckpointDir(prev_ckpt)
 
 
 def cluster_representatives(

@@ -132,8 +132,12 @@ def stateful_dedup(
         first = not state.exists
         if first:
             state.update((True,))
-            if timeout_minutes and event_time_col is None:
-                state.setTimeoutDuration(int(timeout_minutes * 60 * 1000))
+        # Spark CLEARS a group's pending timeout on every invocation that
+        # has data — a timeout armed only on first sighting would be lost
+        # the moment a duplicate arrives, and that key's state would never
+        # evict.  Re-arm on every call (GroupState contract).
+        if timeout_minutes and event_time_col is None:
+            state.setTimeoutDuration(int(timeout_minutes * 60 * 1000))
         emitted = False
         max_ts = None
         for pdf in pdfs:

@@ -511,26 +511,67 @@ def decontaminate(
     count aggregation of matching rows (rare by construction).  Nothing
     corpus-sized is ever shuffled and the corpus is scanned once.
 
+    Benchmark rows SHORTER than ``n`` tokens cannot be caught by shingle
+    equality (their whole text is the unit of overlap), so — following the
+    convention's whole-item containment rule for short items — they are
+    matched as normalized substrings of each document: a bounded literal
+    list folded into one map-side ``exists`` expression (collected once;
+    evaluation sets are small by definition).  Each containment hit counts
+    as one contaminated n-gram.
+
     Returns ``(id_col, n_contaminated_ngrams)`` for documents with at least
     ``min_hits`` overlapping n-grams — feed to an anti-join to drop them.
     """
     from .dedup import token_shingles
 
+    btoks = bench.select(lower_tokens(F.col(bench_text_col)).alias("_bt"))
     bgrams = (
-        bench.select(F.explode(token_shingles(bench_text_col, n)).alias("_g"))
+        btoks.filter(F.size("_bt") >= n)
+        .select(F.explode(token_shingles(F.concat_ws(" ", "_bt"), n)).alias("_g"))
         .select(F.xxhash64("_g").alias("_gh"))
         .distinct()
     )
+    shorts = [
+        r["_s"]
+        for r in btoks.filter((F.size("_bt") > 0) & (F.size("_bt") < n))
+        .select(F.concat_ws(" ", "_bt").alias("_s"))
+        .distinct()
+        .collect()
+    ]
     dgrams = df.select(
         F.col(id_col), F.explode(token_shingles(text_col, n)).alias("_g")
     ).select(id_col, F.xxhash64("_g").alias("_gh"))
     hits = (
         dgrams.join(F.broadcast(bgrams), "_gh", "left_semi")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+        .agg(F.count(F.lit(1)).alias("_ng"))
+    )
+    if not shorts:
+        return hits.select(
+            id_col, F.col("_ng").alias("n_contaminated_ngrams")
+        ).filter(F.col("n_contaminated_ngrams") >= int(min_hits))
+    # second (map-only) pass exists ONLY when the benchmark has short rows
+    norm_text = F.concat_ws(" ", lower_tokens(F.col(text_col)))
+    short_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in shorts]),
+            lambda s: F.contains(norm_text, s),
+        )
+    ).cast("long")
+    base = df.select(F.col(id_col), short_hits.alias("_short")).filter(
+        F.col("_short") > 0
+    )
+    return (
+        base.join(hits, id_col, "full_outer")
+        .select(
+            id_col,
+            (
+                F.coalesce(F.col("_ng"), F.lit(0))
+                + F.coalesce(F.col("_short"), F.lit(0))
+            ).alias("n_contaminated_ngrams"),
+        )
         .filter(F.col("n_contaminated_ngrams") >= int(min_hits))
     )
-    return hits
 
 
 # conservative, precision-leaning patterns — a production pipeline swaps in
