@@ -946,19 +946,26 @@ def q_ivf_topk(spark, sf):
     else:
         # populate via build-aside + atomic rename: a concurrent process
         # (parallel bench attempt / test) must never observe a half-written
-        # index or have its own deleted mid-read by mode='overwrite'
+        # index or have its own deleted mid-read by mode='overwrite'.
+        # ivf_build is fully seeded, so every process computes IDENTICAL
+        # centroids — losing the index-publish race needs no reload, and a
+        # stale partial dir (no _SUCCESS — e.g. a crashed writer) is
+        # replaced rather than silently probed forever.
+        import shutil
+
         cents = ivf_build(emb, n_centroids=8)
         tmp = f"{path}.tmp{os.getpid()}"
         ivf_write_index(emb, cents, tmp, files_per_cell=4)
-        np.save(tmp + ".centroids.npy", cents)
         try:
-            os.replace(tmp + ".centroids.npy", cent_path)
             os.rename(tmp, path)
         except OSError:
-            import shutil
-
-            shutil.rmtree(tmp, ignore_errors=True)  # lost the race — use winner's
-            cents = np.load(cent_path)
+            if os.path.exists(os.path.join(path, "_SUCCESS")):
+                shutil.rmtree(tmp, ignore_errors=True)  # valid winner published
+            else:
+                shutil.rmtree(path, ignore_errors=True)  # stale partial dir
+                os.rename(tmp, path)
+        np.save(tmp + ".centroids.npy", cents)
+        os.replace(tmp + ".centroids.npy", cent_path)  # atomic, content identical
     out = ivf_topk_indexed(spark, path, cents, q, k=10, n_probe=8)
     return out.select("vec_id", F.round("cosine", 4).alias("cosine_r"))
 

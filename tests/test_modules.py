@@ -281,10 +281,11 @@ def test_stateful_dedup_state_ttl_eviction(spark, tmp_path):
         df.write.mode("append").parquet(src)
         stream = spark.readStream.schema(df.schema).parquet(src)
         deduped = stateful_dedup(stream, keys=["repo", "path", "commit"],
-                                 timeout_minutes=0.25)  # 15 s TTL — must
-        # outlast the ~5-10 s stream-restart latency so the duplicate batch
-        # arrives INSIDE the TTL (Spark fires expired timers as soon as
-        # possible after a restart, even in a batch where the key has data)
+                                 timeout_minutes=0.5)  # 30 s TTL — must
+        # outlast the stream-restart latency (~5-10 s quiet, worse under
+        # load) so the duplicate batch arrives INSIDE the TTL (Spark fires
+        # expired timers as soon as possible after a restart, even in a
+        # batch where the key has data)
         q = (deduped.writeStream.format("parquet").option("path", out)
              .option("checkpointLocation", ck).outputMode("append")
              .trigger(availableNow=True).start())
@@ -312,7 +313,7 @@ def test_stateful_dedup_state_ttl_eviction(spark, tmp_path):
     # re-seen keys immortal — the final re-emission below would never
     # happen (regression guard for that bug)
     assert run_batch([("r", "K", "c", "v1b")]) == 1
-    time.sleep(20)  # let K's re-armed state pass its 15 s TTL
+    time.sleep(32)  # let K's re-armed state pass its 30 s TTL
     # batch 3: unrelated key triggers processing; K's timed-out state evicts
     run_batch([("r", "OTHER", "c", "v2")])
     # batch 4: K reappears — state was evicted, so it emits again

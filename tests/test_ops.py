@@ -1013,3 +1013,15 @@ def test_decontaminate_short_benchmark_rows(spark):
     out = {r["doc_id"]: r["n_contaminated_ngrams"] for r in
            decontaminate(train, "doc_id", "text", bench, "q", n=13).collect()}
     assert out[1] == 1 and out[2] == 8 and 3 not in out
+
+    # an EMPTY/whitespace bench row must not flag anything ('' is a
+    # substring of everything), and short-item matching must anchor to
+    # token boundaries ('is a cat' must not match 'th[is a cat]tle')
+    tricky = spark.createDataFrame(
+        [(10, "this a cattle farm story"), (11, "well is a cat here yes")],
+        "doc_id int, text string",
+    )
+    bench2 = spark.createDataFrame([("   ",), ("is a cat",)], "q string")
+    out2 = {r["doc_id"]: r["n_contaminated_ngrams"] for r in
+            decontaminate(tricky, "doc_id", "text", bench2, "q", n=13).collect()}
+    assert out2 == {11: 1}

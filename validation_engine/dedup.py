@@ -489,8 +489,11 @@ def _star_components(
     """
     # node universe BEFORE dropping self-loops: a node appearing only in
     # self-pairs must still come back labeled (as its own component), the
-    # same contract the label-propagation path honors
-    all_nodes = (
+    # same contract the label-propagation path honors.  Truncated like
+    # every other frame here — the final labels join references it, and an
+    # un-checkpointed node list would re-run the whole (typically LSH-
+    # expensive) pairs lineage on every action against the result.
+    all_nodes = _truncate(
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
@@ -589,8 +592,10 @@ def connected_components(
     Use a PER-RUN directory and delete it after consuming the result:
     superseded rounds' snapshots stay on disk for the application's
     lifetime unless ``spark.cleaner.referenceTracking.cleanCheckpoints``
-    is enabled.  The session's previous checkpoint dir is restored on
-    return (``setCheckpointDir`` is otherwise session-global).
+    is enabled.  If the session already had a checkpoint dir it is restored
+    on return; with no prior dir the per-run one necessarily stays set
+    (Spark has no unset API — be aware later ``df.checkpoint()`` calls in
+    the same session would write there).
 
     ``algorithm='star'`` switches to alternating large-star/small-star
     (:func:`_star_components`) — O(log² n) rounds on ANY graph shape, the

@@ -531,12 +531,16 @@ def decontaminate(
         .select(F.xxhash64("_g").alias("_gh"))
         .distinct()
     )
+    # NB: split('') yields [''] (size 1), so an empty/whitespace bench row
+    # would otherwise reach the substring path as '' — and contains(x, '')
+    # is true for EVERY document, silently flagging the whole corpus
     shorts = [
         r["_s"]
-        for r in btoks.filter((F.size("_bt") > 0) & (F.size("_bt") < n))
+        for r in btoks.filter(F.size("_bt") < n)
         .select(F.concat_ws(" ", "_bt").alias("_s"))
         .distinct()
         .collect()
+        if r["_s"].strip()
     ]
     dgrams = df.select(
         F.col(id_col), F.explode(token_shingles(text_col, n)).alias("_g")
@@ -550,15 +554,23 @@ def decontaminate(
         return hits.select(
             id_col, F.col("_ng").alias("n_contaminated_ngrams")
         ).filter(F.col("n_contaminated_ngrams") >= int(min_hits))
-    # second (map-only) pass exists ONLY when the benchmark has short rows
-    norm_text = F.concat_ws(" ", lower_tokens(F.col(text_col)))
+    # second (map-only) pass exists ONLY when the benchmark has short rows.
+    # Token-boundary anchoring: match ' item ' inside ' text ' so a short
+    # item cannot match across token boundaries ('is a cat' must not flag
+    # 'th[is a cat]tle').  norm_text is STAGED as its own column — HOF
+    # lambdas are interpreted with no CSE, so an inline expression would
+    # re-tokenize the document once per short item.
+    norm_text = F.concat(
+        F.lit(" "), F.concat_ws(" ", lower_tokens(F.col(text_col))), F.lit(" ")
+    )
+    staged = df.select(F.col(id_col), norm_text.alias("_nt"))
     short_hits = F.size(
         F.filter(
-            F.array(*[F.lit(s) for s in shorts]),
-            lambda s: F.contains(norm_text, s),
+            F.array(*[F.lit(f" {s} ") for s in shorts]),
+            lambda s: F.contains(F.col("_nt"), s),
         )
     ).cast("long")
-    base = df.select(F.col(id_col), short_hits.alias("_short")).filter(
+    base = staged.select(F.col(id_col), short_hits.alias("_short")).filter(
         F.col("_short") > 0
     )
     return (
