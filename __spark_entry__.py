@@ -963,7 +963,18 @@ def q_ivf_topk(spark, sf):
                 shutil.rmtree(tmp, ignore_errors=True)  # valid winner published
             else:
                 shutil.rmtree(path, ignore_errors=True)  # stale partial dir
-                os.rename(tmp, path)
+                try:
+                    os.rename(tmp, path)
+                except OSError:
+                    # two processes can both see the stale dir, both rmtree,
+                    # and race the re-publish — the loser lands here.  Accept
+                    # the winner's copy iff it is a COMPLETE (_SUCCESS)
+                    # publish (contents are deterministic, so any winner is
+                    # equivalent); otherwise surface the error.
+                    if os.path.exists(os.path.join(path, "_SUCCESS")):
+                        shutil.rmtree(tmp, ignore_errors=True)
+                    else:
+                        raise
         np.save(tmp + ".centroids.npy", cents)
         os.replace(tmp + ".centroids.npy", cent_path)  # atomic, content identical
     out = ivf_topk_indexed(spark, path, cents, q, k=10, n_probe=8)
@@ -1418,8 +1429,8 @@ def oracle_sql() -> dict[str, str]:
       SELECT partition, pn, p, q, (p + q) / 2 AS m FROM e
     )
     SELECT partition, CAST(MAX(pn) AS BIGINT) AS n,
-           round(SUM(0.5 * (CASE WHEN p > 0 THEN p * LN(p / m) ELSE 0 END)
-                   + 0.5 * (CASE WHEN q > 0 THEN q * LN(q / m) ELSE 0 END)), 6) AS jsd
+           FLOOR(SUM(0.5 * (CASE WHEN p > 0 THEN p * LN(p / m) ELSE 0 END)
+                   + 0.5 * (CASE WHEN q > 0 THEN q * LN(q / m) ELSE 0 END)) * 1e6 + 0.5) / 1e6 AS jsd
     FROM e2 GROUP BY partition
     """
 

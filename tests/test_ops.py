@@ -855,12 +855,24 @@ def test_range_join_left_point_id_col_deterministic(spark):
     assert with_id.select("pid").distinct().count() == 8
 
 
-def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
-    """checkpoint_dir variant: same labels as localCheckpoint, checkpoint
-    files actually land in the fault-tolerant dir, and the convergence
-    bookkeeping column is not leaked into the result."""
+def _rdd_snapshot_dirs(ckdir):
     import os
 
+    return [
+        os.path.join(r, d)
+        for r, dirs, _ in os.walk(ckdir)
+        for d in dirs
+        if d.startswith("rdd-")
+    ]
+
+
+def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir variant: same labels as localCheckpoint, checkpoint
+    files actually land in the fault-tolerant dir, the convergence
+    bookkeeping column is not leaked into the result, edges are truncated
+    (so executor loss can't recompute the pairs lineage), and superseded
+    rounds' snapshots are auto-deleted — only the final frame's snapshot
+    remains, and it still serves reads after the cleanup."""
     from validation_engine.dedup import connected_components
 
     pairs = spark.createDataFrame(
@@ -871,7 +883,64 @@ def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
     labels = {r["id"]: r["comp"] for r in out.collect()}
     assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
     assert out.columns == ["id", "comp"]
-    assert any(os.scandir(ckdir)), "reliable checkpoint wrote nothing"
+    # edges + initial labels + ≥2 rounds were each checkpointed, but every
+    # superseded snapshot is deleted on return: exactly the final labels
+    # snapshot survives in the fault-tolerant dir
+    remaining = _rdd_snapshot_dirs(ckdir)
+    assert len(remaining) == 1, remaining
+    # the surviving snapshot is the one the returned frame reads — the
+    # cleanup must not have touched it
+    assert {r["id"]: r["comp"] for r in out.collect()} == labels
+    # the truncated-edges guarantee: the returned plan reads checkpointed
+    # blocks only, nothing above an ExistingRDD scan (no pairs lineage)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan and "Join" not in plan
+
+
+def test_connected_components_star_checkpoint_cleanup(spark, tmp_path):
+    """Star algorithm + checkpoint_dir: superseded per-round edge-set
+    snapshots are deleted; the two snapshots the result actually references
+    (node universe + final star edges) survive and serve reads."""
+    from validation_engine.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a int, id_b int"
+    )
+    ckdir = str(tmp_path / "cc_star_ckpt")
+    out = connected_components(pairs, checkpoint_dir=ckdir, algorithm="star")
+    labels = {r["id"]: r["comp"] for r in out.collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+    remaining = _rdd_snapshot_dirs(ckdir)
+    assert len(remaining) == 2, remaining
+    assert {r["id"]: r["comp"] for r in out.collect()} == labels
+
+
+def test_cluster_representatives_no_forced_broadcast(spark):
+    """The drop-list is corpus-proportional (majority-duplicate corpora drop
+    most rows), so cluster_representatives must NOT broadcast-hint the
+    anti-join: with the auto-broadcast threshold off, the plan has to be a
+    shuffled (non-broadcast) anti-join — a forced hint would produce a
+    BroadcastHashJoin regardless of the threshold.  AQE remains free to
+    pick broadcast at runtime when the drop side truly is small."""
+    from validation_engine.dedup import cluster_representatives
+
+    # majority-duplicate corpus: 90 of 100 docs are near-dups of doc 0
+    docs = spark.range(0, 100).select(F.col("id").alias("doc_id"))
+    pairs = spark.range(1, 91).selectExpr("0 AS id_a", "id AS id_b")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        kept = cluster_representatives(docs, pairs, "doc_id")
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan, plan
+        assert "LeftAnti" in plan
+        got = {r["doc_id"] for r in kept.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    assert got == {0} | set(range(91, 100))
 
 
 def test_ivf_query_path_partition_pruned(spark):

@@ -149,34 +149,38 @@ def compare_main(argv) -> int:
 
     preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark("validation-engine-compare", master=args.master)
-    prev_ck, cur_ck = CheckpointManager(args.prev), CheckpointManager(args.cur)
-    stages = args.stage
-    if stages is None:
-        # Hadoop-FS-aware listing: works for s3a://-style roots too (the
-        # session is already up at this point, which remote listing needs)
-        stages = sorted(set(prev_ck.list_stages()) & set(cur_ck.list_stages()))
-        if not stages:
-            print("no common stages under the two checkpoint roots", file=sys.stderr)
-            return 2
-    n_regressed = 0
-    for st in stages:
-        out = compare_runs(
-            prev_ck.read_summary(spark, st),
-            cur_ck.read_summary(spark, st),
-            tolerance=args.tolerance,
-        ).orderBy("stage", "partition")
-        rows = out.collect()
-        for r in rows:
-            mark = "REGRESSED" if r["regressed"] else ("?" if r["regressed"] is None else "ok")
-            print(
-                f"{r['stage']}\t{r['partition']}\t"
-                f"{r['rate_prev']} -> {r['rate_cur']} (delta {r['delta']})\t{mark}"
-            )
-        n_regressed += sum(1 for r in rows if r["regressed"])
-    print(f"regressed partitions: {n_regressed}")
-    if not preexisting:
-        spark.stop()
-    return 1 if n_regressed else 0
+    try:
+        prev_ck, cur_ck = CheckpointManager(args.prev), CheckpointManager(args.cur)
+        stages = args.stage
+        if stages is None:
+            # Hadoop-FS-aware listing: works for s3a://-style roots too (the
+            # session is already up at this point, which remote listing needs)
+            stages = sorted(set(prev_ck.list_stages()) & set(cur_ck.list_stages()))
+            if not stages:
+                print("no common stages under the two checkpoint roots", file=sys.stderr)
+                return 2
+        n_regressed = 0
+        for st in stages:
+            out = compare_runs(
+                prev_ck.read_summary(spark, st),
+                cur_ck.read_summary(spark, st),
+                tolerance=args.tolerance,
+            ).orderBy("stage", "partition")
+            rows = out.collect()
+            for r in rows:
+                mark = "REGRESSED" if r["regressed"] else ("?" if r["regressed"] is None else "ok")
+                print(
+                    f"{r['stage']}\t{r['partition']}\t"
+                    f"{r['rate_prev']} -> {r['rate_cur']} (delta {r['delta']})\t{mark}"
+                )
+            n_regressed += sum(1 for r in rows if r["regressed"])
+        print(f"regressed partitions: {n_regressed}")
+        return 1 if n_regressed else 0
+    finally:
+        # every exit path (including the early 'no common stages' return)
+        # must release the session this subcommand itself created
+        if not preexisting:
+            spark.stop()
 
 
 def main(argv=None) -> int:

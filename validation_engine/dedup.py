@@ -474,7 +474,7 @@ def embedding_near_duplicates(
 
 
 def _star_components(
-    edges: DataFrame, max_iter: int, _truncate
+    edges: DataFrame, max_iter: int, _truncate, _release=lambda df: None
 ) -> DataFrame:
     """Alternating large-star/small-star (Kiveris et al., "Connected
     Components in MapReduce and Beyond"): converges in O(log² n) rounds on
@@ -534,13 +534,15 @@ def _star_components(
     prev_sig = None
     nbrs = cur
     for _round in range(max_iter):
-        nbrs = _truncate(small_star(large_star(nbrs)))
+        new_nbrs = _truncate(small_star(large_star(nbrs)))
         # convergence: stable (order-insensitive) signature of the edge set
-        sig = nbrs.agg(
+        sig = new_nbrs.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.xxhash64("u", "v")).alias("h"),
         ).collect()[0]
         sig = (sig["n"], sig["h"])
+        _release(nbrs)  # superseded round's snapshot — new_nbrs is durable
+        nbrs = new_nbrs
         if sig == prev_sig:
             break
         prev_sig = sig
@@ -607,12 +609,52 @@ def connected_components(
     if algorithm not in ("label", "star"):
         raise ValueError("algorithm must be 'label' or 'star'")
 
-    def _truncate(df: DataFrame) -> DataFrame:
-        if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
-
     sc = pairs.sparkSession.sparkContext
+
+    # --- reliable-mode snapshot bookkeeping -------------------------------
+    # Spark never deletes reliable checkpoint files while the application
+    # lives (unless spark.cleaner.referenceTracking.cleanCheckpoints is on,
+    # which is best-effort GC anyway), so an iterative algorithm would leave
+    # one superseded rdd-N snapshot per round on the fault-tolerant store.
+    # Each _truncate records exactly which snapshot dir(s) it created (diff
+    # of the checkpoint root's listing, via the Hadoop FS API so HDFS/S3
+    # roots work); _release deletes a frame's snapshots once a later round
+    # has durably superseded it.  Only the snapshots backing the RETURNED
+    # frame survive — the caller deletes the per-run dir after consuming.
+    def _hfs(path_str):
+        jvm = sc._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path_str)
+        return p.getFileSystem(sc._jsc.hadoopConfiguration()), p
+
+    def _list_snapshots():
+        opt = sc._jsc.sc().getCheckpointDir()
+        if not opt.isDefined():
+            return set()
+        fs, root = _hfs(opt.get())
+        if not fs.exists(root):
+            return set()
+        return {st.getPath().toString() for st in fs.listStatus(root)}
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=True)
+        before = _list_snapshots()
+        out = df.checkpoint(eager=True)
+        out._ve_snapshots = sorted(_list_snapshots() - before)
+        return out
+
+    def _release(df: DataFrame) -> None:
+        for p in getattr(df, "_ve_snapshots", ()):
+            try:
+                fs, hp = _hfs(p)
+                fs.delete(hp, True)
+                logger.debug(
+                    "connected_components: deleted superseded checkpoint "
+                    "snapshot %s", p,
+                )
+            except Exception:  # cleanup is best-effort, never fails the run
+                logger.debug("could not delete checkpoint snapshot %s", p)
+
     prev_ckpt = None
     if checkpoint_dir is not None:
         try:
@@ -627,8 +669,14 @@ def connected_components(
                 pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
                 max_iter,
                 _truncate,
+                _release,
             )
-        edges = (
+        # truncated ONCE up front: every round's join re-reads edges, and
+        # without a checkpoint here an executor loss would recompute the
+        # full (typically LSH-expensive) pairs lineage — in reliable mode
+        # that would leave labels durable while their co-input is not,
+        # defeating the mode's purpose
+        edges = _truncate(
             pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
             .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
             .distinct()
@@ -657,7 +705,9 @@ def connected_components(
             # convergence flag from the frame we just materialized — a pure
             # aggregate over checkpointed blocks, no join against old labels
             changed = new.filter(F.col("comp") != F.col("_old")).count()
+            _release(labels)  # superseded round's snapshot — new is durable
             labels = new.drop("_old")
+            labels._ve_snapshots = getattr(new, "_ve_snapshots", ())
             if changed == 0:
                 break
         else:
@@ -670,6 +720,9 @@ def connected_components(
                 "raise max_iter (rounds needed ≈ graph diameter)",
                 max_iter, changed,
             )
+        # the final labels frame is itself checkpointed — edges' snapshot is
+        # no longer referenced by anything the caller can observe
+        _release(edges)
         return labels
     finally:
         # setCheckpointDir is session-global: restore what the caller had
@@ -682,13 +735,20 @@ def cluster_representatives(
     df: DataFrame, pairs: DataFrame, id_col: str, **cc_kwargs
 ) -> DataFrame:
     """Keep one representative (min id) per near-duplicate component; rows
-    not in any pair pass through untouched.  The anti-join ships only the
-    (small) drop-list against the corpus — single shuffle-free pass when the
-    drop side broadcasts.  ``cc_kwargs`` forward to
-    :func:`connected_components` (``algorithm=``, ``checkpoint_dir=``,
-    ``max_iter=``)."""
+    not in any pair pass through untouched, via an anti-join of the corpus
+    against the drop-list.
+
+    The drop-list is CORPUS-PROPORTIONAL — real near-dup dedup drops
+    20–50% of documents, billions of ids at 10^12-file scale — so it is
+    deliberately NOT broadcast-hinted: a forced broadcast would override
+    Spark's size threshold and OOM the driver/executors exactly when dedup
+    matters most.  The plain equi-anti-join lets AQE pick broadcast at
+    runtime whenever the drop side really is small (its post-shuffle size,
+    not a guess), and otherwise runs as a shuffled hash join on fixed-width
+    ids.  ``cc_kwargs`` forward to :func:`connected_components`
+    (``algorithm=``, ``checkpoint_dir=``, ``max_iter=``)."""
     comps = connected_components(pairs, **cc_kwargs)
     to_drop = comps.filter(F.col("id") != F.col("comp")).select(
         F.col("id").alias(id_col)
     )
-    return df.join(F.broadcast(to_drop), id_col, "left_anti")
+    return df.join(to_drop, id_col, "left_anti")

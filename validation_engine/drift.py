@@ -417,8 +417,12 @@ def js_divergence_drift(
             0.5 * xlx(F.col("p"), F.col("m")) + 0.5 * xlx(F.col("q"), F.col("m")),
         )
     )
+    # same floor-based 6-decimal rounding as wasserstein_drift: Spark's
+    # round() resolves exact half-boundaries via the double's shortest
+    # decimal string, unlike engines that round the raw value — the floor
+    # form is bit-deterministic everywhere given the same input double
     out = e.groupBy("partition").agg(
         F.max("pn").cast("bigint").alias("n"),
-        F.round(F.sum("term"), 6).alias("jsd"),
+        (F.floor(F.sum("term") * 1e6 + 0.5) / F.lit(1e6)).alias("jsd"),
     )
     return out.withColumn("drifted", F.col("jsd") > threshold)

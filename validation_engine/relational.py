@@ -125,7 +125,10 @@ def range_join(
     (shuffle fetch order and task retries can renumber rows between
     evaluations, silently dropping or duplicating points), so: pass
     ``point_id_col`` naming a unique key column when you have one — zero
-    extra cost, fully deterministic — else the id-stamped frame is pinned
+    extra cost, fully deterministic (the recovery anti-join is null-safe,
+    so a single NULL id is handled exactly; several NULLs violate the
+    uniqueness requirement like any duplicate) — else the id-stamped frame
+    is pinned
     with ``localCheckpoint`` so both branches read the same materialized
     rows (costs one materialization of the points projection).
     """
@@ -159,8 +162,15 @@ def range_join(
     if how == "inner":
         return j
     matched = j
+    # NULL-SAFE anti-join: with a user-supplied ``point_id_col``, a matched
+    # point whose id is NULL would never equal itself under plain equality
+    # (NULL != NULL) and would be re-emitted as a null-padded row — <=>
+    # keeps the single-null case exact (multiple nulls violate the
+    # documented uniqueness contract, same as any duplicate id would)
     missing = pb.drop("_bkt").join(
-        matched.select("_rj_id"), ["_rj_id"], "left_anti"
+        matched.select(F.col("_rj_id").alias("_rj_id_m")),
+        F.col("_rj_id").eqNullSafe(F.col("_rj_id_m")),
+        "left_anti",
     )
     for c in matched.columns:
         if c not in missing.columns:

@@ -148,12 +148,23 @@ def stateful_dedup(
                 if first and not emitted:
                     yield pdf.iloc[[0]]
                     emitted = True
-        if event_time_col is not None and max_ts is not None:
-            # re-arm eviction at last-seen event time + TTL; a timeout
-            # timestamp at or below the current watermark is illegal (it
-            # would already have fired), so clamp just past it
-            ts = int(pd.Timestamp(max_ts).value // 1_000_000) + ttl_ms
-            state.setTimeoutTimestamp(max(ts, state.getCurrentWatermarkMs() + 1))
+        if event_time_col is not None:
+            if max_ts is not None:
+                # re-arm eviction at last-seen event time + TTL; a timeout
+                # timestamp at or below the current watermark is illegal (it
+                # would already have fired), so clamp just past it
+                ts = int(pd.Timestamp(max_ts).value // 1_000_000) + ttl_ms
+                state.setTimeoutTimestamp(max(ts, state.getCurrentWatermarkMs() + 1))
+            else:
+                # every row in this batch had a NULL event time — Spark has
+                # STILL cleared the key's pending timeout for this
+                # invocation, so skipping the re-arm would make the key's
+                # state immortal.  Re-arm from the current watermark: the
+                # best available event-time anchor when the batch carries
+                # none.
+                state.setTimeoutTimestamp(
+                    state.getCurrentWatermarkMs() + max(ttl_ms, 1)
+                )
 
     return stream_df.groupBy(*[F.col(k) for k in keys]).applyInPandasWithState(
         dedup_fn,
