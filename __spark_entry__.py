@@ -371,22 +371,28 @@ def q18_large_orders(spark, sf):
     )
 
 
-def q19_disjunctive_revenue(spark, sf):
-    """TPC-H Q19 shape: disjunctive multi-clause predicate over a join."""
-    part = _t(spark, sf, "part")
-    li = _t(spark, sf, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,2)")
-    rev = (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,6)")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-    cond = (
-        ((F.col("p_brand") == "Brand#1") & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20) & (F.col("p_size") <= 10))
-        | ((F.col("p_brand") == "Brand#2") & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30) & (F.col("p_size") <= 20))
-        | ((F.col("p_brand") == "Brand#3") & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40) & (F.col("p_size") <= 30))
+def q_decontaminate_documents(spark, sf):
+    """Benchmark decontamination over the documents corpus, BOTH paths
+    exercised: a 'benchmark' is synthesized deterministically from the
+    corpus itself — full texts of every 97th doc (≥13 tokens → the 13-gram
+    broadcast semi-join path) plus the first-8-token prefixes of every
+    101st doc (<13 tokens → the anchored whole-item containment path).
+    Output is (doc_id, n_contaminated_ngrams): the internal n-gram hash
+    never surfaces, so the DuckDB twin joins on the n-gram STRINGS
+    directly — same tokenization (split(trim(lower(.)), '\\s+')), same
+    per-doc DISTINCT shingles, same token-boundary anchoring."""
+    _ensure_pyfiles(spark)
+    from validation_engine.text import decontaminate, lower_tokens
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("text").alias("bench_text")
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 101 == 0).select(
+            F.concat_ws(" ", F.slice(lower_tokens("text"), 1, 8)).alias("bench_text")
+        )
     )
-    return j.filter(cond).agg(
-        F.sum(rev).cast("double").alias("revenue"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
+    return decontaminate(docs, "doc_id", "text", bench, "bench_text", n=13)
 
 
 def q_events_pivot(spark, sf):
@@ -999,6 +1005,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     cube_lineitem + timeseries_rollup_events' grouping sets) →
     wasserstein_drift_by_source, and q12_shipmode_priority (conditional
     agg subsumed by events_pivot/funnel) → js_divergence_drift_by_source.
+    Round 5 swapped q19_disjunctive_revenue (disjunctive-predicate coverage
+    subsumed by q6_forecast_revenue/q14_promo_share) →
+    decontaminate_documents, giving the benchmark-decontamination operator
+    a full rows+schema+hash oracle row.
     """
     return {
         "element_report_documents": q_element_report_documents,
@@ -1019,7 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wasserstein_drift_by_source": q_wasserstein_drift_by_source,
         "q14_promo_share": q14_promo_share,
         "q18_large_orders": q18_large_orders,
-        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "decontaminate_documents": q_decontaminate_documents,
         "events_pivot": q_events_pivot,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "inverted_index_sample": q_inverted_index_sample,
@@ -1284,12 +1294,48 @@ def oracle_sql() -> dict[str, str]:
     ) b ON o.o_orderkey = b.l_orderkey
     """
 
-    sql["q19_disjunctive_revenue"] = f"""
-    SELECT CAST(SUM({_rev}) AS DOUBLE) AS revenue, COUNT(*) AS n_rows
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 20 AND p.p_size <= 10)
-       OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 30 AND p.p_size <= 20)
-       OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 40 AND p.p_size <= 30)
+    # decontamination twin: 13-gram overlap on n-gram STRINGS (the engine's
+    # xxhash64 is internal — output is hash-free), same tokenization and
+    # per-doc DISTINCT shingles, plus the anchored short-item containment
+    # path (' item ' inside ' text ', token-boundary-safe)
+    sql["decontaminate_documents"] = r"""
+    WITH dt AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    bench AS (
+      SELECT t AS bt FROM dt WHERE doc_id % 97 = 0
+      UNION ALL
+      SELECT regexp_split_to_array(trim(array_to_string(t[1:8], ' ')), '\s+') AS bt
+      FROM dt WHERE doc_id % 101 = 0
+    ),
+    bg AS (
+      SELECT DISTINCT array_to_string(bt[i.i : i.i + 12], ' ') AS g
+      FROM (SELECT bt FROM bench WHERE len(bt) >= 13) b,
+           LATERAL (SELECT UNNEST(generate_series(1, len(bt) - 12)) AS i) i
+    ),
+    dg AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i.i : i.i + 12], ' ') AS g
+      FROM (SELECT doc_id, t FROM dt WHERE len(t) >= 13) d,
+           LATERAL (SELECT UNNEST(generate_series(1, len(t) - 12)) AS i) i
+    ),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS ng FROM dg JOIN bg USING (g) GROUP BY doc_id
+    ),
+    shorts AS (
+      SELECT DISTINCT array_to_string(bt, ' ') AS s
+      FROM bench WHERE len(bt) < 13 AND trim(array_to_string(bt, ' ')) <> ''
+    ),
+    sh AS (
+      SELECT d.doc_id, COUNT(*) AS ns
+      FROM dt d JOIN shorts s
+        ON contains(' ' || array_to_string(d.t, ' ') || ' ', ' ' || s.s || ' ')
+      GROUP BY d.doc_id
+    )
+    SELECT COALESCE(h.doc_id, s.doc_id) AS doc_id,
+           CAST(COALESCE(h.ng, 0) + COALESCE(s.ns, 0) AS BIGINT) AS n_contaminated_ngrams
+    FROM hits h FULL OUTER JOIN sh s ON h.doc_id = s.doc_id
+    WHERE COALESCE(h.ng, 0) + COALESCE(s.ns, 0) >= 1
     """
 
     sql["events_pivot"] = """
