@@ -7,6 +7,18 @@ constraint suite (element checks + uniqueness + referential + stats + drift)
 on a deterministic synthesized code-file corpus sized to the scale factor,
 plus representative join/agg/dedup/similarity queries on the driver testdata.
 
+Contention-proofing: this box has shown 2x wall-time inflation from
+neighbor load (stray JVMs from killed sessions — BENCH/BASELINE.md hardware
+note), which a best-of-2 cannot reliably absorb.  Every timed attempt
+therefore samples /proc/stat AND the bench's own process subtree
+(driver + Spark JVM + Arrow workers): busy cores NOT attributable to the
+bench itself are "foreign" load.  Attempts repeat (up to
+BENCH_ATTEMPTS + BENCH_MAX_EXTRA_ATTEMPTS) until at least one CLEAN attempt
+(foreign <= BENCH_FOREIGN_CLEAN_CORES, steal <= 0.2) exists; the best clean
+attempt is recorded.  If no clean attempt was achievable the query's
+telemetry carries contended=true (and the top level flags it), so a
+regression in the JSON can be told apart from host noise.
+
 Scaling-efficiency protocol (BASELINE.md): run this same script twice,
 SPARK_GRAFT_CPUS=8 and =32; see BENCH/BASELINE.md.
 """
@@ -25,22 +37,104 @@ import pyspark.sql.functions as F  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# host-contention hygiene: every timed query runs BENCH_ATTEMPTS times on a
-# FRESH plan (new lineage per attempt — re-collecting the same DataFrame
-# would reuse shuffle outputs and report ~0) and the best is recorded, so
-# round-over-round comparisons measure the engine, not neighbor load
+# every timed query runs on a FRESH plan per attempt (new lineage —
+# re-collecting the same DataFrame would reuse shuffle outputs and report
+# ~0) and the best CLEAN attempt is recorded
 ATTEMPTS = int(os.environ.get("BENCH_ATTEMPTS", "2"))
+MAX_EXTRA = int(os.environ.get("BENCH_MAX_EXTRA_ATTEMPTS", "3"))
+FOREIGN_CLEAN_CORES = float(os.environ.get("BENCH_FOREIGN_CLEAN_CORES", "2.0"))
+STEAL_CLEAN_CORES = 0.2
+
+TELEMETRY: dict = {}
 
 
-def best_of(make_run, n: int = 0) -> float:
-    """make_run: zero-arg callable building AND executing a fresh plan."""
-    best = None
-    for _ in range(n or ATTEMPTS):
+def _cpu_counters():
+    """(busy+idle jiffies, idle jiffies, steal jiffies) from /proc/stat."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:9]
+    return sum(int(x) for x in parts[:7]), int(parts[3]), int(parts[7])
+
+
+def _own_jiffies() -> int:
+    """CPU jiffies consumed by THIS process and every live descendant
+    (the Spark JVM, its pyspark/Arrow worker daemons) plus reaped children
+    (cutime/cstime).  What /proc/stat busy shows beyond this is foreign
+    load — the signal that separates an engine regression from a noisy
+    neighbor."""
+    ppids: dict = {}
+    stats: dict = {}
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                raw = f.read()
+        except OSError:
+            continue
+        # comm may contain spaces/parens: parse after the LAST ')'
+        rest = raw.rsplit(")", 1)[-1].split()
+        # rest[0]=state rest[1]=ppid ... rest[11..14]=utime stime cutime cstime
+        try:
+            ppids[int(p)] = int(rest[1])
+            stats[int(p)] = sum(int(x) for x in rest[11:15])
+        except (IndexError, ValueError):
+            continue
+    mine = {os.getpid()}
+    grew = True
+    while grew:
+        grew = False
+        for pid, pp in ppids.items():
+            if pp in mine and pid not in mine:
+                mine.add(pid)
+                grew = True
+    return sum(stats.get(pid, 0) for pid in mine)
+
+
+def timed(name: str, make_run) -> float:
+    """Best CLEAN attempt for one query; telemetry lands in TELEMETRY[name].
+
+    make_run: zero-arg callable building AND executing a fresh plan."""
+    attempts = []
+    while True:
         t0 = time.time()
+        c0, i0, s0 = _cpu_counters()
+        o0 = _own_jiffies()
         make_run()
         dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
-    return round(best, 3)
+        c1, i1, s1 = _cpu_counters()
+        o1 = _own_jiffies()
+        busy = ((c1 - c0) - (i1 - i0)) / 100 / dt
+        steal = (s1 - s0) / 100 / dt
+        own = (o1 - o0) / 100 / dt
+        attempts.append(
+            {
+                "sec": dt,
+                "busy": busy,
+                "own": own,
+                "foreign": max(busy - own, 0.0),
+                "steal": steal,
+            }
+        )
+        clean = [
+            a
+            for a in attempts
+            if a["foreign"] <= FOREIGN_CLEAN_CORES and a["steal"] <= STEAL_CLEAN_CORES
+        ]
+        if len(attempts) >= ATTEMPTS and clean:
+            break
+        if len(attempts) >= ATTEMPTS + MAX_EXTRA:
+            break
+    pool = clean or attempts
+    best = min(pool, key=lambda a: a["sec"])
+    TELEMETRY[name] = {
+        "attempts": len(attempts),
+        "busy_cores": round(best["busy"], 1),
+        "own_cores": round(best["own"], 1),
+        "foreign_cores": round(best["foreign"], 2),
+        "steal_cores": round(best["steal"], 2),
+        "contended": not clean,
+    }
+    return round(best["sec"], 3)
 
 
 def _sf() -> float:
@@ -97,35 +191,64 @@ def bench_validate_suite(spark, n_files: int) -> dict:
     files = files.persist()
     n = files.count()
 
-    best = None
-    results = None
-    for _ in range(ATTEMPTS):
+    results: list = []
+
+    def run_once():
         ckpt = tempfile.mkdtemp(prefix="ve_bench_ckpt_")
-        t0 = time.time()
-        results = run_suite(files, ckpt)
-        wall = time.time() - t0
-        best = wall if best is None else min(best, wall)
+        results.append(run_suite(files, ckpt))
+
+    best = timed("validate_suite", run_once)
     # per-partition commit granularity (north_rule): 8 atomically-committed
     # chunks must cost ≈ one commit, NOT 8 corpus scans (single-scan
     # partitionBy write, round 3)
-    best8 = None
-    for _ in range(ATTEMPTS):
-        ckpt = tempfile.mkdtemp(prefix="ve_bench_ckpt8_")
-        t0 = time.time()
-        run_suite(files, ckpt, n_chunks=8)
-        wall = time.time() - t0
-        best8 = wall if best8 is None else min(best8, wall)
-    n_invalid, n_uniq_viol, n_ref_viol, _sink = results
+    best8 = timed(
+        "validate_suite_8chunks",
+        lambda: run_suite(files, tempfile.mkdtemp(prefix="ve_bench_ckpt8_"), n_chunks=8),
+    )
+    n_invalid, n_uniq_viol, n_ref_viol, _sink = results[-1]
     files.unpersist()
     return {
         "n_rows": n,
-        "sec": round(best, 3),
+        "sec": best,
         "rows_per_sec": round(n / best, 1),
-        "sec_8chunk_commits": round(best8, 3),
+        "sec_8chunk_commits": best8,
         "n_invalid": n_invalid,
         "n_uniqueness_violations": n_uniq_viol,
         "n_referential_violations": n_ref_viol,
     }
+
+
+def bench_ivf(spark, queries: dict) -> None:
+    """IVF split into its two cost regimes: the amortized one-time
+    build+partitioned-write, and the steady-state warm probe against the
+    on-disk index (PartitionFilters-pruned scan) — the cost a 10^12-vector
+    deployment pays per query."""
+    import shutil
+
+    from validation_engine.similarity import (
+        ivf_build, ivf_topk_indexed, ivf_write_index,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    built: list = []
+
+    def build_once():
+        d = tempfile.mkdtemp(prefix="ve_bench_ivf_")
+        shutil.rmtree(d)  # ivf_write_index wants to create the dir
+        cents = ivf_build(emb, n_centroids=8)
+        ivf_write_index(emb, cents, d, files_per_cell=4)
+        built.append((d, cents))
+
+    queries["ivf_build_write"] = timed("ivf_build_write", build_once)
+    d, cents = built[-1]
+    # exhaustive probe (n_probe == n_centroids) — the oracle-equal shape
+    queries["ivf_probe_warm"] = timed(
+        "ivf_probe_warm",
+        lambda: ivf_topk_indexed(spark, d, cents, qvec, k=10, n_probe=8).count(),
+    )
+    for dd, _ in built:
+        shutil.rmtree(dd, ignore_errors=True)
 
 
 def main() -> None:
@@ -159,25 +282,28 @@ def main() -> None:
                 F.col("content").alias("text"))
         .persist()
     )
-    n_docs = docs.count()
-    queries["dedup_exact_corpus"] = best_of(
-        lambda: exact_dedup(docs, "id", "text").count()
+    docs.count()
+    queries["dedup_exact_corpus"] = timed(
+        "dedup_exact_corpus", lambda: exact_dedup(docs, "id", "text").count()
     )
-    queries["dedup_minhash_lsh_corpus"] = best_of(
+    queries["dedup_minhash_lsh_corpus"] = timed(
+        "dedup_minhash_lsh_corpus",
         lambda: minhash_lsh_candidates(
             docs, "id", "text", k=3, n_hashes=16, bands=4, max_band_freq=50
-        ).count()
+        ).count(),
     )
     # round-4 single-scan text ops over the same corpus: BM25 (one scan,
     # zero shuffles) and the unigram-LM quality proxy (one scan, persisted
     # tf frame) — both eager, so the call itself is the measured work
     from validation_engine.text import bm25_topk, unigram_lm_score
 
-    queries["bm25_topk_corpus"] = best_of(
-        lambda: bm25_topk(docs, "id", "text", "def main return", k=10).count()
+    queries["bm25_topk_corpus"] = timed(
+        "bm25_topk_corpus",
+        lambda: bm25_topk(docs, "id", "text", "def main return", k=10).count(),
     )
-    queries["unigram_lm_corpus"] = best_of(
-        lambda: unigram_lm_score(docs, "id", "text", vocab_size=50_000).count()
+    queries["unigram_lm_corpus"] = timed(
+        "unigram_lm_corpus",
+        lambda: unigram_lm_score(docs, "id", "text", vocab_size=50_000).count(),
     )
     docs.unpersist()
 
@@ -187,9 +313,12 @@ def main() -> None:
         "q1_pricing_summary", "q3_top_orders", "q5_revenue_by_nation",
         "uniqueness_lineitem", "timeseries_rollup_events", "window_event_ranks",
         "token_histogram_top", "minhash_lsh_pairs", "langid_by_lang",
-        "chi2_drift_by_source", "ivf_topk", "simhash_documents",
+        "chi2_drift_by_source", "simhash_documents",
     ):
-        queries[name] = best_of(lambda: qs[name](spark, SF_DIR).count())
+        queries[name] = timed(name, lambda name=name: qs[name](spark, SF_DIR).count())
+
+    # IVF: build vs steady-state probe as SEPARATE rows (round-5)
+    bench_ivf(spark, queries)
 
     total = round(sum(queries.values()), 3)
     print(
@@ -204,6 +333,8 @@ def main() -> None:
                 "suite_rows": suite["n_rows"],
                 "cpus": CPUS,
                 "attempts": ATTEMPTS,
+                "telemetry": TELEMETRY,
+                "contended": any(t["contended"] for t in TELEMETRY.values()),
             }
         )
     )
