@@ -1,0 +1,93 @@
+"""10×-data anchor for the TEXT/DEDUP ops (VERDICT round-4 #6): run
+minhash-LSH candidate generation, BM25 top-k, and the unigram-LM quality
+score on a ~2M-doc synthesized corpus (10× the sf0.1 bench's 200k docs)
+and record rows/s next to the 200k-doc point.  These are the operators a
+100 TB pretraining-data user runs longest; if the single-scan /
+bucketed-shuffle claims hold, rows/s should be near-flat (or better —
+fixed costs amortize) from 200k → 2M docs.
+
+Usage: [SF1_TEXT_ROWS=2000000] python scripts/sf1_text_bench.py
+Writes BENCH/sf1_text_r5.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from validation_engine.session import get_spark  # noqa: E402
+
+ROWS = int(os.environ.get("SF1_TEXT_ROWS", "2000000"))
+SMALL = int(os.environ.get("SF1_TEXT_SMALL_ROWS", "200000"))
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def corpus(spark, n):
+    from validation_engine.datagen import spark_codefiles
+
+    return (
+        spark_codefiles(spark, n, n_dup=min(n // 200, 10_000))
+        .select(
+            F.xxhash64("repo", "path", "commit").alias("id"),
+            F.col("content").alias("text"),
+        )
+        .persist()
+    )
+
+
+def run_ops(spark, docs, n) -> dict:
+    from validation_engine.dedup import minhash_lsh_candidates
+    from validation_engine.text import bm25_topk, unigram_lm_score
+
+    out = {}
+    t0 = time.time()
+    n_pairs = minhash_lsh_candidates(
+        docs, "id", "text", k=3, n_hashes=16, bands=4, max_band_freq=50
+    ).count()
+    dt = time.time() - t0
+    out["minhash_lsh"] = {"sec": round(dt, 2), "rows_per_sec": round(n / dt, 1),
+                          "n_pairs": n_pairs}
+    t0 = time.time()
+    bm25_topk(docs, "id", "text", "def main return", k=10).count()
+    dt = time.time() - t0
+    out["bm25_topk"] = {"sec": round(dt, 2), "rows_per_sec": round(n / dt, 1)}
+    t0 = time.time()
+    unigram_lm_score(docs, "id", "text", vocab_size=50_000).count()
+    dt = time.time() - t0
+    out["unigram_lm"] = {"sec": round(dt, 2), "rows_per_sec": round(n / dt, 1)}
+    return out
+
+
+def main() -> None:
+    spark = get_spark(
+        "ve-sf1-text", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    result = {"cpus": CPUS, "levels": {}}
+    for n in (SMALL, ROWS):
+        docs = corpus(spark, n)
+        n_docs = docs.count()
+        # warm codegen on the big level too: plan shapes are identical, so
+        # the small level's run is the warm-up for the big one
+        result["levels"][str(n_docs)] = run_ops(spark, docs, n_docs)
+        docs.unpersist()
+    small, big = (result["levels"][k] for k in sorted(result["levels"], key=int))
+    result["rows_per_sec_ratio_big_over_small"] = {
+        op: round(big[op]["rows_per_sec"] / small[op]["rows_per_sec"], 2)
+        for op in big
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/sf1_text_r5.json", "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -72,6 +72,55 @@ def test_real_backend_is_stubbed():
         DecodeBackend().decode_image(b"x")
 
 
+def test_pil_backend_fails_fast_without_pillow():
+    """Codec-less environments (this container): constructing the real
+    backend must fail at construction with an actionable message, never as
+    per-row executor exceptions."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed — covered by the real-codec test")
+    except ImportError:
+        pass
+    from validation_engine.multimodal import PILDecodeBackend
+
+    with pytest.raises(ImportError, match="Pillow"):
+        PILDecodeBackend()
+
+
+def test_image_features_with_real_png_codec(spark):
+    """Runs wherever Pillow exists (clusters; skipped in this container):
+    the SAME image_features plan decodes real PNGs through PILDecodeBackend
+    — true dimensions, exact solid-color luma, bounded embeddings — proving
+    the DecodeBackend seam against a real codec with zero plan changes."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from validation_engine.multimodal import PILDecodeBackend, image_features
+
+    def png(color, size):
+        buf = io.BytesIO()
+        Image.new("RGB", size, color).save(buf, "PNG")
+        return bytearray(buf.getvalue())
+
+    df = spark.createDataFrame(
+        [(1, png((255, 0, 0), (6, 4))), (2, png((0, 0, 255), (3, 5)))],
+        "media_id long, data binary",
+    )
+    rows = {r["media_id"]: r for r in
+            image_features(df, backend=PILDecodeBackend()).collect()}
+    assert (rows[1]["width"], rows[1]["height"]) == (6, 4)
+    assert (rows[2]["width"], rows[2]["height"]) == (3, 5)
+    # solid colors ⇒ exact ITU-R 601 luma
+    assert abs(rows[1]["mean_luma"] - 0.299 * 255) < 1e-6
+    assert abs(rows[2]["mean_luma"] - 0.114 * 255) < 1e-6
+    for r in rows.values():
+        assert len(r["embedding"]) == 8
+        assert all(0.0 <= v <= 1.0 for v in r["embedding"])
+
+
 # ---------------- streaming ----------------
 
 
