@@ -591,13 +591,17 @@ def connected_components(
     are NOT recomputable, so an executor loss fails the job); pass
     ``checkpoint_dir`` to use reliable ``checkpoint`` into a fault-tolerant
     store (HDFS/S3) instead — the right setting for long cluster runs.
-    Use a PER-RUN directory and delete it after consuming the result:
-    superseded rounds' snapshots stay on disk for the application's
-    lifetime unless ``spark.cleaner.referenceTracking.cleanCheckpoints``
-    is enabled.  If the session already had a checkpoint dir it is restored
-    on return; with no prior dir the per-run one necessarily stays set
-    (Spark has no unset API — be aware later ``df.checkpoint()`` calls in
-    the same session would write there).
+    The input edge set is truncated too, so an executor loss never
+    recomputes the (typically LSH-expensive) pairs lineage.  Superseded
+    rounds' snapshots are deleted EAGERLY as each new round becomes
+    durable (Spark itself never deletes reliable checkpoints while the
+    application lives), so disk stays bounded at ~2 snapshots during the
+    run and only the snapshot(s) backing the returned frame survive; use a
+    PER-RUN directory and delete it after consuming the result.  If the
+    session already had a checkpoint dir it is restored on return; with no
+    prior dir the per-run one necessarily stays set (Spark has no unset
+    API — be aware later ``df.checkpoint()`` calls in the same session
+    would write there).
 
     ``algorithm='star'`` switches to alternating large-star/small-star
     (:func:`_star_components`) — O(log² n) rounds on ANY graph shape, the
@@ -665,12 +669,17 @@ def connected_components(
         sc.setCheckpointDir(checkpoint_dir)
     try:
         if algorithm == "star":
-            return _star_components(
-                pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
-                max_iter,
-                _truncate,
-                _release,
+            # truncate the pairs projection ONCE: the node universe and the
+            # initial edge set both derive from it — without this the
+            # (typically LSH-expensive) pairs lineage runs twice
+            e0 = _truncate(
+                pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
             )
+            out = _star_components(e0, max_iter, _truncate, _release)
+            # all_nodes and the round-0 edge set are materialized inside —
+            # e0's snapshot is no longer referenced
+            _release(e0)
+            return out
         # truncated ONCE up front: every round's join re-reads edges, and
         # without a checkpoint here an executor loss would recompute the
         # full (typically LSH-expensive) pairs lineage — in reliable mode
