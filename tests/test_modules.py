@@ -419,6 +419,53 @@ def test_stateful_dedup_event_time_ttl_under_fast_replay(spark, tmp_path):
     assert sum(1 for r in rows if r["path"].startswith("W")) == 2
 
 
+def test_stateful_dedup_event_ttl_null_event_time_batch(spark, tmp_path):
+    """A batch whose rows all carry a NULL event time still CLEARS the
+    key's pending timeout (GroupState contract: any invocation with data
+    does) — without the watermark-anchored re-arm the key's state would
+    become immortal and its post-TTL reappearance would be suppressed
+    forever.  Sequence: K at 10:00 → emit; K with ts=NULL → suppressed,
+    timeout re-armed from the watermark; watermark advances past the TTL;
+    K at 12:20 must RE-EMIT against evicted state."""
+    from validation_engine.streaming import stateful_dedup
+
+    src = str(tmp_path / "nett_src")
+    ck = str(tmp_path / "nett_ck")
+    out = str(tmp_path / "nett_out")
+
+    def run_batch(rows):
+        df = spark.createDataFrame(
+            rows, "repo string, path string, commit string, ts timestamp"
+        )
+        df.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        deduped = stateful_dedup(
+            stream, keys=["repo", "path", "commit"],
+            event_time_col="ts", event_ttl_minutes=30,
+        )
+        q = (deduped.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ck).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        q.stop()
+        q.awaitTermination(30)
+
+    from datetime import datetime
+
+    t = lambda h, m: datetime(2026, 1, 1, h, m)  # noqa: E731
+    run_batch([("r", "K", "c", t(10, 0))])
+    run_batch([("r", "K", "c", None)])             # null-ts dup → suppressed,
+    #                                                timeout cleared by Spark,
+    #                                                re-armed from watermark
+    run_batch([("r", "W1", "c", t(12, 0))])        # watermark → ~11:59
+    run_batch([("r", "W2", "c", t(12, 10))])       # fires K's re-armed timeout
+    run_batch([("r", "K", "c", t(12, 20))])        # state evicted → re-emit
+    rows = spark.read.parquet(out).collect()
+    k = sorted(str(r["ts"]) for r in rows if r["path"] == "K")
+    assert len(k) == 2, f"expected eviction + re-emission, got {k}"
+    assert k == ["2026-01-01 10:00:00", "2026-01-01 12:20:00"]
+
+
 def test_catalog_table_write_read_roundtrip(spark):
     """Catalog-identifier branch of write_table/read_dataset against the
     built-in session catalog: createOrReplace (v2, falls back to the v1

@@ -855,6 +855,34 @@ def test_range_join_left_point_id_col_deterministic(spark):
     assert with_id.select("pid").distinct().count() == 8
 
 
+def test_range_join_left_null_point_id_not_duplicated(spark):
+    """A matched point whose supplied id is NULL must not ALSO be emitted
+    as a null-padded row: the left-outer recovery anti-join is null-safe
+    (plain equality would give NULL != NULL, re-emitting the point)."""
+    import pandas as pd
+
+    from validation_engine.relational import range_join
+
+    pts = spark.createDataFrame(pd.DataFrame({
+        "k": ["a", "a", "a"],
+        "t": [1, 5, 100],
+        "pid": pd.array([0, None, 2], dtype="Int64"),  # matched NULL id
+    }))
+    iv = spark.createDataFrame(pd.DataFrame({
+        "k": ["a"], "lo": [0], "hi": [6], "iid": [0],
+    }))
+    out = range_join(
+        pts, iv, ["k"], "t", "lo", "hi",
+        bucket_width=8, how="left", point_id_col="pid",
+    ).collect()
+    # t=1 and t=5 match the interval; t=100 is the only null-padded row
+    assert len(out) == 3
+    by_t = {r["t"]: r for r in out}
+    assert by_t[1]["iid"] == 0
+    assert by_t[5]["iid"] == 0 and by_t[5]["pid"] is None
+    assert by_t[100]["iid"] is None
+
+
 def _rdd_snapshot_dirs(ckdir):
     import os
 
