@@ -419,14 +419,15 @@ def test_stateful_dedup_event_time_ttl_under_fast_replay(spark, tmp_path):
     assert sum(1 for r in rows if r["path"].startswith("W")) == 2
 
 
-def test_stateful_dedup_event_ttl_null_event_time_batch(spark, tmp_path):
-    """A batch whose rows all carry a NULL event time still CLEARS the
-    key's pending timeout (GroupState contract: any invocation with data
-    does) — without the watermark-anchored re-arm the key's state would
-    become immortal and its post-TTL reappearance would be suppressed
-    forever.  Sequence: K at 10:00 → emit; K with ts=NULL → suppressed,
-    timeout re-armed from the watermark; watermark advances past the TTL;
-    K at 12:20 must RE-EMIT against evicted state."""
+def test_stateful_dedup_event_ttl_null_ts_sighting_slides_ttl(spark, tmp_path):
+    """The event-time TTL SLIDES on every sighting — including one whose
+    rows all carry a NULL event time.  Without the watermark-anchored
+    re-arm, a null-ts duplicate would silently keep the PREVIOUS deadline
+    and the demonstrably-live key would be evicted mid-stream, re-emitting
+    its next duplicate.  Sequence: K at 10:00 (deadline 10:30); watermark
+    → 10:20; K with ts=NULL (suppressed, deadline re-armed to wm+TTL =
+    10:50); watermark → 10:44 — past the STALE 10:30 deadline but not the
+    re-armed one; K at 10:47 must still be SUPPRESSED."""
     from validation_engine.streaming import stateful_dedup
 
     src = str(tmp_path / "nett_src")
@@ -453,17 +454,20 @@ def test_stateful_dedup_event_ttl_null_event_time_batch(spark, tmp_path):
     from datetime import datetime
 
     t = lambda h, m: datetime(2026, 1, 1, h, m)  # noqa: E731
-    run_batch([("r", "K", "c", t(10, 0))])
-    run_batch([("r", "K", "c", None)])             # null-ts dup → suppressed,
-    #                                                timeout cleared by Spark,
-    #                                                re-armed from watermark
-    run_batch([("r", "W1", "c", t(12, 0))])        # watermark → ~11:59
-    run_batch([("r", "W2", "c", t(12, 10))])       # fires K's re-armed timeout
-    run_batch([("r", "K", "c", t(12, 20))])        # state evicted → re-emit
+    run_batch([("r", "K", "c", t(10, 0))])    # emit; deadline 10:30
+    run_batch([("r", "W1", "c", t(10, 21))])  # watermark → 10:20
+    run_batch([("r", "K", "c", None)])        # null-ts dup → suppressed;
+    #                                           re-armed to 10:20+30 = 10:50
+    run_batch([("r", "W2", "c", t(10, 45))])  # wm during batch 10:20 → no fire
+    run_batch([("r", "W3", "c", t(10, 46))])  # wm during batch 10:44: past the
+    #                                           STALE 10:30, before 10:50
+    run_batch([("r", "K", "c", t(10, 47))])   # state must still exist
     rows = spark.read.parquet(out).collect()
-    k = sorted(str(r["ts"]) for r in rows if r["path"] == "K")
-    assert len(k) == 2, f"expected eviction + re-emission, got {k}"
-    assert k == ["2026-01-01 10:00:00", "2026-01-01 12:20:00"]
+    k = [str(r["ts"]) for r in rows if r["path"] == "K"]
+    assert k == ["2026-01-01 10:00:00"], (
+        f"null-ts sighting failed to slide the TTL (stale deadline evicted "
+        f"a live key): {k}"
+    )
 
 
 def test_catalog_table_write_read_roundtrip(spark):

@@ -149,19 +149,27 @@ def stateful_dedup(
                     yield pdf.iloc[[0]]
                     emitted = True
         if event_time_col is not None:
-            if max_ts is not None:
+            # NaT guard: pandas' max() over an all-null column returns NaT,
+            # not None — and pd.Timestamp(NaT).value is a huge NEGATIVE
+            # sentinel, so without this check the clamp below would arm the
+            # timeout at watermark+1ms and a null-ts duplicate would
+            # collapse the key's TTL to zero (near-immediate eviction)
+            if max_ts is not None and not pd.isna(max_ts):
                 # re-arm eviction at last-seen event time + TTL; a timeout
                 # timestamp at or below the current watermark is illegal (it
                 # would already have fired), so clamp just past it
                 ts = int(pd.Timestamp(max_ts).value // 1_000_000) + ttl_ms
                 state.setTimeoutTimestamp(max(ts, state.getCurrentWatermarkMs() + 1))
             else:
-                # every row in this batch had a NULL event time — Spark has
-                # STILL cleared the key's pending timeout for this
-                # invocation, so skipping the re-arm would make the key's
-                # state immortal.  Re-arm from the current watermark: the
-                # best available event-time anchor when the batch carries
-                # none.
+                # every row in this batch had a NULL event time.  The TTL
+                # contract is SLIDING — each sighting re-arms eviction from
+                # that sighting — and a null-ts sighting must not be a
+                # silent exception (the stale deadline from the previous
+                # sighting would evict a key that is demonstrably still
+                # live).  Anchor to the current watermark, the best
+                # available event-time proxy when the batch carries none;
+                # it also guards against GroupState contracts where a data
+                # invocation clears the pending timeout.
                 state.setTimeoutTimestamp(
                     state.getCurrentWatermarkMs() + max(ttl_ms, 1)
                 )
