@@ -187,8 +187,11 @@ def q_uniqueness_lineitem(spark, sf):
 def q_referential_counts(spark, sf):
     """Orphan-count summary across FK relations — one DataFrame plan, zero
     driver-side counts: BOTH lineitem FKs are checked in a single scan
-    (two broadcast left joins + one conditional aggregation) instead of two
-    anti-join count jobs; at 100 TB that halves the fact-table reads."""
+    (two left joins + one conditional aggregation) instead of two anti-join
+    count jobs; at 100 TB that halves the fact-table reads.  Dimension
+    joins carry no broadcast hint: part/supplier/customer grow with SF and
+    cannot broadcast at 10^12-row scale — AQE broadcasts them at runtime
+    from their measured size whenever they fit."""
     li = _t(spark, sf, "lineitem")
     part = _t(spark, sf, "part")
     supp = _t(spark, sf, "supplier")
@@ -196,8 +199,8 @@ def q_referential_counts(spark, sf):
     cust = _t(spark, sf, "customer")
     li_orphans = (
         li.select("l_partkey", "l_suppkey")
-        .join(F.broadcast(part.select("p_partkey")), li.l_partkey == part.p_partkey, "left")
-        .join(F.broadcast(supp.select("s_suppkey")), li.l_suppkey == supp.s_suppkey, "left")
+        .join(part.select("p_partkey"), li.l_partkey == part.p_partkey, "left")
+        .join(supp.select("s_suppkey"), li.l_suppkey == supp.s_suppkey, "left")
         .agg(
             F.count(F.when(F.col("p_partkey").isNull(), 1)).alias("orphan_lineitem_part"),
             F.count(F.when(F.col("s_suppkey").isNull(), 1)).alias("orphan_lineitem_supp"),
@@ -205,7 +208,7 @@ def q_referential_counts(spark, sf):
     )
     ord_orphans = (
         orders.select("o_custkey")
-        .join(F.broadcast(cust.select("c_custkey")), orders.o_custkey == cust.c_custkey, "left")
+        .join(cust.select("c_custkey"), orders.o_custkey == cust.c_custkey, "left")
         .agg(F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("orphan_orders_cust"))
     )
     return li_orphans.crossJoin(ord_orphans)
@@ -275,7 +278,8 @@ def q1_pricing_summary(spark, sf):
 
 
 def q3_top_orders(spark, sf):
-    """TPC-H Q3 shape: 3-way join, revenue top-10 (broadcast dims)."""
+    """TPC-H Q3 shape: 3-way join, revenue top-10.  The customer dim is
+    SF-proportional, so no forced broadcast — AQE picks it when it fits."""
     cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem")
@@ -283,7 +287,7 @@ def q3_top_orders(spark, sf):
     rev = (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,6)")
     j = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
     )
     return (
         j.groupBy("o_orderkey")
@@ -294,7 +298,9 @@ def q3_top_orders(spark, sf):
 
 
 def q5_revenue_by_nation(spark, sf):
-    """TPC-H Q5 shape: 5-way join with broadcast dimension chain."""
+    """TPC-H Q5 shape: 5-way join.  nation/region are FIXED-size (25/5
+    rows at any SF) and keep the broadcast hint; customer scales with SF
+    and is left to AQE."""
     region = _t(spark, sf, "region")
     nation = _t(spark, sf, "nation")
     cust = _t(spark, sf, "customer")
@@ -304,7 +310,7 @@ def q5_revenue_by_nation(spark, sf):
     rev = (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,6)")
     j = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
@@ -325,7 +331,7 @@ def q10_returned_revenue(spark, sf):
     dec = lambda c: F.col(c).cast("decimal(18,2)")
     rev = (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,6)")
     j = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        cust, orders.o_custkey == cust.c_custkey
     )
     return (
         j.groupBy("c_custkey", "c_name")
@@ -341,7 +347,7 @@ def q14_promo_share(spark, sf):
     li = _t(spark, sf, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
     rev = (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,6)")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     promo = F.col("p_type").startswith("PROMO")
     agg = j.agg(
         F.sum(F.when(promo, rev).otherwise(F.lit(0).cast("decimal(28,6)"))).alias("promo"),

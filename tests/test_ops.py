@@ -943,6 +943,48 @@ def test_connected_components_star_checkpoint_cleanup(spark, tmp_path):
     assert {r["id"]: r["comp"] for r in out.collect()} == labels
 
 
+def test_violation_joinbacks_no_forced_broadcast(spark):
+    """violations_to_verdicts and referential_violations (default) must not
+    broadcast-hint their join-back/dimension sides: violations are
+    corpus-proportional on a bad dataset and a 10^12-file key dimension is
+    GBs — with the auto-broadcast threshold off, both plans have to be
+    non-broadcast joins (a forced hint would produce a BroadcastHashJoin
+    regardless); broadcast_dim=True still force-hints for callers with a
+    known-bounded dimension."""
+    from validation_engine.checks import referential_violations, violations_to_verdicts
+
+    df = spark.range(0, 50).selectExpr(
+        "concat('r', id % 5) AS repo", "concat('p', id) AS path",
+        "'c' AS commit", "id AS fk",
+    )
+    dim = spark.range(0, 30).selectExpr("id AS pk")
+    viol = df.filter("fk >= 40").selectExpr(
+        "repo", "path", "commit", "'chk' AS check_id",
+        "'bad row' AS reason", "'s' AS stage",
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        rep = violations_to_verdicts(df, viol)
+        plan = rep._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan, plan
+        orphans = referential_violations(df, dim, fk=["fk"], pk=["pk"])
+        plan = orphans._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan, plan
+        assert "LeftAnti" in plan
+        forced = referential_violations(df, dim, fk=["fk"], pk=["pk"], broadcast_dim=True)
+        assert "BroadcastExchange" in forced._jdf.queryExecution().executedPlan().toString()
+        n_invalid = rep.filter("NOT is_valid").count()
+        n_orphans = orphans.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    assert n_invalid == 10
+    assert n_orphans == 20
+
+
 def test_cluster_representatives_no_forced_broadcast(spark):
     """The drop-list is corpus-proportional (majority-duplicate corpora drop
     most rows), so cluster_representatives must NOT broadcast-hint the

@@ -402,14 +402,18 @@ def referential_violations(
     keys: Sequence[str] = DEFAULT_KEYS,
     stage: str = "referential",
     check_id: Optional[str] = None,
-    broadcast_dim: bool = True,
+    broadcast_dim: Optional[bool] = None,
 ) -> DataFrame:
     """Referential integrity via LEFT ANTI join (north_star; reference
     analogue is the inconsistent-index drop, `task.py:529-537`, which we
     report instead of silently dropping).
 
-    ``broadcast_dim=True`` hints the (usually small) distinct key dimension
-    for a broadcast hash join — no shuffle of the fact side.
+    ``broadcast_dim``: ``None`` (default) leaves the join strategy to
+    Spark/AQE — the dimension is usually small and gets broadcast at
+    runtime from its MEASURED size, but at 10^12-file scale a key dimension
+    (e.g. every distinct repo) can be GBs, where a forced hint would OOM;
+    ``True`` force-hints broadcast for callers who know their dimension is
+    bounded.
     """
     pk = list(pk or fk)
     fk = list(fk)
@@ -439,12 +443,17 @@ def violations_to_verdicts(
     """Join set-level violations back onto the dataset as a report
     (reference: SetValidationTask mutates the frame in place,
     `task.py:683-711`; we derive verdicts with a left join + aggregation of
-    reasons).  Violations are usually tiny relative to the dataset → Spark/AQE
-    picks a broadcast join; we hint it explicitly."""
+    reasons).
+
+    Deliberately NOT broadcast-hinted: violations are usually tiny and AQE
+    broadcasts them at runtime from their MEASURED post-shuffle size — but
+    on a BAD dataset (the case a validation engine exists for) they are
+    corpus-proportional, and a forced hint would override Spark's size
+    threshold and OOM the driver exactly when validation matters most."""
     agg = violations.groupBy(*keys).agg(
         F.concat_ws("; ", F.collect_list("reason")).alias("_reasons")
     )
-    joined = df.join(F.broadcast(agg), on=list(keys), how="left")
+    joined = df.join(agg, on=list(keys), how="left")
     return (
         joined.withColumn("is_valid", F.col("_reasons").isNull())
         .withColumn(
