@@ -14,8 +14,9 @@ therefore samples /proc/stat AND the bench's own process subtree
 (driver + Spark JVM + Arrow workers): busy cores NOT attributable to the
 bench itself are "foreign" load.  Attempts repeat (up to
 BENCH_ATTEMPTS + BENCH_MAX_EXTRA_ATTEMPTS) until at least one CLEAN attempt
-(foreign <= BENCH_FOREIGN_CLEAN_CORES, steal <= 0.2) exists; the best clean
-attempt is recorded.  If no clean attempt was achievable the query's
+exists (foreign <= BENCH_FOREIGN_CLEAN_CORES, default 2.0; steal <=
+BENCH_STEAL_CLEAN_CORES, default max(0.25, 0.03 * CPUS) — ~1 core of 32 is
+a ~3% wall inflation); the best clean attempt is recorded.  If no clean attempt was achievable the query's
 telemetry carries contended=true (and the top level flags it), so a
 regression in the JSON can be told apart from host noise.
 
@@ -53,10 +54,15 @@ TELEMETRY: dict = {}
 
 
 def _cpu_counters():
-    """(busy+idle jiffies, idle jiffies, steal jiffies) from /proc/stat."""
+    """(total, idle-like, steal) jiffies from /proc/stat.  iowait counts as
+    IDLE here: iowait/irq/softirq and kernel writeback never accrue to any
+    process's utime/stime, so counting them busy would misattribute the
+    bench's own parquet writes as FOREIGN load and false-flag a quiet
+    host.  (irq/softirq are excluded from total for the same reason.)"""
     with open("/proc/stat") as f:
-        parts = f.readline().split()[1:9]
-    return sum(int(x) for x in parts[:7]), int(parts[3]), int(parts[7])
+        parts = [int(x) for x in f.readline().split()[1:9]]
+    user, nice, system, idle, iowait, irq, softirq, steal = parts
+    return user + nice + system + idle + iowait, idle + iowait, steal
 
 
 def _own_jiffies() -> int:

@@ -37,11 +37,15 @@ LEVELS = [int(x) for x in os.environ.get("SCALING_LEVELS", "2,8,32").split(",")]
 
 
 def cpu_total():
-    """(busy+idle jiffies, idle jiffies, steal jiffies) — steal reveals
-    hypervisor contention, the main noise source for low-thread probes."""
+    """(total, idle-like, steal jiffies) — steal reveals hypervisor
+    contention, the main noise source for low-thread probes.  iowait
+    counts as idle (round 5): it is time a core spent NOT executing, and
+    counting it busy inflates busy_cores with the probe's own parquet
+    writeback."""
     with open("/proc/stat") as f:
-        parts = f.readline().split()[1:9]
-    return sum(int(x) for x in parts[:7]), int(parts[3]), int(parts[7])
+        parts = [int(x) for x in f.readline().split()[1:9]]
+    user, nice, system, idle, iowait, irq, softirq, steal = parts
+    return user + nice + system + idle + iowait, idle + iowait, steal
 
 
 def suite_plan(spark, n, cpus):

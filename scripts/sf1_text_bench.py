@@ -77,11 +77,13 @@ def main() -> None:
         # the small level's run is the warm-up for the big one
         result["levels"][str(n_docs)] = run_ops(spark, docs, n_docs)
         docs.unpersist()
-    small, big = (result["levels"][k] for k in sorted(result["levels"], key=int))
-    result["rows_per_sec_ratio_big_over_small"] = {
-        op: round(big[op]["rows_per_sec"] / small[op]["rows_per_sec"], 2)
-        for op in big
-    }
+    level_keys = sorted(result["levels"], key=int)
+    if len(level_keys) == 2:  # equal SMALL/ROWS → one level, no ratio
+        small, big = (result["levels"][k] for k in level_keys)
+        result["rows_per_sec_ratio_big_over_small"] = {
+            op: round(big[op]["rows_per_sec"] / small[op]["rows_per_sec"], 2)
+            for op in big
+        }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/sf1_text_r5.json", "w") as f:
         json.dump(result, f, indent=2)

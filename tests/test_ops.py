@@ -881,6 +881,21 @@ def test_range_join_left_null_point_id_not_duplicated(spark):
     assert by_t[1]["iid"] == 0
     assert by_t[5]["iid"] == 0 and by_t[5]["pid"] is None
     assert by_t[100]["iid"] is None
+    # validate_ids enforces the uniqueness contract up front — duplicate
+    # ids (incl. two-plus NULLs, whose failure mode is silent row LOSS in
+    # the anti-join) raise instead of corrupting the output
+    import pytest as _pytest
+
+    dup_pts = spark.createDataFrame(pd.DataFrame({
+        "k": ["a", "a", "a"],
+        "t": [1, 5, 100],
+        "pid": pd.array([0, None, None], dtype="Int64"),
+    }))
+    with _pytest.raises(ValueError, match="not unique"):
+        range_join(
+            dup_pts, iv, ["k"], "t", "lo", "hi",
+            bucket_width=8, how="left", point_id_col="pid", validate_ids=True,
+        )
 
 
 def _rdd_snapshot_dirs(ckdir):

@@ -46,6 +46,19 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+def hadoop_fs(path: str, spark: Optional[SparkSession] = None):
+    """``(FileSystem, Path, jvm)`` for any Hadoop-FS path (``hdfs://``,
+    ``s3a://``, ``file:``/local) using the session's Hadoop configuration —
+    the one shared handle-acquisition idiom for every module that touches
+    the fault-tolerant store directly (checkpoint manifests, reliable-
+    checkpoint snapshot cleanup)."""
+    spark = spark or SparkSession.getActiveSession()
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
 class CheckpointManager:
     """``root`` may be a local path or any Hadoop-compatible URI
     (``hdfs://``, ``s3a://``, ...): manifest I/O goes through the JVM
@@ -70,13 +83,7 @@ class CheckpointManager:
 
     # -- manifest I/O (local FS or Hadoop FS) -----------------------------
     def _hadoop_fs(self, path: str):
-        from pyspark.sql import SparkSession
-
-        spark = SparkSession.getActiveSession()
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        return fs, hpath, jvm
+        return hadoop_fs(path)
 
     def manifest(self, stage: str) -> dict:
         p = self._manifest_path(stage)

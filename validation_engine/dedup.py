@@ -620,37 +620,34 @@ def connected_components(
     # lives (unless spark.cleaner.referenceTracking.cleanCheckpoints is on,
     # which is best-effort GC anyway), so an iterative algorithm would leave
     # one superseded rdd-N snapshot per round on the fault-tolerant store.
-    # Each _truncate records exactly which snapshot dir(s) it created (diff
-    # of the checkpoint root's listing, via the Hadoop FS API so HDFS/S3
-    # roots work); _release deletes a frame's snapshots once a later round
-    # has durably superseded it.  Only the snapshots backing the RETURNED
-    # frame survive — the caller deletes the per-run dir after consuming.
-    def _hfs(path_str):
-        jvm = sc._jvm
-        p = jvm.org.apache.hadoop.fs.Path(path_str)
-        return p.getFileSystem(sc._jsc.hadoopConfiguration()), p
+    # Each _truncate records the EXACT snapshot dir of the frame it
+    # produced — the checkpointed RDD reports its own file via
+    # getCheckpointFile(), so a concurrent checkpoint by another job in the
+    # same session is never misattributed (a directory-listing diff would
+    # be).  _release deletes a frame's snapshot once a later round has
+    # durably superseded it; only the snapshots backing the RETURNED frame
+    # survive — the caller deletes the per-run dir after consuming.
+    from .checkpoint import hadoop_fs
 
-    def _list_snapshots():
-        opt = sc._jsc.sc().getCheckpointDir()
-        if not opt.isDefined():
-            return set()
-        fs, root = _hfs(opt.get())
-        if not fs.exists(root):
-            return set()
-        return {st.getPath().toString() for st in fs.listStatus(root)}
+    def _ckpt_file(df: DataFrame):
+        try:
+            opt = df._jdf.queryExecution().analyzed().rdd().getCheckpointFile()
+            return opt.get() if opt.isDefined() else None
+        except Exception:
+            return None
 
     def _truncate(df: DataFrame) -> DataFrame:
         if checkpoint_dir is None:
             return df.localCheckpoint(eager=True)
-        before = _list_snapshots()
         out = df.checkpoint(eager=True)
-        out._ve_snapshots = sorted(_list_snapshots() - before)
+        f = _ckpt_file(out)
+        out._ve_snapshots = [f] if f else []
         return out
 
     def _release(df: DataFrame) -> None:
         for p in getattr(df, "_ve_snapshots", ()):
             try:
-                fs, hp = _hfs(p)
+                fs, hp, _ = hadoop_fs(p, df.sparkSession)
                 fs.delete(hp, True)
                 logger.debug(
                     "connected_components: deleted superseded checkpoint "

@@ -139,7 +139,11 @@ class PILDecodeBackend(DecodeBackend):
                 dur = float(f.info.get("duration", every_ms) or every_ms)
                 if elapsed >= next_at:
                     frames.append(np.asarray(f.convert("RGB")))
-                    next_at += every_ms
+                    # re-anchor from THIS frame's position: a frame longer
+                    # than every_ms would otherwise leave next_at lagging
+                    # behind elapsed, emitting every subsequent frame
+                    # regardless of spacing
+                    next_at = elapsed + every_ms
                 elapsed += dur
             return frames
 

@@ -106,6 +106,7 @@ def range_join(
     bucket_width: float,
     how: str = "inner",
     point_id_col: Optional[str] = None,
+    validate_ids: bool = False,
 ) -> DataFrame:
     """Point-in-interval join (``start <= point <= end`` on matching keys).
 
@@ -125,12 +126,19 @@ def range_join(
     (shuffle fetch order and task retries can renumber rows between
     evaluations, silently dropping or duplicating points), so: pass
     ``point_id_col`` naming a unique key column when you have one — zero
-    extra cost, fully deterministic (the recovery anti-join is null-safe,
-    so a single NULL id is handled exactly; several NULLs violate the
-    uniqueness requirement like any duplicate) — else the id-stamped frame
-    is pinned
+    extra cost, fully deterministic — else the id-stamped frame is pinned
     with ``localCheckpoint`` so both branches read the same materialized
     rows (costs one materialization of the points projection).
+
+    ``point_id_col`` uniqueness is a hard contract: the recovery anti-join
+    is null-safe, so AT MOST ONE row may carry a NULL id (handled exactly);
+    with two-plus NULLs — like any duplicate id — the anti-join treats
+    them as one key, and unmatched rows in the group are silently LOST
+    (not duplicated).  ``validate_ids=True`` spends one aggregation over
+    the points to enforce the contract up front (raises ``ValueError``),
+    the right trade for pipelines whose id column is not provably unique;
+    columns with possible nulls can also simply omit ``point_id_col`` —
+    the surrogate path has no such constraint.
     """
     if how not in ("inner", "left"):
         raise ValueError("range_join supports how='inner' or 'left'")
@@ -138,6 +146,22 @@ def range_join(
     w = float(bucket_width)
     if how == "left":
         if point_id_col is not None:
+            if validate_ids:
+                dup = (
+                    points.groupBy(point_id_col)
+                    .agg(F.count(F.lit(1)).alias("_n"))
+                    .filter(F.col("_n") > 1)
+                    .limit(1)
+                    .collect()
+                )
+                if dup:
+                    raise ValueError(
+                        f"range_join point_id_col={point_id_col!r} is not "
+                        f"unique (e.g. id {dup[0][point_id_col]!r} occurs "
+                        f"{dup[0]['_n']} times; NULL counts as one id) — "
+                        "fix the key or omit point_id_col to use the "
+                        "surrogate-id path"
+                    )
             pts = points.withColumn("_rj_id", F.col(point_id_col))
         else:
             pts = points.withColumn(

@@ -161,18 +161,26 @@ def stateful_dedup(
                 ts = int(pd.Timestamp(max_ts).value // 1_000_000) + ttl_ms
                 state.setTimeoutTimestamp(max(ts, state.getCurrentWatermarkMs() + 1))
             else:
-                # every row in this batch had a NULL event time.  The TTL
-                # contract is SLIDING — each sighting re-arms eviction from
-                # that sighting — and a null-ts sighting must not be a
-                # silent exception (the stale deadline from the previous
-                # sighting would evict a key that is demonstrably still
-                # live).  Anchor to the current watermark, the best
-                # available event-time proxy when the batch carries none;
-                # it also guards against GroupState contracts where a data
-                # invocation clears the pending timeout.
-                state.setTimeoutTimestamp(
-                    state.getCurrentWatermarkMs() + max(ttl_ms, 1)
-                )
+                # every row in this batch had a NULL event time — no
+                # event-time anchor, but the TTL contract is SLIDING (each
+                # sighting re-arms eviction), so the sighting must still
+                # push the deadline out.  Slide FORWARD only, from the
+                # later of the previously-armed deadline and the current
+                # watermark: a bare watermark anchor could pull an
+                # existing LATER deadline earlier (premature eviction →
+                # duplicate re-emission), and before the stream has any
+                # watermark it would arm an epoch-zero deadline that fires
+                # the moment real event time arrives.
+                old = state.oldTimeoutTimestamp  # NO_TIMESTAMP (-1) if unset
+                wm = state.getCurrentWatermarkMs()
+                if old > 0:
+                    state.setTimeoutTimestamp(max(old, wm + max(ttl_ms, 1)))
+                elif wm > 0:
+                    state.setTimeoutTimestamp(wm + max(ttl_ms, 1))
+                # else: no watermark yet and no prior deadline — leave the
+                # key unarmed; its next timestamped sighting arms the TTL
+                # (bounded-state caveat only if the key NEVER reappears
+                # with a timestamp)
 
     return stream_df.groupBy(*[F.col(k) for k in keys]).applyInPandasWithState(
         dedup_fn,
