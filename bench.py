@@ -323,7 +323,7 @@ def main() -> None:
         "q1_pricing_summary", "q3_top_orders", "q5_revenue_by_nation",
         "uniqueness_lineitem", "timeseries_rollup_events", "window_event_ranks",
         "token_histogram_top", "minhash_lsh_pairs", "langid_by_lang",
-        "chi2_drift_by_source", "simhash_documents",
+        "chi2_drift_by_source", "simhash_documents", "decontaminate_documents",
     ):
         queries[name] = timed(name, lambda name=name: qs[name](spark, SF_DIR).count())
 

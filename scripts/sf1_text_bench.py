@@ -70,11 +70,17 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     result = {"cpus": CPUS, "levels": {}}
+    # warm whole-stage codegen on a tiny corpus BEFORE either measured
+    # level: plan shapes are identical across sizes, so without this the
+    # small level would eat the per-plan compile constant and flatter the
+    # big/small rows-per-sec ratio
+    warm = corpus(spark, 20_000)
+    warm.count()
+    run_ops(spark, warm, 20_000)
+    warm.unpersist()
     for n in (SMALL, ROWS):
         docs = corpus(spark, n)
         n_docs = docs.count()
-        # warm codegen on the big level too: plan shapes are identical, so
-        # the small level's run is the warm-up for the big one
         result["levels"][str(n_docs)] = run_ops(spark, docs, n_docs)
         docs.unpersist()
     level_keys = sorted(result["levels"], key=int)
