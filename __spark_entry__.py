@@ -398,7 +398,13 @@ def q_decontaminate_documents(spark, sf):
             F.concat_ws(" ", F.slice(lower_tokens("text"), 1, 8)).alias("bench_text")
         )
     )
-    return decontaminate(docs, "doc_id", "text", bench, "bench_text", n=13)
+    # the testdata documents table is ONE small parquet file → one input
+    # split (openCostInBytes makes Spark decline to split 2 MB), which
+    # serializes the interpreted-HOF shingle work onto a single core.
+    # Spread it — a 2 MB shuffle here; at real scale the reader's many
+    # files supply the splits and this repartition would be skipped.
+    corpus = docs.repartition(spark.sparkContext.defaultParallelism)
+    return decontaminate(corpus, "doc_id", "text", bench, "bench_text", n=13)
 
 
 def q_events_pivot(spark, sf):

@@ -524,10 +524,23 @@ def decontaminate(
     """
     from .dedup import token_shingles
 
+    # NB (both explodes below): InferFiltersFromGenerate would infer
+    # ``size(token_shingles(..)) > 0`` and DUPLICATE the whole interpreted
+    # shingle tree into a filter under the Generate — every document's
+    # shingles computed twice (measured 1.4× on the corpus stage; at
+    # 10^12 files that is the heaviest stage's cost doubled).  Wrapping
+    # the array in the nondeterministic ``F.shuffle`` blocks the inference
+    # (filters cannot contain nondeterministic expressions) at the cost of
+    # one in-memory permutation per doc; n-gram ORDER is irrelevant here —
+    # only set membership is counted.
     btoks = bench.select(lower_tokens(F.col(bench_text_col)).alias("_bt"))
     bgrams = (
         btoks.filter(F.size("_bt") >= n)
-        .select(F.explode(token_shingles(F.concat_ws(" ", "_bt"), n)).alias("_g"))
+        .select(
+            F.explode(
+                F.shuffle(token_shingles(F.concat_ws(" ", "_bt"), n))
+            ).alias("_g")
+        )
         .select(F.xxhash64("_g").alias("_gh"))
         .distinct()
     )
@@ -543,7 +556,8 @@ def decontaminate(
         if r["_s"].strip()
     ]
     dgrams = df.select(
-        F.col(id_col), F.explode(token_shingles(text_col, n)).alias("_g")
+        F.col(id_col),
+        F.explode(F.shuffle(token_shingles(text_col, n))).alias("_g"),
     ).select(id_col, F.xxhash64("_g").alias("_gh"))
     hits = (
         dgrams.join(F.broadcast(bgrams), "_gh", "left_semi")
@@ -564,6 +578,12 @@ def decontaminate(
         F.lit(" "), F.concat_ws(" ", lower_tokens(F.col(text_col))), F.lit(" ")
     )
     staged = df.select(F.col(id_col), norm_text.alias("_nt"))
+    # HOF filter over ONE literal-array expression, not a sum of N when-
+    # chains: the when-sum wins ~2× in executor microbenchmarks (codegen vs
+    # interpreted) but its N-deep tree blows up driver-side planning and
+    # janino compile in the composed full-outer plan — measured 6.3 s vs
+    # 3.6 s end-to-end at N=50.  Eval sets are bounded, the corpus is not:
+    # keep the per-plan constant small.
     short_hits = F.size(
         F.filter(
             F.array(*[F.lit(f" {s} ") for s in shorts]),
