@@ -1064,6 +1064,13 @@ def test_decontaminate_flags_benchmark_overlap(spark):
     assert rows == {1: 8}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # the explode child is barriered (F.shuffle) so
+    # InferFiltersFromGenerate cannot duplicate the interpreted shingle
+    # tree into a filter — the corpus's shingles must be evaluated ONCE
+    # per row (measured 1.4× on the map stage; 2× the heaviest stage's
+    # work at corpus scale)
+    assert "shuffle(" in plan, plan
+    assert "size(shuffle(" not in plan, plan
 
 
 def test_pii_counts_and_redaction(spark):
