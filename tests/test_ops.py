@@ -1186,3 +1186,50 @@ def test_decontaminate_short_benchmark_rows(spark):
     out2 = {r["doc_id"]: r["n_contaminated_ngrams"] for r in
             decontaminate(tricky, "doc_id", "text", bench2, "q", n=13).collect()}
     assert out2 == {11: 1}
+
+
+def test_shuffle_shards_deterministic_and_uniform(spark, tmp_path):
+    """shuffle_shards: shard assignment and within-shard order are a pure
+    function of (id, seed) — identical no matter how the input is
+    partitioned or ordered (the property resume/reproducibility needs, and
+    what rand()/monotonically_increasing_id-based shuffles break) — shards
+    are balanced, a different seed yields a genuinely different
+    permutation, and the documented write pattern produces one shard per
+    directory in shuffled order."""
+    from validation_engine.text import shuffle_shards
+
+    docs = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+
+    def run(frame):
+        out = shuffle_shards(frame, "doc_id", n_shards=8, seed=7)
+        return {
+            r["doc_id"]: (r["shard"], r["_shuffle_key"]) for r in out.collect()
+        }
+
+    a = run(docs)
+    b = run(docs.repartition(13).sortWithinPartitions(F.desc("doc_id")))
+    assert a == b, "shuffle must not depend on input partitioning/order"
+
+    shards = {}
+    for _id, (s, _k) in a.items():
+        shards.setdefault(s, []).append(_id)
+    assert set(shards) == set(range(8))
+    sizes = sorted(len(v) for v in shards.values())
+    assert sizes[0] > 2000 / 8 * 0.6 and sizes[-1] < 2000 / 8 * 1.4
+
+    c = run_seed2 = {
+        r["doc_id"]: (r["shard"], r["_shuffle_key"])
+        for r in shuffle_shards(docs, "doc_id", 8, seed=8).collect()
+    }
+    moved = sum(1 for k in a if a[k][0] != c[k][0])
+    assert moved > 2000 * 0.5, "epoch reseed must reshuffle most rows"
+
+    # documented write pattern: one directory per shard, rows in key order
+    out = shuffle_shards(docs, "doc_id", 4, seed=7)
+    path = str(tmp_path / "shards")
+    (out.repartition(4, "shard")
+        .sortWithinPartitions("shard", "_shuffle_key")
+        .write.partitionBy("shard").parquet(path))
+    back = spark.read.parquet(path)
+    assert back.select("shard").distinct().count() == 4
+    assert back.count() == 2000

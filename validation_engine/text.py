@@ -197,6 +197,36 @@ def pack_greedy(
     )
 
 
+def shuffle_shards(
+    df: DataFrame, id_col: str, n_shards: int, seed: int = 0
+) -> DataFrame:
+    """Deterministic global shuffle into training shards — the step between
+    dedup/filtering and writing dataloader files.
+
+    Each row gets ``shard = pmod(xxhash64(id, seed), n_shards)`` and a
+    within-shard order key ``xxhash64(id, seed+1)``; write with
+    ``.repartition(n_shards, 'shard').sortWithinPartitions('shard',
+    '_shuffle_key').write.partitionBy('shard')`` for one file per shard in
+    shuffled order.  The hard property (pytest-pinned): the assignment AND
+    the order depend only on ``(id, seed)`` — NOT on the input's partition
+    count, arrival order, or cluster size — so a re-run, a resumed run, or
+    a differently-sized cluster reproduces the identical shuffle
+    (`monotonically_increasing_id`/`rand`-based shuffles silently break
+    this).  Scale shape: one hash per row map-side; the only shuffle is
+    the shard repartition the WRITE needs anyway.  Different ``seed`` ⇒
+    statistically independent permutation (epoch reshuffling)."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    return df.withColumns(
+        {
+            "shard": F.pmod(
+                F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_shards)
+            ).cast("int"),
+            "_shuffle_key": F.xxhash64(F.col(id_col), F.lit(seed + 1)),
+        }
+    )
+
+
 def stratified_sample(
     df: DataFrame, strata_col: str, fractions: dict, seed: int = 42
 ) -> DataFrame:
