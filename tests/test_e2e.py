@@ -270,3 +270,64 @@ def test_quarantine_rows_match_invalids(spark, corpus, tmp_path):
     assert "content" in q.columns  # payload present
     reread = spark.read.parquet(qpath)
     assert reread.count() == n_invalid_union
+
+
+def test_training_export_pipeline_end_to_end(spark, tmp_path):
+    """Capstone composition: the full training-data export chain a 100 TB
+    user runs — exact dedup → benchmark decontamination → quality filter →
+    deterministic shard shuffle → sequence packing → parquet write — and
+    the property that makes it operable at that scale: running the WHOLE
+    chain twice (second time from a differently-partitioned input)
+    produces byte-identical shard contents."""
+    from validation_engine.dedup import exact_dedup
+    from validation_engine.text import (
+        decontaminate, pack_greedy, shuffle_shards, token_count,
+    )
+
+    passage = " ".join(f"bench{i}" for i in range(16))  # 16-token benchmark row
+    rows = []
+    for i in range(300):
+        body = " ".join(f"w{i}_{j}" for j in range(20 + i % 13))
+        rows.append((i, body))
+    rows += [(1000 + i, rows[i][1]) for i in range(40)]        # planted dups
+    rows += [(2000 + i, f"lead {passage} tail{i}") for i in range(5)]  # contaminated
+    rows += [(3000 + i, "tiny") for i in range(5)]             # low quality
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(passage,)], "q string")
+
+    def run(frame, out_dir):
+        deduped = exact_dedup(frame, "doc_id", "text")
+        flagged = decontaminate(deduped, "doc_id", "text", bench, "q", n=13)
+        clean = deduped.join(flagged.select("doc_id"), "doc_id", "left_anti")
+        kept = clean.withColumn("n_tok", token_count("text")).filter(
+            F.col("n_tok") >= 5
+        )
+        sharded = shuffle_shards(kept, "doc_id", n_shards=4, seed=11)
+        packed = pack_greedy(
+            sharded.withColumnRenamed("_shuffle_key", "skey"),
+            "skey", "n_tok", max_tokens=256, partition_by=["shard"],
+        )
+        (packed.repartition(4, "shard")
+               .sortWithinPartitions("shard", "skey")
+               .write.mode("overwrite").partitionBy("shard").parquet(out_dir))
+        return spark.read.parquet(out_dir)
+
+    out1 = run(docs, str(tmp_path / "run1"))
+    # second run: same logical input, adversarially re-partitioned/ordered
+    out2 = run(
+        docs.repartition(7).sortWithinPartitions(F.desc("text")),
+        str(tmp_path / "run2"),
+    )
+
+    r1 = {r["doc_id"]: r for r in out1.collect()}
+    r2 = {r["doc_id"]: r for r in out2.collect()}
+    # dups collapsed to the min id, contaminated + tiny rows gone
+    assert set(r1) == set(range(300)), sorted(set(r1) ^ set(range(300)))[:5]
+    # full reproducibility: same shard, same order key, same bin, per doc
+    assert {k: (v["shard"], v["skey"], v["bin"]) for k, v in r1.items()} == \
+           {k: (v["shard"], v["skey"], v["bin"]) for k, v in r2.items()}
+    # every shard non-trivially populated and bins respect the offset bound
+    per_shard = out1.groupBy("shard").count().collect()
+    assert len(per_shard) == 4 and all(r["count"] > 30 for r in per_shard)
+    bin_tot = out1.groupBy("shard", "bin").agg(F.sum("n_tok").alias("t")).collect()
+    assert all(r["t"] < 256 + 33 for r in bin_tot)  # max doc = 32 tokens
