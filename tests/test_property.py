@@ -171,3 +171,61 @@ def test_timeseries_rollup_matches_per_grain_groupbys(spark, rows):
     ).collect():
         naive[("all", None, r["et"])] = (r["n"], r["s"])
     assert by_key == naive
+
+
+@given(
+    st.lists(  # corpus: token lists over a small alphabet (forces overlap)
+        st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=12),
+        min_size=1, max_size=12,
+    ),
+    st.lists(  # benchmark rows: mixed lengths straddling the n=4 threshold
+        st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=9),
+        min_size=1, max_size=4,
+    ),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_decontaminate_matches_python_reference(spark, corpus_toks, bench_toks):
+    """Property: decontaminate(n=4) == a direct Python reference on random
+    tiny corpora — distinct-n-gram overlap counting for long bench rows
+    plus token-boundary-anchored whole-item containment for short ones
+    (the oracle pins ONE data shape; this pins the semantics on arbitrary
+    ones, including empty texts, sub-n docs, and duplicate bench rows)."""
+    from validation_engine.text import decontaminate
+
+    n = 4
+    corpus = [(i, " ".join(t)) for i, t in enumerate(corpus_toks)]
+    bench = [(" ".join(t),) for t in bench_toks]
+
+    def toks(s):
+        s = s.strip()
+        return s.split() if s else [""]
+
+    def grams(t):
+        if len(t) < n:
+            return {" ".join(t)}
+        return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+
+    bg, shorts = set(), set()
+    for (q,) in bench:
+        bt = toks(q)
+        if len(bt) >= n:
+            bg |= grams(bt)
+        else:
+            s = " ".join(bt)
+            if s.strip():
+                shorts.add(s)
+    expected = {}
+    for i, text in corpus:
+        hits = len(grams(toks(text)) & bg) if bg else 0
+        body = " " + " ".join(toks(text)) + " "
+        hits += sum(1 for s in shorts if f" {s} " in body)
+        if hits >= 1:
+            expected[i] = hits
+
+    df = spark.createDataFrame(corpus, "doc_id int, text string")
+    bdf = spark.createDataFrame(bench, "q string")
+    got = {
+        r["doc_id"]: r["n_contaminated_ngrams"]
+        for r in decontaminate(df, "doc_id", "text", bdf, "q", n=n).collect()
+    }
+    assert got == expected, (corpus, bench)
