@@ -5,7 +5,7 @@ to the sf0.1 point.  If the engine's claims hold (per-row work constant,
 shuffles linear), rows/s should be near-flat from 600k → 6M rows.
 
 Usage: SF1_ROWS=6000000 python scripts/sf1_suite_bench.py
-Writes BENCH/sf1_suite_r4.json.
+Writes BENCH/sf1_suite_<SF1_TAG>.json (SF1_TAG default r5).
 """
 
 from __future__ import annotations
@@ -38,7 +38,8 @@ def main() -> None:
         "n_invalid": suite["n_invalid"],
     }
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/sf1_suite_r4.json", "w") as f:
+    tag = os.environ.get("SF1_TAG", "r5")
+    with open(f"BENCH/sf1_suite_{tag}.json", "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
     spark.stop()
