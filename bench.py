@@ -315,6 +315,48 @@ def main() -> None:
         "unigram_lm_corpus",
         lambda: unigram_lm_score(docs, "id", "text", vocab_size=50_000).count(),
     )
+
+    # capstone export chain (tests/test_e2e.py proves it byte-reproducible;
+    # this times it): exact dedup → benchmark decontamination → quality
+    # filter → deterministic shard shuffle → sequence packing → partitioned
+    # parquet write — the end-to-end number a 100 TB user plans capacity
+    # with.  The bench set is corpus-derived (every ~97th doc), matching
+    # the oracle query's construction: real hits exist, the drop is small.
+    import shutil
+
+    from validation_engine.text import (
+        decontaminate, pack_greedy, shuffle_shards, token_count,
+    )
+
+    export_rows: list = []
+
+    def export_once():
+        out = tempfile.mkdtemp(prefix="ve_bench_export_")
+        bench_set = (
+            docs.filter(F.col("id") % 97 == 0).select(F.col("text").alias("q"))
+        )
+        deduped = exact_dedup(docs, "id", "text")
+        flagged = decontaminate(deduped, "id", "text", bench_set, "q", n=13)
+        clean = deduped.join(flagged.select("id"), "id", "left_anti")
+        kept = clean.withColumn("n_tok", token_count("text")).filter(
+            F.col("n_tok") >= 5
+        )
+        sharded = shuffle_shards(kept, "id", n_shards=CPUS, seed=11)
+        packed = pack_greedy(
+            sharded.withColumnRenamed("_shuffle_key", "skey"),
+            "skey", "n_tok", max_tokens=2048, partition_by=["shard"],
+        )
+        (packed.repartition(CPUS, "shard")
+               .sortWithinPartitions("shard", "skey", "id")
+               .write.mode("overwrite").partitionBy("shard").parquet(out))
+        export_rows.append(spark.read.parquet(out).count())
+        shutil.rmtree(out, ignore_errors=True)
+
+    queries["export_chain"] = timed("export_chain", export_once)
+    TELEMETRY["export_chain"]["rows_written"] = export_rows[-1]
+    TELEMETRY["export_chain"]["rows_per_sec"] = round(
+        export_rows[-1] / queries["export_chain"], 1
+    )
     docs.unpersist()
 
     # representative engine queries on the driver testdata
@@ -331,6 +373,19 @@ def main() -> None:
     bench_ivf(spark, queries)
 
     total = round(sum(queries.values()), 3)
+    # The final stdout line must stay COMPACT: the driver tail-captures a
+    # bounded window of stdout, and round 5's full-telemetry line overflowed
+    # it (BENCH_r05.json parsed:null).  The per-attempt telemetry goes to a
+    # file under BENCH/ instead; only the single boolean verdict rides along.
+    telemetry_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "telemetry_last_run.json"
+    )
+    try:
+        os.makedirs(os.path.dirname(telemetry_path), exist_ok=True)
+        with open(telemetry_path, "w") as f:
+            json.dump(TELEMETRY, f, indent=1)
+    except OSError:
+        telemetry_path = None
     print(
         json.dumps(
             {
@@ -343,9 +398,9 @@ def main() -> None:
                 "suite_rows": suite["n_rows"],
                 "cpus": CPUS,
                 "attempts": ATTEMPTS,
-                "telemetry": TELEMETRY,
                 "contended": any(t["contended"] for t in TELEMETRY.values()),
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

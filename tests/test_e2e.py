@@ -308,7 +308,7 @@ def test_training_export_pipeline_end_to_end(spark, tmp_path):
             "skey", "n_tok", max_tokens=256, partition_by=["shard"],
         )
         (packed.repartition(4, "shard")
-               .sortWithinPartitions("shard", "skey")
+               .sortWithinPartitions("shard", "skey", "doc_id")
                .write.mode("overwrite").partitionBy("shard").parquet(out_dir))
         return spark.read.parquet(out_dir)
 

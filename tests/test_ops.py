@@ -333,6 +333,20 @@ def test_minhash_ansi_mode_safe(spark):
     assert (100, 101) in got
 
 
+def test_connected_components_rejects_zero_max_iter(spark):
+    """max_iter=0 must raise up front: the convergence loop would never run
+    (its for/else referenced the round counter before assignment) and zero
+    rounds can never yield valid labels."""
+    import pytest
+
+    from validation_engine.dedup import connected_components
+
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    for algo in ("label", "star"):
+        with pytest.raises(ValueError, match="max_iter"):
+            connected_components(pairs, max_iter=0, algorithm=algo)
+
+
 def test_connected_components_chain_and_islands(spark):
     """Transitive closure over pairs: a diameter-4 chain collapses to one
     component (multi-round propagation), islands stay separate, and
@@ -1228,7 +1242,7 @@ def test_shuffle_shards_deterministic_and_uniform(spark, tmp_path):
     out = shuffle_shards(docs, "doc_id", 4, seed=7)
     path = str(tmp_path / "shards")
     (out.repartition(4, "shard")
-        .sortWithinPartitions("shard", "_shuffle_key")
+        .sortWithinPartitions("shard", "_shuffle_key", "doc_id")
         .write.partitionBy("shard").parquet(path))
     back = spark.read.parquet(path)
     assert back.select("shard").distinct().count() == 4

@@ -612,6 +612,11 @@ def connected_components(
     """
     if algorithm not in ("label", "star"):
         raise ValueError("algorithm must be 'label' or 'star'")
+    if max_iter < 1:
+        # the convergence loops' for/else would otherwise reference their
+        # per-round counters before assignment (and 0 iterations can never
+        # produce valid labels anyway)
+        raise ValueError("max_iter must be >= 1")
 
     sc = pairs.sparkSession.sparkContext
 

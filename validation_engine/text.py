@@ -206,8 +206,12 @@ def shuffle_shards(
     Each row gets ``shard = pmod(xxhash64(id, seed), n_shards)`` and a
     within-shard order key ``xxhash64(id, seed+1)``; write with
     ``.repartition(n_shards, 'shard').sortWithinPartitions('shard',
-    '_shuffle_key').write.partitionBy('shard')`` for one file per shard in
-    shuffled order.  The hard property (pytest-pinned): the assignment AND
+    '_shuffle_key', id_col).write.partitionBy('shard')`` for one file per
+    shard in shuffled order.  The id column MUST be the final sort key:
+    ``xxhash64`` collides (expect tens of thousands of 64-bit ties among
+    10^12 rows), and two rows tied on ``_shuffle_key`` alone would land in
+    partition-arrival order — silently breaking the byte-reproducibility
+    this operator exists for.  The hard property (pytest-pinned): the assignment AND
     the order depend only on ``(id, seed)`` — NOT on the input's partition
     count, arrival order, or cluster size — so a re-run, a resumed run, or
     a differently-sized cluster reproduces the identical shuffle
