@@ -1,0 +1,104 @@
+"""Same-window A/B for the `unigram_lm_corpus` +26% cross-round drift
+(VERDICT round-5 finding #3 / round-6 task #2).
+
+The r4→r5 "regression" (2.01 s → 2.54 s) was measured in DIFFERENT quiet
+windows on a box with documented invisible 2-3× slowdown phases
+(BENCH/BASELINE.md hardware note), and `unigram_lm_score` was
+byte-unchanged between the rounds — so the only valid disposition is an
+interleaved A/B in ONE window: alternate measurements of the identical
+query against the round-4 code (a git worktree at the round-4 boundary
+commit) and HEAD, same corpus construction, fresh subprocess + fresh
+Spark session per measurement so neither side reuses the other's shuffle
+outputs or JIT state.
+
+Usage:
+    git worktree add /tmp/ve_r4 76753b2   # round-4 boundary
+    python scripts/ab_unigram.py /tmp/ve_r4
+Writes BENCH/ab_unigram_r6.json: per-rep timings interleaved
+(A B A B ...), medians, and the HEAD/r4 ratio.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+HEAD = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REPS = int(os.environ.get("AB_REPS", "3"))
+DOCS = int(os.environ.get("AB_DOCS", "200000"))
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+CHILD = r"""
+import sys, time
+sys.path.insert(0, sys.argv[1])
+import pyspark.sql.functions as F
+from validation_engine.session import get_spark
+from validation_engine.datagen import spark_codefiles
+from validation_engine.text import unigram_lm_score
+
+n_docs, cpus = int(sys.argv[2]), int(sys.argv[3])
+spark = get_spark("ab-unigram", master=f"local[{cpus}]",
+                  shuffle_partitions=max(cpus, 8))
+spark.sparkContext.setLogLevel("ERROR")
+
+def corpus(n):
+    return (spark_codefiles(spark, n, n_dup=1000)
+            .select(F.xxhash64("repo", "path", "commit").alias("id"),
+                    F.col("content").alias("text")).persist())
+
+warm = corpus(10_000); warm.count()
+unigram_lm_score(warm, "id", "text", vocab_size=50_000).count()
+warm.unpersist()
+
+docs = corpus(n_docs); docs.count()
+t0 = time.time()
+unigram_lm_score(docs, "id", "text", vocab_size=50_000).count()
+print("ABRESULT", round(time.time() - t0, 3))
+spark.stop()
+"""
+
+
+def measure(repo_root: str) -> float:
+    proc = subprocess.run(
+        [sys.executable, "-c", CHILD, repo_root, str(DOCS), str(CPUS)],
+        capture_output=True, text=True, timeout=1200,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(proc.stderr[-2000:])
+    for line in proc.stdout.splitlines():
+        if line.startswith("ABRESULT"):
+            return float(line.split()[1])
+    raise RuntimeError("no ABRESULT line:\n" + proc.stdout[-2000:])
+
+
+def main() -> None:
+    r4_root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ve_r4"
+    if not os.path.isdir(os.path.join(r4_root, "validation_engine")):
+        raise SystemExit(
+            f"{r4_root} is not a checkout; run "
+            "`git worktree add /tmp/ve_r4 <round-4-commit>` first"
+        )
+    runs = {"r4": [], "head": []}
+    t_start = time.time()
+    for _ in range(REPS):  # strict interleaving: host drift hits both arms
+        runs["r4"].append(measure(r4_root))
+        runs["head"].append(measure(HEAD))
+    med = {k: round(statistics.median(v), 3) for k, v in runs.items()}
+    out = {
+        "docs": DOCS, "cpus": CPUS, "reps": REPS,
+        "window_sec": round(time.time() - t_start, 1),
+        "interleaved_runs": runs, "median": med,
+        "head_over_r4_ratio": round(med["head"] / med["r4"], 3),
+    }
+    os.makedirs(os.path.join(HEAD, "BENCH"), exist_ok=True)
+    with open(os.path.join(HEAD, "BENCH", "ab_unigram_r6.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

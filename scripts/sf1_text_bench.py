@@ -1,13 +1,13 @@
-"""10×-data anchor for the TEXT/DEDUP ops (VERDICT round-4 #6): run
-minhash-LSH candidate generation, BM25 top-k, and the unigram-LM quality
-score on a ~2M-doc synthesized corpus (10× the sf0.1 bench's 200k docs)
-and record rows/s next to the 200k-doc point.  These are the operators a
-100 TB pretraining-data user runs longest; if the single-scan /
-bucketed-shuffle claims hold, rows/s should be near-flat (or better —
-fixed costs amortize) from 200k → 2M docs.
+"""10×-data anchor for the TEXT/DEDUP ops (VERDICT round-4 #6, round-6 #4):
+run minhash-LSH candidate generation, BM25 top-k, the unigram-LM quality
+score, and benchmark decontamination on a ~2M-doc synthesized corpus (10×
+the sf0.1 bench's 200k docs) and record rows/s next to the 200k-doc point.
+These are the operators a 100 TB pretraining-data user runs longest; if
+the single-scan / bucketed-shuffle / broadcast-bench claims hold, rows/s
+should be near-flat (or better — fixed costs amortize) from 200k → 2M docs.
 
 Usage: [SF1_TEXT_ROWS=2000000] python scripts/sf1_text_bench.py
-Writes BENCH/sf1_text_r5.json.
+Writes BENCH/sf1_text_r6.json.
 """
 
 from __future__ import annotations
@@ -61,6 +61,21 @@ def run_ops(spark, docs, n) -> dict:
     unigram_lm_score(docs, "id", "text", vocab_size=50_000).count()
     dt = time.time() - t0
     out["unigram_lm"] = {"sec": round(dt, 2), "rows_per_sec": round(n / dt, 1)}
+    # decontamination: corpus-derived bench set, capped at a FIXED size so
+    # the big/small ratio isolates corpus scaling (real eval sets don't
+    # grow with the corpus) — real n-gram hits exist at both levels
+    from validation_engine.text import decontaminate
+
+    bench_set = (
+        docs.filter(F.col("id") % 97 == 0)
+        .orderBy("id").limit(2048)
+        .select(F.col("text").alias("q"))
+    )
+    t0 = time.time()
+    n_flagged = decontaminate(docs, "id", "text", bench_set, "q", n=13).count()
+    dt = time.time() - t0
+    out["decontaminate"] = {"sec": round(dt, 2), "rows_per_sec": round(n / dt, 1),
+                            "n_flagged": n_flagged}
     return out
 
 
@@ -91,7 +106,7 @@ def main() -> None:
             for op in big
         }
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/sf1_text_r5.json", "w") as f:
+    with open("BENCH/sf1_text_r6.json", "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
     spark.stop()

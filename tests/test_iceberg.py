@@ -1,0 +1,110 @@
+"""Jar-gated REAL-Iceberg integration test for the ``io.write_table`` v2
+seam (io.py — DataFrameWriterV2 ``createOrReplace``/``append`` with the
+typed-error v1 fallback).
+
+The sandbox pyspark ships no ``iceberg-spark-runtime`` jar (SURVEY §7.6),
+so this module skips — same pattern as the PIL-gated codec test in
+test_modules.py.  The moment an environment has the jar (bundled under
+``pyspark/jars/`` or pointed at via ``VE_ICEBERG_JAR``), the test runs a
+full commit/append/time-travel cycle against a real hadoop-type Iceberg
+catalog and pins that:
+
+* ``write_table`` takes the v2 snapshot-committing path (the table's
+  provider is iceberg — the v1 ``saveAsTable`` fallback did NOT trigger);
+* an ``append`` creates a SECOND snapshot (``<table>.snapshots``);
+* time-travel (``VERSION AS OF`` the first snapshot) still reads the
+  pre-append rows — i.e. commits are real Iceberg snapshots, the isolation
+  property the manifest-last parquet stand-in mirrors (checkpoint.py).
+
+Runs in a SUBPROCESS: the catalog confs must exist at session-build time
+and the suite's shared session-scoped ``spark`` fixture (one JVM) can't be
+rebuilt mid-suite.
+"""
+
+import glob
+import os
+import subprocess
+import sys
+
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _iceberg_jar():
+    """Path of an iceberg-spark-runtime jar if one is reachable, else None."""
+    env = os.environ.get("VE_ICEBERG_JAR")
+    if env and os.path.exists(env):
+        return env
+    import pyspark
+
+    hits = glob.glob(
+        os.path.join(os.path.dirname(pyspark.__file__), "jars",
+                     "iceberg-spark-runtime*.jar")
+    )
+    return hits[0] if hits else None
+
+
+_DRIVER = r"""
+import sys
+sys.path.insert(0, sys.argv[1])
+warehouse, jar = sys.argv[2], sys.argv[3]
+
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[2]").appName("ve-iceberg-it")
+    .config("spark.jars", jar)
+    .config("spark.sql.extensions",
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions")
+    .config("spark.sql.catalog.lake", "org.apache.iceberg.spark.SparkCatalog")
+    .config("spark.sql.catalog.lake.type", "hadoop")
+    .config("spark.sql.catalog.lake.warehouse", warehouse)
+    .config("spark.sql.shuffle.partitions", "2")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from validation_engine.io import write_table
+
+spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.db")
+df1 = spark.range(0, 100).selectExpr("id", "id % 7 AS grp")
+write_table(df1, "lake.db.t", mode="overwrite")
+
+# v2 path, not the v1 fallback: a real Iceberg table answers the
+# snapshots metadata query (a v1 parquet table has no such relation)
+snaps1 = spark.sql("SELECT snapshot_id FROM lake.db.t.snapshots").collect()
+assert len(snaps1) == 1, f"expected 1 snapshot after create, got {len(snaps1)}"
+first_snapshot = snaps1[0]["snapshot_id"]
+
+df2 = spark.range(100, 150).selectExpr("id", "id % 7 AS grp")
+write_table(df2, "lake.db.t", mode="append")
+assert spark.table("lake.db.t").count() == 150
+
+snaps2 = spark.sql("SELECT snapshot_id FROM lake.db.t.snapshots").collect()
+assert len(snaps2) == 2, f"append must commit a 2nd snapshot, got {len(snaps2)}"
+
+# snapshot isolation: time-travel to the pre-append commit
+n_tt = spark.sql(
+    f"SELECT count(*) AS n FROM lake.db.t VERSION AS OF {first_snapshot}"
+).collect()[0]["n"]
+assert n_tt == 100, f"time-travel to first snapshot read {n_tt} rows"
+
+print("ICEBERG_CYCLE_OK")
+spark.stop()
+"""
+
+
+@pytest.mark.skipif(
+    _iceberg_jar() is None,
+    reason="iceberg-spark-runtime jar not on classpath (sandbox pyspark "
+    "ships none); set VE_ICEBERG_JAR to run",
+)
+def test_iceberg_catalog_commit_append_timetravel(tmp_path):
+    proc = subprocess.run(
+        [sys.executable, "-c", _DRIVER, _REPO, str(tmp_path / "warehouse"),
+         _iceberg_jar()],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "ICEBERG_CYCLE_OK" in proc.stdout

@@ -88,6 +88,63 @@ def test_pil_backend_fails_fast_without_pillow():
         PILDecodeBackend()
 
 
+def test_ffmpeg_backend_fails_fast_without_ffmpeg():
+    """Same fail-fast contract as the PIL backend: in codec-less
+    environments (this container ships no ffmpeg) construction must raise
+    an actionable error, never per-row executor exceptions."""
+    import shutil
+
+    if shutil.which("ffmpeg") and shutil.which("ffprobe"):
+        pytest.skip("ffmpeg installed — covered by the real-codec test")
+    from validation_engine.multimodal import FFmpegDecodeBackend
+
+    with pytest.raises(RuntimeError, match="ffmpeg|ffprobe"):
+        FFmpegDecodeBackend()
+
+
+def test_media_features_with_real_ffmpeg_codec(spark, tmp_path):
+    """Runs wherever ffmpeg/ffprobe exist (clusters; skipped in this
+    container): the SAME audio_features / video_frame_sample plans decode
+    real media through FFmpegDecodeBackend — lavfi-synthesized inputs give
+    known ground truth (sine RMS = amp/√2, testsrc frame count at the fps
+    filter rate) — proving the DecodeBackend seam against a real codec
+    with zero plan changes, exactly like the PIL image test above."""
+    import shutil
+    import subprocess
+
+    if not (shutil.which("ffmpeg") and shutil.which("ffprobe")):
+        pytest.skip("ffmpeg/ffprobe not on PATH")
+
+    from validation_engine.multimodal import (
+        FFmpegDecodeBackend, audio_features, video_frame_sample,
+    )
+
+    wav = tmp_path / "tone.wav"
+    mp4 = tmp_path / "clip.mp4"
+    subprocess.run(
+        ["ffmpeg", "-v", "error", "-f", "lavfi",
+         "-i", "sine=frequency=440:duration=1", str(wav)], check=True)
+    subprocess.run(
+        ["ffmpeg", "-v", "error", "-f", "lavfi",
+         "-i", "testsrc=duration=1:size=64x48:rate=10",
+         "-pix_fmt", "yuv420p", str(mp4)], check=True)
+
+    backend = FFmpegDecodeBackend()
+    adf = spark.createDataFrame(
+        [(1, bytearray(wav.read_bytes()))], "media_id long, data binary")
+    arow = audio_features(adf, backend=backend).collect()[0]
+    assert abs(arow["duration_ms"] - 1000) <= 50
+    # ffmpeg's sine source synthesizes near full-scale: RMS ≈ amp/√2
+    assert 0.2 < arow["rms"] < 0.9
+
+    vdf = spark.createDataFrame(
+        [(2, bytearray(mp4.read_bytes()))], "media_id long, data binary")
+    frames = video_frame_sample(vdf, every_ms=200, backend=backend).collect()
+    # 1 s at fps=5 sampling → ~5 frames, all decoded with real luma
+    assert 3 <= len(frames) <= 7
+    assert all(r["mean_luma"] is not None and r["frame_idx"] >= 0 for r in frames)
+
+
 def test_image_features_with_real_png_codec(spark):
     """Runs wherever Pillow exists (clusters; skipped in this container):
     the SAME image_features plan decodes real PNGs through PILDecodeBackend

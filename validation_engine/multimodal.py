@@ -68,6 +68,14 @@ class DecodeBackend:
     def sample_frames(self, data: bytes, every_ms: int) -> list:
         raise NotImplementedError
 
+    def decode_audio(self, data: bytes) -> "tuple[np.ndarray, int]":
+        """Decode to ``(mono float PCM samples, sample_rate)``."""
+        raise NotImplementedError(
+            "no audio codec in this environment; use FakeDecodeBackend for "
+            "plumbing tests or provide an ffmpeg/torchaudio-backed backend "
+            "on a cluster"
+        )
+
 
 class FakeDecodeBackend(DecodeBackend):
     """Deterministic fake: 'decodes' bytes into a pseudo-image whose pixels
@@ -89,6 +97,12 @@ class FakeDecodeBackend(DecodeBackend):
     def sample_frames(self, data: bytes, every_ms: int) -> list:
         n = 1 + (len(data) % 4)
         return [self.decode_image(data + bytes([i])) for i in range(n)]
+
+    def decode_audio(self, data: bytes) -> "tuple[np.ndarray, int]":
+        h = hashlib.sha256(b"pcm" + data).digest()
+        rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
+        n = 1000 + h[8] * 100
+        return rng.standard_normal(n), 16_000
 
 
 class PILDecodeBackend(DecodeBackend):
@@ -146,6 +160,110 @@ class PILDecodeBackend(DecodeBackend):
                     next_at = elapsed + every_ms
                 elapsed += dur
             return frames
+
+
+class FFmpegDecodeBackend(DecodeBackend):
+    """Real audio/video (and image) codec backed by the ``ffmpeg``/
+    ``ffprobe`` CLIs — the drop-in backend for clusters that ship them
+    (this container does not).  Same fail-fast contract as
+    :class:`PILDecodeBackend`: construction checks the binaries are on
+    PATH and raises an actionable error instead of per-row executor
+    exceptions; the instance pickles into the Arrow UDF closure, so
+    executors need ffmpeg on PATH too.
+
+    Blobs are staged to a local temp file per decode (many container
+    formats need a seekable input; executor-local tmp is the normal Spark
+    scratch path), frames/PCM come back over a pipe as raw rgb24/f32le —
+    no intermediate files for the output side.
+    """
+
+    def __init__(self, sample_rate: int = 16_000):
+        import shutil
+
+        self.sample_rate = sample_rate
+        missing = [b for b in ("ffmpeg", "ffprobe") if shutil.which(b) is None]
+        if missing:
+            raise RuntimeError(
+                f"FFmpegDecodeBackend requires {' and '.join(missing)} on "
+                "PATH of driver AND executors; use FakeDecodeBackend for "
+                "plumbing tests in codec-less environments"
+            )
+
+    @staticmethod
+    def _with_tmp(data: bytes, fn):
+        import os
+        import tempfile
+
+        fd, path = tempfile.mkstemp(prefix="ve_media_")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+            return fn(path)
+        finally:
+            os.unlink(path)
+
+    @staticmethod
+    def _run(args: list) -> bytes:
+        import subprocess
+
+        proc = subprocess.run(args, capture_output=True)
+        if proc.returncode != 0:
+            raise ValueError(
+                f"ffmpeg decode failed: {proc.stderr[-500:].decode(errors='replace')}"
+            )
+        return proc.stdout
+
+    def _dims(self, path: str) -> "tuple[int, int]":
+        out = self._run(
+            ["ffprobe", "-v", "error", "-select_streams", "v:0",
+             "-show_entries", "stream=width,height", "-of", "csv=p=0", path]
+        )
+        w, h = out.decode().strip().splitlines()[0].split(",")[:2]
+        return int(w), int(h)
+
+    def decode_image(self, data: bytes) -> np.ndarray:
+        def go(path):
+            w, h = self._dims(path)
+            raw = self._run(
+                ["ffmpeg", "-v", "error", "-i", path, "-frames:v", "1",
+                 "-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:1"]
+            )
+            return np.frombuffer(raw[: w * h * 3], np.uint8).reshape(h, w, 3)
+
+        return self._with_tmp(data, go)
+
+    def resize(self, img: np.ndarray, w: int, h: int) -> np.ndarray:
+        # nearest-neighbour via index sampling — resize of an ALREADY
+        # decoded ndarray needs no codec round-trip
+        ys = (np.arange(h) * img.shape[0] // h).clip(0, img.shape[0] - 1)
+        xs = (np.arange(w) * img.shape[1] // w).clip(0, img.shape[1] - 1)
+        return img[ys][:, xs]
+
+    def sample_frames(self, data: bytes, every_ms: int) -> list:
+        def go(path):
+            w, h = self._dims(path)
+            raw = self._run(
+                ["ffmpeg", "-v", "error", "-i", path,
+                 "-vf", f"fps=1000/{max(every_ms, 1)}",
+                 "-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:1"]
+            )
+            sz = w * h * 3
+            return [
+                np.frombuffer(raw[i: i + sz], np.uint8).reshape(h, w, 3)
+                for i in range(0, len(raw) - sz + 1, sz)
+            ]
+
+        return self._with_tmp(data, go)
+
+    def decode_audio(self, data: bytes) -> "tuple[np.ndarray, int]":
+        def go(path):
+            raw = self._run(
+                ["ffmpeg", "-v", "error", "-i", path, "-f", "f32le",
+                 "-ac", "1", "-ar", str(self.sample_rate), "pipe:1"]
+            )
+            return np.frombuffer(raw, "<f4").astype("float64"), self.sample_rate
+
+        return self._with_tmp(data, go)
 
 
 def image_features(
@@ -243,12 +361,12 @@ def audio_features(
                 data = bytes(data or b"")
                 sha = hashlib.sha256(data).hexdigest()
                 try:
-                    h = hashlib.sha256(b"pcm" + data).digest()
-                    rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
-                    n = 1000 + h[8] * 100
-                    pcm = rng.standard_normal(n)
+                    pcm, sr = backend.decode_audio(data)
+                    pcm = np.asarray(pcm, dtype="float64")
                     rows.append(
-                        (mid, sha, len(data), int(n / 16), float(np.sqrt((pcm**2).mean())))
+                        (mid, sha, len(data),
+                         int(len(pcm) * 1000 // sr),
+                         float(np.sqrt((pcm**2).mean())))
                     )
                 except NotImplementedError:
                     rows.append((mid, sha, len(data), None, None))

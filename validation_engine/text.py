@@ -556,26 +556,32 @@ def decontaminate(
     Returns ``(id_col, n_contaminated_ngrams)`` for documents with at least
     ``min_hits`` overlapping n-grams — feed to an anti-join to drop them.
     """
-    from .dedup import token_shingles
+    from .dedup import token_shingle_hashes
 
+    # Shingles are derived as HASHES directly (token_shingle_hashes: one
+    # xxhash64 per token, one per k-window of token hashes) — never as
+    # concat strings.  Equality semantics are unchanged (this operator
+    # always joined on xxhash64 of the shingle); allocation count is not:
+    # interpreted HOFs are allocation-bound, and dropping the ~100-byte
+    # string per position measured 8× on the corpus stage at k=13.
+    #
     # NB (both explodes below): InferFiltersFromGenerate would infer
-    # ``size(token_shingles(..)) > 0`` and DUPLICATE the whole interpreted
-    # shingle tree into a filter under the Generate — every document's
-    # shingles computed twice (measured 1.4× on the corpus stage; at
-    # 10^12 files that is the heaviest stage's cost doubled).  Wrapping
-    # the array in the nondeterministic ``F.shuffle`` blocks the inference
-    # (filters cannot contain nondeterministic expressions) at the cost of
-    # one in-memory permutation per doc; n-gram ORDER is irrelevant here —
-    # only set membership is counted.
+    # ``size(...) > 0`` and DUPLICATE the whole interpreted shingle tree
+    # into a filter under the Generate — every document's shingles computed
+    # twice (measured 1.4× on the corpus stage; at 10^12 files that is the
+    # heaviest stage's cost doubled).  Wrapping the array in the
+    # nondeterministic ``F.shuffle`` blocks the inference (filters cannot
+    # contain nondeterministic expressions) at the cost of one in-memory
+    # permutation per doc; n-gram ORDER is irrelevant here — only set
+    # membership is counted.
     btoks = bench.select(lower_tokens(F.col(bench_text_col)).alias("_bt"))
     bgrams = (
         btoks.filter(F.size("_bt") >= n)
         .select(
             F.explode(
-                F.shuffle(token_shingles(F.concat_ws(" ", "_bt"), n))
-            ).alias("_g")
+                F.shuffle(token_shingle_hashes(F.concat_ws(" ", "_bt"), n))
+            ).alias("_gh")
         )
-        .select(F.xxhash64("_g").alias("_gh"))
         .distinct()
     )
     # NB: split('') yields [''] (size 1), so an empty/whitespace bench row
@@ -591,8 +597,8 @@ def decontaminate(
     ]
     dgrams = df.select(
         F.col(id_col),
-        F.explode(F.shuffle(token_shingles(text_col, n))).alias("_g"),
-    ).select(id_col, F.xxhash64("_g").alias("_gh"))
+        F.explode(F.shuffle(token_shingle_hashes(text_col, n))).alias("_gh"),
+    )
     hits = (
         dgrams.join(F.broadcast(bgrams), "_gh", "left_semi")
         .groupBy(id_col)
