@@ -213,16 +213,24 @@ def minhash_signature(shingles: Column, n_hashes: int = 16, use_md5: bool = Fals
         mins = [F.array_min(F.transform(shingles, hash_fn(i))) for i in range(n_hashes)]
         return F.array(*mins)
 
+    # ONE string hash per shingle, materialized before the fold
+    return minhash_signature_from_hashes(
+        F.transform(shingles, lambda s: F.xxhash64(s)), n_hashes
+    )
+
+
+def minhash_signature_from_hashes(hashes: Column, n_hashes: int = 16) -> Column:
+    """MinHash signature from an ``array<long>`` of pre-hashed shingles
+    (e.g. :func:`token_shingle_hashes`) — the string-free fast path: the
+    hash family is ``xxhash64(i, h)`` over the 8-byte values, a single
+    traversal computing every min at once."""
     max_long = F.lit((1 << 63) - 1).cast("long")
     init = F.array(*([max_long] * n_hashes))
-    # ONE string hash per shingle, materialized before the fold
-    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
 
     def fold(acc, h):
         derived = F.array(*[F.xxhash64(F.lit(i), h) for i in range(n_hashes)])
         return F.zip_with(acc, derived, lambda x, y: F.least(x, y))
 
-    # single traversal of the hash array computing every min at once
     return F.aggregate(hashes, init, fold)
 
 
@@ -261,11 +269,22 @@ def minhash_lsh_candidates(
     # n_hashes times, and Catalyst's CollapseProject keeps a non-cheap alias
     # referenced many times in its own projection — without this barrier the
     # tokenize+shingle subtree is re-evaluated per hash function (measured
-    # 16× slowdown at n_hashes=16)
-    with_sh = df.select(
-        F.col(id_col).alias("_id"), token_shingles(text_col, k).alias("_sh")
-    )
-    sig = minhash_signature(F.col("_sh"), n_hashes, use_md5)
+    # 16× slowdown at n_hashes=16).
+    # Fast path shingles are HASHES (token_shingle_hashes — no per-position
+    # string allocation, same banding semantics under any consistent hash
+    # family); the md5 path keeps string shingles, which the DuckDB oracle
+    # reproduces digest-for-digest.
+    if use_md5:
+        with_sh = df.select(
+            F.col(id_col).alias("_id"), token_shingles(text_col, k).alias("_sh")
+        )
+        sig = minhash_signature(F.col("_sh"), n_hashes, True)
+    else:
+        with_sh = df.select(
+            F.col(id_col).alias("_id"),
+            token_shingle_hashes(text_col, k).alias("_sh"),
+        )
+        sig = minhash_signature_from_hashes(F.col("_sh"), n_hashes)
     with_sig = with_sh.select("_id", sig.alias("_sig"))
     banded = with_sig.select(
         "_id",
@@ -308,9 +327,15 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact token-shingle Jaccard for candidate pairs: join shingle arrays
     onto both sides, intersect/union with array intrinsics.  Only candidate
-    documents are re-read (semi-join pushdown at the source)."""
+    documents are re-read (semi-join pushdown at the source).
+
+    Shingle sets are represented as xxhash64 values
+    (:func:`token_shingle_hashes`): intersection/union cardinalities — and
+    hence the Jaccard — are identical to the string-set computation up to
+    64-bit collisions, and long equality beats ~100-byte string equality
+    in the interpreted array intrinsics."""
     sh = df.select(
-        F.col(id_col).alias("_id"), token_shingles(text_col, k).alias("_sh")
+        F.col(id_col).alias("_id"), token_shingle_hashes(text_col, k).alias("_sh")
     )
     out = (
         pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
