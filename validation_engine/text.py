@@ -545,13 +545,20 @@ def decontaminate(
     count aggregation of matching rows (rare by construction).  Nothing
     corpus-sized is ever shuffled and the corpus is scanned once.
 
-    Benchmark rows SHORTER than ``n`` tokens cannot be caught by shingle
+    Benchmark rows SHORTER than ``n`` tokens cannot be caught by n-gram
     equality (their whole text is the unit of overlap), so — following the
     convention's whole-item containment rule for short items — they are
-    matched as normalized substrings of each document: a bounded literal
-    list folded into one map-side ``exists`` expression (collected once;
-    evaluation sets are small by definition).  Each containment hit counts
-    as one contaminated n-gram.
+    matched by token-boundary containment.  Containment of an ``m``-token
+    item at token boundaries IS ``m``-gram equality, so short items ride
+    the SAME hash-equality path as full n-grams: the corpus pass zips
+    ``n`` shifted slices of the per-token hash array ONCE and emits, per
+    position, the window hash for every distinct short length plus the
+    main n-gram — one tokenize, one zip, one explode, one broadcast
+    semi-join, one aggregation, regardless of how many short lengths the
+    eval set has.  (The previous formulation — a per-literal interpreted
+    ``contains`` scan over the corpus — cost O(|shorts| · doc_len) per
+    document: measured ~10× the entire gram pass at a few hundred short
+    items.)  Each contained short item counts as one contaminated n-gram.
 
     Returns ``(id_col, n_contaminated_ngrams)`` for documents with at least
     ``min_hits`` overlapping n-grams — feed to an anti-join to drop them.
@@ -595,53 +602,76 @@ def decontaminate(
         .collect()
         if r["_s"].strip()
     ]
-    dgrams = df.select(
-        F.col(id_col),
-        F.explode(F.shuffle(token_shingle_hashes(text_col, n))).alias("_gh"),
-    )
-    hits = (
-        dgrams.join(F.broadcast(bgrams), "_gh", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("_ng"))
-    )
     if not shorts:
-        return hits.select(
-            id_col, F.col("_ng").alias("n_contaminated_ngrams")
-        ).filter(F.col("n_contaminated_ngrams") >= int(min_hits))
-    # second (map-only) pass exists ONLY when the benchmark has short rows.
-    # Token-boundary anchoring: match ' item ' inside ' text ' so a short
-    # item cannot match across token boundaries ('is a cat' must not flag
-    # 'th[is a cat]tle').  norm_text is STAGED as its own column — HOF
-    # lambdas are interpreted with no CSE, so an inline expression would
-    # re-tokenize the document once per short item.
-    norm_text = F.concat(
-        F.lit(" "), F.concat_ws(" ", lower_tokens(F.col(text_col))), F.lit(" ")
-    )
-    staged = df.select(F.col(id_col), norm_text.alias("_nt"))
-    # HOF filter over ONE literal-array expression, not a sum of N when-
-    # chains: the when-sum wins ~2× in executor microbenchmarks (codegen vs
-    # interpreted) but its N-deep tree blows up driver-side planning and
-    # janino compile in the composed full-outer plan — measured 6.3 s vs
-    # 3.6 s end-to-end at N=50.  Eval sets are bounded, the corpus is not:
-    # keep the per-plan constant small.
-    short_hits = F.size(
-        F.filter(
-            F.array(*[F.lit(f" {s} ") for s in shorts]),
-            lambda s: F.contains(F.col("_nt"), s),
+        dgrams = df.select(
+            F.col(id_col),
+            F.explode(F.shuffle(token_shingle_hashes(text_col, n))).alias("_gh"),
         )
-    ).cast("long")
-    base = staged.select(F.col(id_col), short_hits.alias("_short")).filter(
-        F.col("_short") > 0
+        return (
+            dgrams.join(F.broadcast(bgrams), "_gh", "left_semi")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+            .filter(F.col("n_contaminated_ngrams") >= int(min_hits))
+        )
+    # The benchmark has short rows: unified single-pass.  Containment of an
+    # m-token item at token boundaries == the document having an m-gram
+    # whose token sequence equals the item ('is a cat' can never flag
+    # 'th[is a cat]tle' — token grams cannot cross token boundaries).  The
+    # short items' hashes are m-window hashes of their own token hashes
+    # (token_shingle_hashes with k = their exact token count yields exactly
+    # one window), distinct per item, so they union into the SAME broadcast
+    # set as the bench n-grams: different window widths feed xxhash64
+    # different arity, so the hash spaces only meet at chance collisions —
+    # a distinct matched hash is a distinct contaminated n-gram/item, and
+    # one count aggregation covers both kinds.
+    from functools import reduce
+
+    spark = df.sparkSession
+    by_m: dict = {}
+    for s in shorts:
+        by_m.setdefault(len(s.split()), []).append(s)
+    sframes = [
+        spark.createDataFrame([(x,) for x in items], "_q string").select(
+            F.explode(token_shingle_hashes("_q", m)).alias("_gh")
+        )
+        for m, items in by_m.items()
+    ]
+    bset = reduce(lambda a, b: a.unionByName(b), sframes, bgrams).distinct()
+    # corpus pass: per-token hashes staged once, then ONE arrays_zip of n
+    # shifted slices (arrays_zip null-pads the shorter slices) gives every
+    # window start; per position, one gated window hash per needed length —
+    # a single interpreted traversal no matter how many short lengths exist
+    # (per-length window passes would pay the zip + lambda-dispatch
+    # overhead |lengths| times; interpreted HOFs are allocation-bound).
+    th = F.transform(lower_tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+    staged = df.select(F.col(id_col), th.alias("_th"))
+    nn = F.size(F.col("_th"))
+    zipped = F.arrays_zip(
+        *[
+            F.slice(F.col("_th"), j + 1, F.greatest(nn - j, F.lit(0)))
+            for j in range(n)
+        ]
+    )
+    widths = sorted(by_m) + [n]
+
+    def window_hash(s, m):
+        # valid window iff the last field exists (arrays_zip null-padding)
+        return F.when(
+            s[str(m - 1)].isNotNull(),
+            F.xxhash64(*[s[str(j)] for j in range(m)]),
+        )
+
+    per_pos = F.transform(
+        zipped, lambda s: F.array(*[window_hash(s, m) for m in widths])
+    )
+    grams = F.array_distinct(F.array_compact(F.flatten(per_pos)))
+    dgrams = staged.select(
+        F.col(id_col), F.explode(F.shuffle(grams)).alias("_gh")
     )
     return (
-        base.join(hits, id_col, "full_outer")
-        .select(
-            id_col,
-            (
-                F.coalesce(F.col("_ng"), F.lit(0))
-                + F.coalesce(F.col("_short"), F.lit(0))
-            ).alias("n_contaminated_ngrams"),
-        )
+        dgrams.join(F.broadcast(bset), "_gh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
         .filter(F.col("n_contaminated_ngrams") >= int(min_hits))
     )
 
