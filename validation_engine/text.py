@@ -559,6 +559,9 @@ def decontaminate(
     ``contains`` scan over the corpus — cost O(|shorts| · doc_len) per
     document: measured ~10× the entire gram pass at a few hundred short
     items.)  Each contained short item counts as one contaminated n-gram.
+    Short items also no longer appear as string literals in the plan —
+    they become broadcast rows — so plan size and janino compile time stay
+    CONSTANT in the eval-set size.
 
     Returns ``(id_col, n_contaminated_ngrams)`` for documents with at least
     ``min_hits`` overlapping n-grams — feed to an anti-join to drop them.
