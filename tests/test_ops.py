@@ -333,6 +333,64 @@ def test_minhash_ansi_mode_safe(spark):
     assert (100, 101) in got
 
 
+def test_paragraph_dedup_removes_cross_corpus_boilerplate(spark):
+    """Cross-corpus paragraph dedup: a paragraph present in > max_freq
+    documents is removed from ALL of them; unique and ≤ max_freq
+    paragraphs survive in original order; intra-document repetition alone
+    does not trigger removal (frequency is per document); short paragraphs
+    are exempt; untouched docs keep their exact text."""
+    from validation_engine.dedup import paragraph_dedup
+
+    boiler = "subscribe to our newsletter for updates"
+    rare = "this paragraph appears in exactly two documents"
+    docs = [
+        (1, f"unique intro one\n\n{boiler}\n\nunique body one"),
+        (2, f"{boiler}\n\nunique body two\n\n{rare}"),
+        (3, f"unique intro three\n\n{boiler}"),
+        (4, f"{rare}\n\nunique body four"),
+        (5, "repeat me\n\nrepeat me\n\nrepeat me"),   # intra-doc only
+        (6, "ok\n\nok\n\nok\n\nlong unique paragraph six"),  # 'ok' short
+        (7, "totally untouched document\n\nwith two paragraphs"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in
+           paragraph_dedup(df, "doc_id", "text", max_freq=2, min_chars=3)
+           .collect()}
+    # boiler in 3 docs (> max_freq=2) → stripped everywhere, order kept
+    assert out[1]["text"] == "unique intro one\n\nunique body one"
+    assert out[2]["text"] == f"unique body two\n\n{rare}"
+    assert out[3]["text"] == "unique intro three"
+    assert [out[i]["n_paras_dropped"] for i in (1, 2, 3)] == [1, 1, 1]
+    # rare: 2 docs == max_freq → kept
+    assert rare in out[2]["text"] and out[4]["text"] == docs[3][1]
+    # per-document counting: doc 5's self-repetition is 1 document
+    assert out[5]["text"] == docs[4][1] and out[5]["n_paras_dropped"] == 0
+    # min_chars exempts 'ok' even though it repeats across... it does not:
+    # it repeats only within doc 6; also too short to be counted at all
+    assert out[6]["text"] == docs[5][1]
+    assert out[7]["text"] == docs[6][1] and out[7]["n_paras_dropped"] == 0
+
+
+def test_paragraph_dedup_plan_never_shuffles_text(spark):
+    """Scale shape: the only aggregations exchange (hash) and (id, pos)
+    longs — the corpus text column must not appear in any exchange input
+    (it is rebuilt map-side from the doc's own split after the drop-list
+    join)."""
+    from validation_engine.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(i, f"para a{i % 3}\n\npara b{i}") for i in range(50)],
+        "doc_id int, text string",
+    )
+    out = paragraph_dedup(df, "doc_id", "text", max_freq=2)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in ex, plan
+
+
 def test_connected_components_rejects_zero_max_iter(spark):
     """max_iter=0 must raise up front: the convergence loop would never run
     (its for/else referenced the round counter before assignment) and zero
@@ -1166,6 +1224,37 @@ def test_connected_components_star_self_pairs_and_parity(spark):
         got = {r["id"]: r["comp"] for r in
                connected_components(pairs, algorithm=algo).collect()}
         assert got == {1: 1, 2: 1, 5: 5}, f"{algo}: {got}"
+
+
+def test_decontaminate_unified_shorts_plan(spark):
+    """When the benchmark has sub-n rows, the operator must STILL be one
+    corpus pass into one broadcast semi-join: short items ride the m-gram
+    hash path (round 6) — no per-literal contains scan, no second corpus
+    pass, no full-outer recombination, and the InferFiltersFromGenerate
+    barrier stays on the (now width-multiplexed) explode child."""
+    from validation_engine.text import decontaminate
+
+    passage = " ".join(f"w{i}" for i in range(20))
+    train = spark.createDataFrame(
+        [(1, f"intro {passage} outro"), (2, "short quiz item here yes"),
+         (3, "clean body")],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [(passage,), ("quiz item here",), ("short quiz",)], "q string"
+    )
+    out = decontaminate(train, "doc_id", "text", bench, "q", n=13)
+    rows = {r["doc_id"]: r["n_contaminated_ngrams"] for r in out.collect()}
+    assert rows == {1: 8, 2: 2}
+    # assert on a FRESH un-executed plan: after an action AQE rewrites the
+    # tree into query stages whose string duplicates operators
+    fresh = decontaminate(train, "doc_id", "text", bench, "q", n=13)
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert plan.count("LeftSemi") == 1, plan          # ONE combined join
+    assert "FullOuter" not in plan, plan              # no recombination pass
+    assert "contains(" not in plan, plan              # no literal scan
+    assert "shuffle(" in plan and "size(shuffle(" not in plan, plan
 
 
 def test_decontaminate_short_benchmark_rows(spark):

@@ -229,3 +229,48 @@ def test_decontaminate_matches_python_reference(spark, corpus_toks, bench_toks):
         for r in decontaminate(df, "doc_id", "text", bdf, "q", n=n).collect()
     }
     assert got == expected, (corpus, bench)
+
+
+@given(
+    st.lists(  # documents: lists of paragraphs over a tiny pool (forces
+        st.lists(st.sampled_from(["aaa", "bbb", "ccc", "ddd", "x", "  "]),
+                 min_size=0, max_size=6),
+        min_size=1, max_size=10,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_paragraph_dedup_matches_python_reference(spark, doc_paras, max_freq):
+    """Property: paragraph_dedup == a direct Python reference on random
+    tiny corpora — per-document frequency counting, min_chars exemption,
+    order-preserving rebuild, n_paras_dropped accounting."""
+    from collections import Counter
+
+    from validation_engine.dedup import paragraph_dedup
+
+    min_chars = 2
+    docs = [(i, "\n\n".join(ps)) for i, ps in enumerate(doc_paras)]
+
+    def norm_sig(p):
+        t = p.strip()
+        return t if len(t) >= min_chars else None
+
+    freq = Counter()
+    for _i, ps in enumerate(doc_paras):
+        freq.update({s for p in ps if (s := norm_sig(p)) is not None})
+    boiler = {s for s, n in freq.items() if n > max_freq}
+    expected = {}
+    for i, text in docs:
+        ps = text.split("\n\n")
+        kept = [p for p in ps if norm_sig(p) not in boiler]
+        dropped = len(ps) - len(kept)
+        expected[i] = ("\n\n".join(kept) if dropped else text, dropped)
+
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_paras_dropped"])
+        for r in paragraph_dedup(
+            df, "doc_id", "text", max_freq=max_freq, min_chars=min_chars
+        ).collect()
+    }
+    assert got == expected, (docs, max_freq)

@@ -130,6 +130,90 @@ def _bucket_groups(banded: DataFrame, key: str, val: str, max_freq) -> DataFrame
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_freq: int = 2,
+    sep_pattern: str = r"\n{2,}",
+    join_sep: str = "\n\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Cross-corpus paragraph deduplication — remove paragraphs occurring
+    in more than ``max_freq`` documents (site boilerplate, headers,
+    cookie banners, license blocks): the C4/RefinedWeb sub-document
+    hygiene step between exact document dedup and quality filtering.
+
+    Returns ``df`` with ``text_col`` rebuilt from the surviving paragraphs
+    (original order, ``join_sep``-joined) plus ``n_paras_dropped``.
+    Paragraphs are compared by ``xxhash64`` of their trimmed text;
+    whitespace-only or sub-``min_chars`` paragraphs are kept verbatim
+    (they carry no signal and dropping them would reflow documents).
+    Frequency is counted per DOCUMENT (a paragraph repeated inside one
+    document counts once — intra-document repetition is
+    :func:`validation_engine.text.repetition_ratio`'s job).
+
+    Scale shape (the corpus text is never shuffled): (1) one map-side
+    explode feeds a (hash → doc-count) aggregation — map-side combine
+    reduces it to one row per DISTINCT paragraph before the only
+    all-to-all exchange, and only hashes+counts travel; (2) the
+    over-frequency hash set (bounded: boilerplate is by definition
+    high-frequency, so distinct offenders ≤ total-paragraphs/max_freq,
+    MBs in practice) semi-joins back onto a (id, pos, hash) projection —
+    AQE turns this into a broadcast join at runtime when the set is small
+    (no forced hint, per the round-5 broadcast audit); (3) only the
+    dropped (id, pos) pairs — longs, rare by construction — shuffle to a
+    per-doc drop list, which joins ``df`` on its key so each document
+    rebuilds map-side by index-filtering its own split.  AQE handles the
+    common case where most documents carry no boilerplate (drop list ≪
+    corpus → runtime broadcast).
+    """
+    if max_freq < 1:
+        raise ValueError("max_freq must be >= 1")
+    paras = F.split(F.col(text_col), sep_pattern)
+    sig = F.when(
+        F.length(F.trim(F.col("_p"))) >= int(min_chars),
+        F.xxhash64(F.trim(F.col("_p"))),
+    )
+    exploded = (
+        df.select(F.col(id_col), F.posexplode(paras).alias("_pos", "_p"))
+        .select(F.col(id_col), "_pos", sig.alias("_h"))
+        .filter(F.col("_h").isNotNull())
+    )
+    boiler = (
+        exploded.select(id_col, "_h")
+        .distinct()  # per-document frequency
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > int(max_freq))
+        .select("_h")
+    )
+    drops = (
+        exploded.join(boiler, "_h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("_pos").alias("_drop"))
+    )
+    rebuilt = F.filter(
+        F.transform(paras, lambda p, i: F.when(~F.array_contains("_drop", i), p)),
+        lambda p: p.isNotNull(),
+    )
+    return (
+        df.join(drops, id_col, "left")
+        .withColumn(
+            "n_paras_dropped",
+            # size(null) is -1 under legacy sizeOfNull (non-ANSI default)
+            F.when(F.col("_drop").isNull(), F.lit(0)).otherwise(F.size("_drop")),
+        )
+        .withColumn(
+            text_col,
+            F.when(F.col("_drop").isNull(), F.col(text_col)).otherwise(
+                F.concat_ws(join_sep, rebuilt)
+            ),
+        )
+        .drop("_drop")
+    )
+
+
 def token_shingles(col, k: int = 3) -> Column:
     """Token k-gram shingles as an array<string> — pure array intrinsics:
     transform over a 0..n-k index sequence, slice+concat per position."""
