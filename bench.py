@@ -296,6 +296,22 @@ def main() -> None:
     queries["dedup_exact_corpus"] = timed(
         "dedup_exact_corpus", lambda: exact_dedup(docs, "id", "text").count()
     )
+    # cross-corpus paragraph/boilerplate dedup: the corpus gets code-block
+    # paragraph structure (split before def/class/import), then paragraphs
+    # shared by >100 documents are stripped — the C4/RefinedWeb
+    # sub-document hygiene pass; the text column never enters an exchange
+    from validation_engine.dedup import paragraph_dedup
+
+    pdocs = docs.select(
+        "id",
+        F.regexp_replace(
+            F.col("text"), r"\s+(?=(def|class|import)\b)", "\n\n"
+        ).alias("text"),
+    )
+    queries["paragraph_dedup_corpus"] = timed(
+        "paragraph_dedup_corpus",
+        lambda: paragraph_dedup(pdocs, "id", "text", max_freq=100).count(),
+    )
     queries["dedup_minhash_lsh_corpus"] = timed(
         "dedup_minhash_lsh_corpus",
         lambda: minhash_lsh_candidates(
