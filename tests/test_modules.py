@@ -651,3 +651,47 @@ def test_compare_runs_flags_validity_regression(spark, tmp_path):
     # identical runs → nothing regressed
     same = compare_runs(prev, prev, tolerance=0.01).collect()
     assert not any(r["regressed"] for r in same)
+
+
+def test_model_quality_scores_fake_backend(spark):
+    """Classifier-filter seam: Arrow-batched mapInPandas scoring with the
+    deterministic fake — exact per-doc values independent of partitioning
+    and of batch_rows re-chunking; schema = (id, one double per score
+    name); null text scored as empty."""
+    import hashlib
+
+    from validation_engine.text import FakeQualityModel, model_quality_scores
+
+    rows = [(i, f"document body number {i}") for i in range(50)] + [(99, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def expect(t):
+        h = hashlib.sha256((t or "").encode()).digest()
+        return (h[0] / 255.0, h[1] / 255.0)
+
+    out = model_quality_scores(df, "doc_id", "text", batch_rows=7)
+    assert out.columns == ["doc_id", "quality", "toxicity"]
+    got = {r["doc_id"]: (r["quality"], r["toxicity"]) for r in out.collect()}
+    assert got == {i: expect(t) for i, t in rows}
+
+    # partitioning-invariant (the property a resumable 100 TB run needs)
+    got2 = {r["doc_id"]: (r["quality"], r["toxicity"])
+            for r in model_quality_scores(
+                df.repartition(7), "doc_id", "text", batch_rows=3).collect()}
+    assert got2 == got
+
+
+def test_fasttext_backend_fails_fast_without_fasttext():
+    """Same fail-fast contract as PIL/ffmpeg backends: model-less
+    environments get an actionable construction error, never per-row
+    executor exceptions."""
+    try:
+        import fasttext  # noqa: F401
+
+        pytest.skip("fasttext installed — exercise with a real model instead")
+    except ImportError:
+        pass
+    from validation_engine.text import FasttextQualityModel
+
+    with pytest.raises(ImportError, match="fasttext"):
+        FasttextQualityModel("/nonexistent/model.bin")

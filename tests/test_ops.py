@@ -333,6 +333,63 @@ def test_minhash_ansi_mode_safe(spark):
     assert (100, 101) in got
 
 
+def test_cross_dedup_exact_and_minhash(spark):
+    """Incremental snapshot dedup: new docs whose content already exists in
+    the old corpus are dropped (exact digest / minhash band collision);
+    genuinely new docs survive with all columns; new-vs-new duplicates are
+    deliberately NOT touched (self-dedup is a separate composable pass)."""
+    from validation_engine.dedup import cross_dedup
+
+    dup_text = "the exact same article body as before word for word"
+    old = spark.createDataFrame(
+        [(100, dup_text), (101, "old only content one"),
+         (102, "old only content two")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, dup_text),                       # already in old → dropped
+         (2, "a brand new never seen piece"),  # survives
+         (3, "another fresh document body"),   # survives
+         (4, "another fresh document body")],  # new-vs-new dup → kept
+        "doc_id long, text string",
+    )
+    for method in ("exact", "minhash"):
+        kept = {r["doc_id"] for r in
+                cross_dedup(new, old, "doc_id", "text", method=method).collect()}
+        assert kept == {2, 3, 4}, (method, kept)
+    # all original columns come back
+    out = cross_dedup(new.withColumn("extra", F.lit("x")), old,
+                      "doc_id", "text").columns
+    assert set(out) == {"doc_id", "text", "extra"}
+    import pytest
+
+    with pytest.raises(ValueError, match="method"):
+        cross_dedup(new, old, "doc_id", "text", method="nope")
+
+
+def test_cross_dedup_minhash_band_freq_cap(spark):
+    """max_band_freq ignores the old corpus's mega-buckets: a band key
+    shared by hundreds of boilerplate old docs is low-signal and must not
+    wipe out matching new docs; a normal-frequency old key still drops
+    its new-side duplicate."""
+    from validation_engine.dedup import cross_dedup
+
+    boiler = "identical boilerplate page body repeated across the old corpus"
+    rare = "a rare old document body that should still catch its duplicate"
+    old = spark.createDataFrame(
+        [(i, boiler) for i in range(300)] + [(1000, rare)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, boiler), (2, rare), (3, "fresh unique body")],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in
+            cross_dedup(new, old, "doc_id", "text", method="minhash",
+                        max_band_freq=50).collect()}
+    assert kept == {1, 3}  # boiler survives (mega-bucket ignored), rare dup dropped
+
+
 def test_paragraph_dedup_removes_cross_corpus_boilerplate(spark):
     """Cross-corpus paragraph dedup: a paragraph present in > max_freq
     documents is removed from ALL of them; unique and ≤ max_freq

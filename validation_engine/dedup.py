@@ -130,6 +130,72 @@ def _bucket_groups(banded: DataFrame, key: str, val: str, max_freq) -> DataFrame
     )
 
 
+def cross_dedup(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    method: str = "exact",
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    max_band_freq: Optional[int] = None,
+) -> DataFrame:
+    """Incremental snapshot dedup — drop NEW documents already present in
+    an EXISTING corpus: the hygiene pass every fresh crawl/data drop runs
+    against the accumulated training set before ingestion.  Returns the
+    surviving rows of ``new_df`` (all its columns).
+
+    ``method='exact'``: sha256-digest anti-join.  Both sides reduce to
+    digests map-side; the join shuffles only (digest) keys — at 10^12-doc
+    scale this is a sort-merge join of two digest streams, and Spark
+    never moves either corpus's payload (the anti-join probes ``new_df``
+    by its own digest column, computed in the same scan that carries the
+    payload).  Store the old side's digests as their own column/table and
+    the old corpus is never re-read at all.
+
+    ``method='minhash'``: near-dup variant — OLD documents' banded MinHash
+    keys build the bucket set; NEW documents joining any old band key are
+    dropped (``left_anti`` on the exploded band keys, aggregated back to
+    ids).  Shuffles only (band_key, id) pairs, mirroring
+    :func:`minhash_lsh_candidates`' no-self-join shape; ``max_band_freq``
+    caps boilerplate mega-buckets on the OLD side the same way.  Note the
+    asymmetry is deliberate: new-vs-new duplicates are NOT dropped here —
+    run a self-dedup on the survivors for that (composition keeps each
+    pass one shuffle).
+    """
+    if method == "exact":
+        digest = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+        old_digests = old_df.select(digest.alias("_digest")).distinct()
+        return (
+            new_df.withColumn("_digest", digest)
+            .join(old_digests, "_digest", "left_anti")
+            .drop("_digest")
+        )
+    if method != "minhash":
+        raise ValueError("method must be 'exact' or 'minhash'")
+
+    old_keys = _band_keys(old_df, id_col, text_col, k, n_hashes, bands).select(
+        "bkey"
+    )
+    if max_band_freq is not None:
+        old_keys = (
+            old_keys.groupBy("bkey")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= int(max_band_freq))
+            .select("bkey")
+        )
+    else:
+        old_keys = old_keys.distinct()
+    dup_ids = (
+        _band_keys(new_df, id_col, text_col, k, n_hashes, bands)
+        .join(old_keys, "bkey", "left_semi")
+        .select(F.col("_id").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(dup_ids, id_col, "left_anti")
+
+
 def paragraph_dedup(
     df: DataFrame,
     id_col: str,
@@ -318,6 +384,61 @@ def minhash_signature_from_hashes(hashes: Column, n_hashes: int = 16) -> Column:
     return F.aggregate(hashes, init, fold)
 
 
+def _band_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    n_hashes: int,
+    bands: int,
+    use_md5: bool = False,
+) -> DataFrame:
+    """``(_id, bkey)`` banded MinHash LSH keys, one row per (doc, band).
+
+    Shingles are materialized ONCE as their own projection alias: the
+    signature embeds the shingle column n_hashes times, and Catalyst's
+    CollapseProject keeps a non-cheap alias referenced many times in its
+    own projection — without this barrier the tokenize+shingle subtree is
+    re-evaluated per hash function (measured 16× slowdown at n_hashes=16).
+    Fast-path shingles are HASHES (:func:`token_shingle_hashes` — no
+    per-position string allocation, same banding semantics under any
+    consistent hash family); the md5 path keeps string shingles, which
+    the DuckDB oracle reproduces digest-for-digest."""
+    rows = n_hashes // bands
+    assert rows * bands == n_hashes, "bands must divide n_hashes"
+    if use_md5:
+        with_sh = df.select(
+            F.col(id_col).alias("_id"), token_shingles(text_col, k).alias("_sh")
+        )
+        sig = minhash_signature(F.col("_sh"), n_hashes, True)
+    else:
+        with_sh = df.select(
+            F.col(id_col).alias("_id"),
+            token_shingle_hashes(text_col, k).alias("_sh"),
+        )
+        sig = minhash_signature_from_hashes(F.col("_sh"), n_hashes)
+    with_sig = with_sh.select("_id", sig.alias("_sig"))
+    return with_sig.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.concat_ws(
+                    ",",
+                    b.cast("string"),
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice("_sig", b * rows + 1, rows),
+                            lambda x: x.cast("string"),
+                        ),
+                    ),
+                ),
+            )
+        ).alias("bkey"),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -347,48 +468,7 @@ def minhash_lsh_candidates(
     than ``max_band_freq`` are dropped in the same aggregation — the
     standard frequency cap used by large-scale dedup pipelines, free here.
     """
-    rows = n_hashes // bands
-    assert rows * bands == n_hashes, "bands must divide n_hashes"
-    # materialize shingles ONCE: the signature embeds the shingle column
-    # n_hashes times, and Catalyst's CollapseProject keeps a non-cheap alias
-    # referenced many times in its own projection — without this barrier the
-    # tokenize+shingle subtree is re-evaluated per hash function (measured
-    # 16× slowdown at n_hashes=16).
-    # Fast path shingles are HASHES (token_shingle_hashes — no per-position
-    # string allocation, same banding semantics under any consistent hash
-    # family); the md5 path keeps string shingles, which the DuckDB oracle
-    # reproduces digest-for-digest.
-    if use_md5:
-        with_sh = df.select(
-            F.col(id_col).alias("_id"), token_shingles(text_col, k).alias("_sh")
-        )
-        sig = minhash_signature(F.col("_sh"), n_hashes, True)
-    else:
-        with_sh = df.select(
-            F.col(id_col).alias("_id"),
-            token_shingle_hashes(text_col, k).alias("_sh"),
-        )
-        sig = minhash_signature_from_hashes(F.col("_sh"), n_hashes)
-    with_sig = with_sh.select("_id", sig.alias("_sig"))
-    banded = with_sig.select(
-        "_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.concat_ws(
-                    ",",
-                    b.cast("string"),
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice("_sig", b * rows + 1, rows),
-                            lambda x: x.cast("string"),
-                        ),
-                    ),
-                ),
-            )
-        ).alias("bkey"),
-    )
+    banded = _band_keys(df, id_col, text_col, k, n_hashes, bands, use_md5)
     buckets = _bucket_groups(banded, "bkey", "_id", max_band_freq).withColumnRenamed(
         "_members", "ids"
     )

@@ -716,3 +716,127 @@ def redact_pii(col, patterns=None, token: str = "[PII]") -> Column:
     for rx in patterns.values():
         col = F.regexp_replace(col, rx, token)
     return col
+
+
+class QualityModelBackend:
+    """Model-based quality-scorer seam — the pluggable stage for the
+    classifier filter every large pretraining pipeline runs after the
+    cheap heuristic gates (fasttext quality/toxicity classifiers, small
+    LM scorers).  Mirrors ``multimodal.DecodeBackend``: real model
+    libraries are not in this container, so the interface is honest and
+    a deterministic fake keeps the Spark-side plumbing (Arrow batching,
+    schema, broadcast-of-model semantics) real and tested; a real backend
+    drops in on a cluster without touching the plan.
+
+    Implementations must be PICKLABLE (the instance ships inside the
+    Arrow UDF closure to every executor) and should load any heavy model
+    artifact LAZILY per worker (in ``scores``, cached on self), never in
+    ``__init__`` on the driver.
+    """
+
+    #: names of the float scores ``scores`` returns per document, in order
+    score_names = ("quality",)
+
+    def scores(self, texts) -> "list[tuple]":
+        """Batch-score: list/Series of strings -> list of
+        ``len(score_names)``-tuples of floats."""
+        raise NotImplementedError(
+            "no model runtime in this environment; use FakeQualityModel for "
+            "plumbing tests or provide a fasttext/transformers-backed "
+            "backend on a cluster"
+        )
+
+
+class FakeQualityModel(QualityModelBackend):
+    """Deterministic fake: scores derive from a hash of the text — stable
+    across runs/executors/partitionings so tests can assert exact values."""
+
+    score_names = ("quality", "toxicity")
+
+    def scores(self, texts):
+        import hashlib
+
+        out = []
+        for t in texts:
+            h = hashlib.sha256((t or "").encode()).digest()
+            out.append((h[0] / 255.0, h[1] / 255.0))
+        return out
+
+
+class FasttextQualityModel(QualityModelBackend):
+    """Real fasttext-backed scorer — drops in where the ``fasttext``
+    package and a model file exist (this container has neither).
+    Fail-fast construction (library check), lazy per-worker model load;
+    the model FILE must be present on every executor at ``model_path``
+    (ship via ``--files``/cluster storage) — only the path pickles."""
+
+    score_names = ("quality",)
+
+    def __init__(self, model_path: str, positive_label: str = "__label__hq"):
+        try:
+            import fasttext  # noqa: F401
+        except ImportError as e:  # pragma: no cover - exercised when absent
+            raise ImportError(
+                "FasttextQualityModel requires the fasttext package on "
+                "driver AND executors; use FakeQualityModel for plumbing "
+                "tests in model-less environments"
+            ) from e
+        self.model_path = model_path
+        self.positive_label = positive_label
+        self._model = None  # loaded lazily per worker
+
+    def scores(self, texts):
+        import fasttext
+
+        if self._model is None:
+            self._model = fasttext.load_model(self.model_path)
+        labels, probs = self._model.predict(
+            [(t or "").replace("\n", " ") for t in texts]
+        )
+        out = []
+        for ls, ps in zip(labels, probs):
+            by = dict(zip(ls, ps))
+            out.append((float(by.get(self.positive_label, 0.0)),))
+        return out
+
+
+def model_quality_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    backend: Optional[QualityModelBackend] = None,
+    batch_rows: int = 1024,
+) -> DataFrame:
+    """Classifier-based quality scores per document: ``(id_col, <one
+    double column per backend.score_names>)`` — the model-filter stage
+    that follows :func:`quality_score`'s cheap heuristic gates.
+
+    Scale shape: pure ``mapInPandas`` — Arrow-batched, zero shuffles,
+    composes map-side with the scan (a following ``filter`` on the score
+    prunes before anything wide).  The backend instance broadcasts inside
+    the UDF closure; heavy model artifacts load lazily per worker (see
+    :class:`QualityModelBackend`).  ``batch_rows`` re-chunks Arrow
+    batches so a backend's peak memory is bounded regardless of
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    backend = backend or FakeQualityModel()
+    names = list(backend.score_names)
+    id_field = df.schema[id_col]
+    schema = T.StructType(
+        [id_field] + [T.StructField(n, T.DoubleType(), True) for n in names]
+    )
+
+    def run(it):
+        for pdf in it:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start:start + batch_rows]
+                scores = backend.scores(list(chunk[text_col]))
+                out = {id_col: chunk[id_col].values}
+                for j, n in enumerate(names):
+                    out[n] = [float(s[j]) for s in scores]
+                yield pd.DataFrame(out)
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
