@@ -312,6 +312,16 @@ def main() -> None:
         "paragraph_dedup_corpus",
         lambda: paragraph_dedup(pdocs, "id", "text", max_freq=100).count(),
     )
+    # incremental snapshot dedup: a third of the corpus is "already
+    # ingested" (old side reduces to digests map-side); the anti-join
+    # shuffles only digest keys
+    from validation_engine.dedup import cross_dedup
+
+    old_side = docs.filter(F.pmod(F.col("id"), 3) == 0)
+    queries["cross_dedup_corpus"] = timed(
+        "cross_dedup_corpus",
+        lambda: cross_dedup(docs, old_side, "id", "text", method="exact").count(),
+    )
     queries["dedup_minhash_lsh_corpus"] = timed(
         "dedup_minhash_lsh_corpus",
         lambda: minhash_lsh_candidates(

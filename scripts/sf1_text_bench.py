@@ -76,6 +76,24 @@ def run_ops(spark, docs, n) -> dict:
     dt = time.time() - t0
     out["decontaminate"] = {"sec": round(dt, 2), "rows_per_sec": round(n / dt, 1),
                             "n_flagged": n_flagged}
+    # cross-corpus paragraph dedup (round 6): code-block paragraph
+    # structure synthesized map-side, boilerplate = paragraphs in >100 docs
+    from validation_engine.dedup import paragraph_dedup
+
+    pdocs = docs.select(
+        "id",
+        F.regexp_replace(
+            F.col("text"), r"\s+(?=(def|class|import)\b)", "\n\n"
+        ).alias("text"),
+    )
+    t0 = time.time()
+    n_dropped = (
+        paragraph_dedup(pdocs, "id", "text", max_freq=100)
+        .agg(F.sum("n_paras_dropped")).collect()[0][0]
+    )
+    dt = time.time() - t0
+    out["paragraph_dedup"] = {"sec": round(dt, 2), "rows_per_sec": round(n / dt, 1),
+                              "n_paras_dropped": int(n_dropped or 0)}
     return out
 
 

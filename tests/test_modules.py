@@ -695,3 +695,35 @@ def test_fasttext_backend_fails_fast_without_fasttext():
 
     with pytest.raises(ImportError, match="fasttext"):
         FasttextQualityModel("/nonexistent/model.bin")
+
+
+def test_model_token_counts_matches_codegen_bpe(spark):
+    """Tokenizer seam: the Arrow path with the fake BPE backend must agree
+    EXACTLY with the codegen token_count(mode='bpe') expression on every
+    row (incl. null/empty/symbol-heavy), independent of batch chunking."""
+    from validation_engine.text import model_token_counts, token_count
+
+    rows = [(1, "def main(): return x + 1"), (2, ""), (3, None),
+            (4, "a,b;;c 12 34"), (5, "   spaces   only   "),
+            (6, "x" * 500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    arrow = {r["doc_id"]: r["n_tokens"] for r in
+             model_token_counts(df, "doc_id", "text", batch_rows=2).collect()}
+    codegen = {r["doc_id"]: r["n"] for r in
+               df.select("doc_id",
+                         token_count(F.coalesce(F.col("text"), F.lit("")),
+                                     mode="bpe").alias("n")).collect()}
+    assert arrow == codegen
+
+
+def test_tiktoken_backend_fails_fast_without_tiktoken():
+    try:
+        import tiktoken  # noqa: F401
+
+        pytest.skip("tiktoken installed — exercise with a real encoding")
+    except ImportError:
+        pass
+    from validation_engine.text import TiktokenTokenizer
+
+    with pytest.raises(ImportError, match="tiktoken"):
+        TiktokenTokenizer()

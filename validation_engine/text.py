@@ -840,3 +840,92 @@ def model_quality_scores(
                 yield pd.DataFrame(out)
 
     return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
+class TokenizerBackend:
+    """Real-tokenizer seam — exact token counts from the MODEL'S OWN
+    tokenizer, the numbers sequence packing and token-budget accounting
+    must agree with at training time (:func:`token_count`'s whitespace /
+    BPE-ish regex modes are the cheap codegen approximations; this seam
+    is the exact path).  Same contract as :class:`QualityModelBackend`:
+    picklable, heavy artifacts (merges/vocab) load LAZILY per worker."""
+
+    def count(self, texts) -> "list[int]":
+        """Batch token counts: list of strings -> list of ints."""
+        raise NotImplementedError(
+            "no tokenizer runtime in this environment; use "
+            "FakeBPETokenizer for plumbing tests or provide a "
+            "tiktoken/tokenizers-backed backend on a cluster"
+        )
+
+
+class FakeBPETokenizer(TokenizerBackend):
+    """Deterministic fake: the same word/number/symbol pre-segmentation as
+    ``token_count(mode='bpe')``, so the Arrow path is verifiable against
+    the codegen expression on any input."""
+
+    def count(self, texts):
+        import re
+
+        pat = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+        return [len(pat.findall(t or "")) for t in texts]
+
+
+class TiktokenTokenizer(TokenizerBackend):
+    """Real BPE counts via ``tiktoken`` — drops in where the package
+    exists (this container ships none).  Fail-fast construction; the
+    encoding object loads lazily per worker (only the encoding NAME
+    pickles)."""
+
+    def __init__(self, encoding: str = "cl100k_base"):
+        try:
+            import tiktoken  # noqa: F401
+        except ImportError as e:  # pragma: no cover - exercised when absent
+            raise ImportError(
+                "TiktokenTokenizer requires the tiktoken package on driver "
+                "AND executors; use FakeBPETokenizer for plumbing tests in "
+                "tokenizer-less environments"
+            ) from e
+        self.encoding = encoding
+        self._enc = None
+
+    def count(self, texts):
+        import tiktoken
+
+        if self._enc is None:
+            self._enc = tiktoken.get_encoding(self.encoding)
+        return [len(x) for x in self._enc.encode_ordinary_batch(
+            [t or "" for t in texts]
+        )]
+
+
+def model_token_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    backend: Optional[TokenizerBackend] = None,
+    batch_rows: int = 4096,
+) -> DataFrame:
+    """Exact per-document token counts from a real tokenizer:
+    ``(id_col, n_tokens)`` — feed to :func:`pack_greedy`/``pack_strict``
+    when the training run's budget must match the model tokenizer
+    exactly.  Pure Arrow-batched ``mapInPandas``, zero shuffles,
+    ``batch_rows`` re-chunking bounds backend peak memory."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    backend = backend or FakeBPETokenizer()
+    schema = T.StructType(
+        [df.schema[id_col], T.StructField("n_tokens", T.LongType(), False)]
+    )
+
+    def run(it):
+        for pdf in it:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start:start + batch_rows]
+                yield pd.DataFrame(
+                    {id_col: chunk[id_col].values,
+                     "n_tokens": backend.count(list(chunk[text_col]))}
+                )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
