@@ -1393,3 +1393,41 @@ def test_shuffle_shards_deterministic_and_uniform(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.select("shard").distinct().count() == 4
     assert back.count() == 2000
+
+
+def test_mix_corpora_weights_and_determinism(spark):
+    """Deterministic corpus mixing: integer weights give exact epoch
+    copies; fractional parts sample at the target rate (statistically);
+    the selection is a pure function of (id, seed) — invariant to input
+    partitioning — and different seeds pick genuinely different subsets."""
+    from validation_engine.text import mix_corpora
+
+    a = spark.range(0, 4000).select(F.col("id"), F.lit("srcA").alias("t"))
+    b = spark.range(10_000, 14_000).select(F.col("id"), F.lit("srcB").alias("t"))
+    out = mix_corpora([("a", a), ("b", b)], "id",
+                      weights={"a": 2.5, "b": 0.25}, seed=7)
+    rows = out.groupBy("_mix_source", "_mix_epoch").count().collect()
+    by = {(r["_mix_source"], r["_mix_epoch"]): r["count"] for r in rows}
+    assert by[("a", 0)] == 4000 and by[("a", 1)] == 4000   # two full epochs
+    assert 4000 * 0.4 < by[("a", 2)] < 4000 * 0.6          # ~0.5 sample
+    assert 4000 * 0.15 < by[("b", 0)] < 4000 * 0.35        # ~0.25 sample
+    assert set(by) == {("a", 0), ("a", 1), ("a", 2), ("b", 0)}
+
+    # partitioning-invariance: identical selection from a repartitioned input
+    out2 = mix_corpora([("a", a.repartition(13)), ("b", b.repartition(3))],
+                       "id", weights={"a": 2.5, "b": 0.25}, seed=7)
+    key = lambda df: {(r["id"], r["_mix_source"], r["_mix_epoch"])
+                      for r in df.collect()}
+    assert key(out) == key(out2)
+    # reseed ⇒ different fractional selections
+    out3 = mix_corpora([("b", b)], "id", weights={"b": 0.25}, seed=8)
+    sel7 = {r["id"] for r in out.filter(F.col("_mix_source") == "b").collect()}
+    sel8 = {r["id"] for r in out3.collect()}
+    assert sel7 != sel8 and len(sel7 ^ sel8) > 100
+
+    import pytest
+
+    with pytest.raises(ValueError, match="negative"):
+        mix_corpora([("a", a)], "id", weights={"a": -1})
+    with pytest.raises(ValueError, match="at least one"):
+        mix_corpora([], "id")

@@ -241,6 +241,64 @@ def stratified_sample(
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
 
 
+def mix_corpora(
+    sources, id_col: str, weights=None, seed: int = 0
+) -> DataFrame:
+    """Deterministic weighted corpus mixing — compose the training set
+    from multiple sources at target sampling rates, with UPSAMPLING
+    (weight > 1 ⇒ multiple epochs of the same source) expressed as extra
+    copies tagged by ``_mix_epoch``: the standard data-mixture step
+    between per-source cleaning and the global shard shuffle.
+
+    ``sources``: list of ``(name, DataFrame)``; ``weights``: dict
+    ``name -> float`` (default 1.0 = take everything once).  Weight 2.5
+    means two full passes plus a deterministic 0.5-rate sample as epoch 2.
+    Output = union of all selections with ``_mix_source`` and
+    ``_mix_epoch`` columns — feed ``(id, _mix_epoch)`` into
+    :func:`shuffle_shards`' id so repeated epochs land in different
+    shard positions.
+
+    Determinism/scale shape: selection is ``pmod(xxhash64(id, seed,
+    epoch), 2^20) < rate·2^20`` — a pure map-side predicate of (id,
+    seed), no RNG state, no shuffle, invariant to partitioning and
+    cluster size (same properties as :func:`shuffle_shards`, and unlike
+    ``df.sample`` it is reproducible across resumes and engines).  The
+    union is a plan-level concatenation — Spark reads each source once,
+    map-side."""
+    weights = weights or {}
+    denom = 1 << 20
+    parts = []
+    for name, df in sources:
+        w = float(weights.get(name, 1.0))
+        if w < 0:
+            raise ValueError(f"negative weight for source {name!r}")
+        n_full = int(w)
+        frac = w - n_full
+        epochs = [(e, 1.0) for e in range(n_full)]
+        if frac > 0:
+            epochs.append((n_full, frac))
+        for epoch, rate in epochs:
+            part = df.withColumns(
+                {
+                    "_mix_source": F.lit(name),
+                    "_mix_epoch": F.lit(epoch).cast("int"),
+                }
+            )
+            if rate < 1.0:
+                gate = F.pmod(
+                    F.xxhash64(F.col(id_col), F.lit(seed), F.lit(epoch)),
+                    F.lit(denom),
+                ) < F.lit(int(rate * denom))
+                part = part.filter(gate)
+            parts.append(part)
+    if not parts:
+        raise ValueError("mix_corpora needs at least one source")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def text_profile(df: DataFrame, col: str) -> DataFrame:
     """One-pass per-document profile: adds lang_id/quality/token counts/fp.
 
