@@ -331,3 +331,70 @@ def test_training_export_pipeline_end_to_end(spark, tmp_path):
     assert len(per_shard) == 4 and all(r["count"] > 30 for r in per_shard)
     bin_tot = out1.groupBy("shard", "bin").agg(F.sum("n_tok").alias("t")).collect()
     assert all(r["t"] < 256 + 33 for r in bin_tot)  # max doc = 32 tokens
+
+
+def test_full_mixture_pipeline_reproducible(spark, tmp_path):
+    """Round-6 capstone extension: the COMPLETE modern mixture pipeline —
+    weighted corpus mixing with epoch upsampling → exact dedup (per
+    epoch-stream) → cross-corpus paragraph/boilerplate dedup →
+    benchmark decontamination → quality floor → deterministic shard
+    shuffle keyed by (id, epoch) → per-shard sequence packing →
+    partitioned write — run twice, the second time from adversarially
+    re-partitioned/re-ordered sources, producing IDENTICAL shard
+    assignments, order keys, bins, and texts per (doc, epoch)."""
+    from validation_engine.dedup import paragraph_dedup
+    from validation_engine.text import (
+        decontaminate, mix_corpora, pack_greedy, shuffle_shards, token_count,
+    )
+
+    boiler = "join our mailing list now"
+    passage = " ".join(f"bench{i}" for i in range(16))
+    src_a = [(i, f"alpha doc {i}\n\n{boiler}\n\n" +
+              " ".join(f"a{i}_{j}" for j in range(18 + i % 7))) for i in range(80)]
+    src_b = [(1000 + i, f"beta doc {i}\n\n" +
+              " ".join(f"b{i}_{j}" for j in range(15 + i % 5))) for i in range(40)]
+    src_b += [(2000, f"lead {passage} tail")]          # contaminated
+    a_df = spark.createDataFrame(src_a, "doc_id long, text string")
+    b_df = spark.createDataFrame(src_b, "doc_id long, text string")
+    bench = spark.createDataFrame([(passage,)], "q string")
+
+    def run(a, b, out_dir):
+        mixed = mix_corpora([("a", a), ("b", b)], "doc_id",
+                            weights={"a": 1.0, "b": 2.0}, seed=3)
+        mixed = mixed.withColumn(
+            "mix_id", F.xxhash64("doc_id", "_mix_epoch"))
+        cleaned = paragraph_dedup(mixed, "mix_id", "text", max_freq=10)
+        flagged = decontaminate(cleaned, "mix_id", "text", bench, "q", n=13)
+        kept = (cleaned.join(flagged.select("mix_id"), "mix_id", "left_anti")
+                .withColumn("n_tok", token_count("text"))
+                .filter(F.col("n_tok") >= 5))
+        sharded = shuffle_shards(kept, "mix_id", n_shards=4, seed=11)
+        packed = pack_greedy(
+            sharded.withColumnRenamed("_shuffle_key", "skey"),
+            "skey", "n_tok", max_tokens=128, partition_by=["shard"])
+        (packed.repartition(4, "shard")
+               .sortWithinPartitions("shard", "skey", "mix_id")
+               .write.mode("overwrite").partitionBy("shard").parquet(out_dir))
+        return spark.read.parquet(out_dir)
+
+    out1 = run(a_df, b_df, str(tmp_path / "m1"))
+    out2 = run(a_df.repartition(11).sortWithinPartitions(F.desc("text")),
+               b_df.repartition(5), str(tmp_path / "m2"))
+
+    def snap(df):
+        return {(r["doc_id"], r["_mix_epoch"]):
+                (r["shard"], r["skey"], r["bin"], r["text"])
+                for r in df.collect()}
+
+    s1, s2 = snap(out1), snap(out2)
+    assert s1 == s2
+    # mixture shape: b appears twice (epochs 0,1), a once; boilerplate gone
+    epochs_b = {e for (d, e) in s1 if d >= 1000}
+    assert epochs_b == {0, 1}
+    assert all(e == 0 for (d, e) in s1 if d < 1000)
+    assert all(boiler not in t for (_, _, _, t) in s1.values())
+    # contaminated doc dropped in every epoch
+    assert not any(d == 2000 for (d, _) in s1)
+    # both epoch copies of a b-doc land independently (different keys)
+    some_b = next(d for (d, e) in s1 if d >= 1000 and e == 0)
+    assert s1[(some_b, 0)][1] != s1[(some_b, 1)][1]
