@@ -1431,3 +1431,69 @@ def test_mix_corpora_weights_and_determinism(spark):
         mix_corpora([("a", a)], "id", weights={"a": -1})
     with pytest.raises(ValueError, match="at least one"):
         mix_corpora([], "id")
+
+
+def test_paragraph_dedup_duckdb_parity(spark):
+    """Independent-engine parity (same pattern as the driver's oracle gate,
+    run in-suite because paragraph_dedup is outside the 50-query set): the
+    per-document dropped-paragraph counts match a DuckDB SQL formulation of
+    the identical semantics on a generated paragraph corpus."""
+    import duckdb
+
+    from validation_engine.dedup import paragraph_dedup
+
+    pool = [f"para body number {i}" for i in range(12)] + ["xx"]  # one short
+    rows = []
+    for d in range(60):
+        ps = [pool[(d * 7 + j) % len(pool)] for j in range(2 + d % 4)]
+        rows.append((d, "\n\n".join(ps)))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r["n_paras_dropped"] for r in
+           paragraph_dedup(df, "doc_id", "text", max_freq=5, min_chars=3)
+           .filter(F.col("n_paras_dropped") > 0).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    oracle = dict(con.execute(r"""
+        WITH paras AS (
+          SELECT doc_id, trim(p) AS p
+          FROM docs, unnest(regexp_split_to_array(text, '\n{2,}')) AS t(p)
+          WHERE length(trim(p)) >= 3
+        ), freq AS (
+          SELECT p, count(DISTINCT doc_id) AS n FROM paras GROUP BY p
+        ), boiler AS (SELECT p FROM freq WHERE n > 5)
+        SELECT doc_id, CAST(count(*) AS INT) AS n_dropped
+        FROM paras JOIN boiler USING (p)
+        GROUP BY doc_id
+    """).fetchall())
+    assert got == oracle and len(oracle) > 10
+
+
+def test_cross_dedup_exact_duckdb_parity(spark):
+    """Independent-engine parity for incremental exact dedup: surviving
+    new-side ids match a DuckDB digest anti-join (sha256 is the shared
+    digest across engines)."""
+    import duckdb
+
+    from validation_engine.dedup import cross_dedup
+
+    old_rows = [(i, f"shared body {i % 20}") for i in range(40)]
+    new_rows = [(100 + i, f"shared body {i % 30}") for i in range(60)] + \
+               [(500, None), (501, "")]
+    old = spark.createDataFrame(old_rows, "doc_id int, text string")
+    new = spark.createDataFrame(new_rows, "doc_id int, text string")
+    got = {r["doc_id"] for r in
+           cross_dedup(new, old, "doc_id", "text", method="exact").collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE old_t(doc_id INT, text VARCHAR)")
+    con.execute("CREATE TABLE new_t(doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO old_t VALUES (?, ?)", old_rows)
+    con.executemany("INSERT INTO new_t VALUES (?, ?)", new_rows)
+    oracle = {r[0] for r in con.execute("""
+        SELECT n.doc_id FROM new_t n
+        WHERE sha256(coalesce(n.text, '')) NOT IN
+              (SELECT sha256(coalesce(text, '')) FROM old_t)
+    """).fetchall()}
+    assert got == oracle and 0 < len(oracle) < len(new_rows)
