@@ -1497,3 +1497,43 @@ def test_cross_dedup_exact_duckdb_parity(spark):
               (SELECT sha256(coalesce(text, '')) FROM old_t)
     """).fetchall()}
     assert got == oracle and 0 < len(oracle) < len(new_rows)
+
+
+def test_canonical_url_merges_noise_keeps_distinct(spark):
+    """URL canonicalization: tracking noise, fragments, default ports, case
+    of scheme/host, and trailing slashes collapse; genuinely different
+    resources (path case, non-tracking params, param values) stay
+    distinct."""
+    from validation_engine.text import canonical_url
+
+    same = [
+        "https://Example.COM/Path/page?utm_source=x&utm_medium=y",
+        "https://example.com:443/Path/page#section-2",
+        "https://example.com/Path/page/",
+        "https://example.com/Path/page?fbclid=abc123",
+        "https://example.com/Path/page?gclid=1&utm_campaign=q",
+    ]
+    distinct = [
+        "https://example.com/path/page",          # path case differs
+        "https://example.com/Path/page?id=7",     # real param
+        "https://example.com/Path/page?id=8",     # different value
+        "http://example.com/Path/page",           # scheme differs
+        "https://example.com:8443/Path/page",     # non-default port
+        "relative/Path/page",                     # no scheme → passthrough
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(same + distinct)], "i int, url string"
+    )
+    got = [r["c"] for r in
+           df.select("i", canonical_url("url").alias("c")).orderBy("i").collect()]
+    assert len(set(got[:len(same)])) == 1, got[:len(same)]
+    assert got[0] == "https://example.com/Path/page"
+    all_forms = set(got)
+    assert len(all_forms) == 1 + len(distinct), sorted(all_forms)
+    # mixed params: tracking stripped, real params kept (order preserved)
+    one = spark.createDataFrame(
+        [(1, "HTTP://A.B:80/x?utm_source=s&id=1&ref=r&q=2"),
+         (2, "http://a.b/x?id=1&q=2")], "i int, url string")
+    pair = [r["c"] for r in
+            one.select("i", canonical_url("url").alias("c")).orderBy("i").collect()]
+    assert pair[0] == pair[1] == "http://a.b/x?id=1&q=2"

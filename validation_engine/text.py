@@ -987,3 +987,45 @@ def model_token_counts(
                 )
 
     return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
+#: query parameters stripped by canonical_url — tracking/session noise that
+#: makes byte-distinct URLs point at identical content (the list is config:
+#: pipelines extend it per corpus)
+TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "mc_cid", "mc_eid", "ref", "igshid",
+)
+
+
+def canonical_url(col, tracking_params=TRACKING_PARAMS) -> Column:
+    """Canonical URL form for URL-level dedup — the cheap pass crawls run
+    BEFORE content hashing (most crawl duplicates are the same URL with
+    tracking noise, not distinct pages): lowercase scheme+host, default
+    ports stripped, fragment dropped, tracking query parameters removed,
+    empty query and trailing slash normalized away.  Pure ``regexp``
+    chains — whole-stage codegen, zero Python, usable as a grouping key
+    at any scale.  Path and non-tracking query params keep their case
+    and order (reordering params can change semantics; canonicalization
+    must never merge genuinely different resources)."""
+    u = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(u, r"#.*$", "")                       # fragment
+    head = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)
+    rest = F.substring(u, F.length(head) + F.lit(1), F.lit(1 << 20))
+    head = F.lower(head)
+    head = F.regexp_replace(head, r"^(http://[^/:]*):80$", "$1")
+    head = F.regexp_replace(head, r"^(https://[^/:]*):443$", "$1")
+    pat = "|".join(tracking_params)
+    # drop each tracking param: the leading separator is a LOOKBEHIND (not
+    # consumed), so adjacent tracking params each keep an anchor — a
+    # consuming `[?&]...&` pattern would eat the next param's separator
+    # and skip every second one
+    rest = F.regexp_replace(rest, rf"(?<=[?&])(?:{pat})=[^&]*&?", "")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")               # dangling sep
+    rest = F.regexp_replace(rest, r"\?&+", "?")                # ?&a → ?a
+    out = F.concat(head, rest)
+    out = F.regexp_replace(out, r"/$", "")                     # trailing /
+    # URLs without a scheme://host prefix pass through un-canonicalized
+    # (relative links are resolved upstream; merging them here would be
+    # wrong) — only the fragment/trailing-slash cleanup applies
+    return F.when(head == "", F.regexp_replace(u, r"/$", "")).otherwise(out)
