@@ -323,8 +323,10 @@ def q5_revenue_by_nation(spark, sf):
 _DEC = "CAST(1 AS DECIMAL(18,2))"
 
 
-def q10_returned_revenue(spark, sf):
-    """TPC-H Q10 shape: lost revenue from returned items per customer, top 20."""
+def _q10_returned_revenue_retired(spark, sf):
+    """TPC-H Q10 shape — RETIRED from the 50-query registry in round 7
+    (fourth 3-table join shape, subsumed by q3/q5/q18) to make room for
+    `cross_dedup`; kept callable for ad-hoc benchmarking."""
     cust = _t(spark, sf, "customer")
     orders = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
@@ -623,19 +625,61 @@ def q_quality_documents(spark, sf):
     return docs.select("doc_id", quality_score("text").alias("quality"))
 
 
-def q_token_count_bpe(spark, sf):
-    from validation_engine.text import token_count
+def q_paragraph_dedup(spark, sf):
+    """Cross-corpus paragraph/boilerplate dedup through the real operator
+    (round-7 promotion into the driver oracle — previously pinned only by
+    the in-suite DuckDB parity test).  The synthetic documents have no
+    blank-line paragraphs, so fragments between frequent articles stand in
+    for paragraphs: any fragment (≥3 chars trimmed) appearing in more than
+    2 documents is boilerplate.  The oracle reproduces BOTH outputs: the
+    per-document dropped count and the REBUILT text's length (kept
+    fragments joined by the 3-char separator)."""
+    from validation_engine.dedup import paragraph_dedup
 
-    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
-    return docs.select("doc_id", token_count("text", "bpe").alias("n_bpe"))
+    docs = _t(spark, sf, "documents")
+    out = paragraph_dedup(
+        docs, "doc_id", "text", max_freq=2,
+        sep_pattern=" (?:the|a) ", join_sep=" | ", min_chars=3,
+    )
+    return out.select(
+        "doc_id",
+        "n_paras_dropped",
+        F.length("text").cast("bigint").alias("n_chars_after"),
+    )
 
 
-def q_fingerprint_md5(spark, sf):
-    """Whitespace-invariant md5 document fingerprint (oracle-matched twin of
-    the engine's xxhash64 fingerprint)."""
-    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
-    norm = F.concat_ws(" ", F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
-    return docs.select("doc_id", F.md5(norm).alias("fp"))
+def q_cross_dedup(spark, sf):
+    """Incremental snapshot-vs-corpus dedup (round-7 promotion): NEW docs
+    (id < 300) anti-joined by content digest against an EXISTING corpus
+    (id >= 200) — survivors are verified by CONTENT (the oracle's NOT IN
+    is over the text itself, independent of the engine's sha256 path)."""
+    from validation_engine.dedup import cross_dedup
+
+    docs = _t(spark, sf, "documents")
+    new = docs.filter(F.col("doc_id") < 300)
+    old = docs.filter(F.col("doc_id") >= 200).select("text")
+    return cross_dedup(new, old, "doc_id", "text", method="exact").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def q_mix_corpora(spark, sf):
+    """Deterministic weighted corpus mixing with epoch upsampling (round-7
+    promotion): web sources at weight 1.5 (one full epoch + a 0.5-rate
+    second epoch), the rest at 0.25.  Uses the md5 hash family — the
+    selection gate is a lexicographic compare of the digest's first 8 hex
+    chars against hex(rate·2^32), reproducible character-for-character in
+    DuckDB (xxhash64 stays the scale path)."""
+    from validation_engine.text import mix_corpora
+
+    docs = _t(spark, sf, "documents")
+    web = docs.filter(F.col("source").isin("src0", "src1", "src2"))
+    books = docs.filter(~F.col("source").isin("src0", "src1", "src2"))
+    out = mix_corpora(
+        [("web", web), ("books", books)], "doc_id",
+        weights={"web": 1.5, "books": 0.25}, seed=7, hash_family="md5",
+    )
+    return out.select("doc_id", "_mix_source", "_mix_epoch")
 
 
 def q_chi2_drift_by_source(spark, sf):
@@ -1021,6 +1065,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     subsumed by q6_forecast_revenue/q14_promo_share) →
     decontaminate_documents, giving the benchmark-decontamination operator
     a full rows+schema+hash oracle row.
+    Round 7 promoted the round-6 pipeline operators into the gate
+    (VERDICT r6 task #2), swapping three redundant rows: token_count_bpe
+    and fingerprint_md5 (thin codegen expressions, both still exercised
+    with full value checks inside profile_documents and pinned
+    row-for-row by pytest) → paragraph_dedup and mix_corpora, and
+    q10_returned_revenue (a fourth 3-table TPC-H join shape, subsumed by
+    q3/q5/q18; kept as _q10_returned_revenue_retired) → cross_dedup.
     """
     return {
         "element_report_documents": q_element_report_documents,
@@ -1037,7 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
         "q5_revenue_by_nation": q5_revenue_by_nation,
-        "q10_returned_revenue": q10_returned_revenue,
+        "cross_dedup": q_cross_dedup,
         "wasserstein_drift_by_source": q_wasserstein_drift_by_source,
         "q14_promo_share": q14_promo_share,
         "q18_large_orders": q18_large_orders,
@@ -1066,8 +1117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": q_simhash_documents,
         "langid_by_lang": q_langid_by_lang,
         "quality_documents": q_quality_documents,
-        "token_count_bpe": q_token_count_bpe,
-        "fingerprint_md5": q_fingerprint_md5,
+        "paragraph_dedup": q_paragraph_dedup,
+        "mix_corpora": q_mix_corpora,
         "chi2_drift_by_source": q_chi2_drift_by_source,
         "ks_drift_by_source": q_ks_drift_by_source,
         "range_join_events": q_range_join_events,
@@ -1237,15 +1288,13 @@ def oracle_sql() -> dict[str, str]:
             "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) "
             "AS DECIMAL(28,6))")
 
-    sql["q10_returned_revenue"] = f"""
-    SELECT c.c_custkey, c.c_name,
-           CAST(SUM({_rev}) AS DOUBLE) AS revenue
-    FROM lineitem l
-    JOIN orders o ON l.l_orderkey = o.o_orderkey
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    WHERE l.l_returnflag = 'R'
-    GROUP BY c.c_custkey, c.c_name
-    ORDER BY revenue DESC, c.c_custkey ASC LIMIT 20
+    # incremental cross-corpus dedup twin: survival decided on CONTENT
+    # (NOT IN over the raw text), independent of the engine's sha256 path
+    sql["cross_dedup"] = """
+    SELECT doc_id, lang, n_chars
+    FROM documents n
+    WHERE doc_id < 300 AND coalesce(text, '') NOT IN
+          (SELECT coalesce(text, '') FROM documents WHERE doc_id >= 200)
     """
 
     # Wasserstein-1 drift twin: same explicit bucket grid (lo=0, hi=600,
@@ -1674,15 +1723,58 @@ def oracle_sql() -> dict[str, str]:
     FROM documents WHERE doc_id < 200
     """
 
-    sql["token_count_bpe"] = r"""
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
-    FROM documents WHERE doc_id < 200
+    # paragraph/boilerplate dedup twin: fragments between frequent articles
+    # stand in for paragraphs; frequency counted per DOCUMENT; the rebuilt
+    # text's length is kept-fragment lengths + 3-char separators.  DuckDB's
+    # index lambda preserves each fragment instance (a fragment repeated
+    # within one document counts once for frequency but every instance
+    # drops), mirroring the engine's posexplode positions.
+    sql["paragraph_dedup"] = """
+    WITH sp AS (
+      SELECT doc_id, text, regexp_split_to_array(text, ' (?:the|a) ') AS ps
+      FROM documents
+    ), paras AS (
+      SELECT doc_id, u.p AS p,
+             CASE WHEN length(trim(u.p)) >= 3 THEN trim(u.p) END AS tp
+      FROM sp, unnest(list_transform(ps, (x, i) -> struct_pack(p := x, i := i))) AS t(u)
+    ), freq AS (
+      SELECT tp, count(DISTINCT doc_id) AS n FROM paras
+      WHERE tp IS NOT NULL GROUP BY tp
+    ), boiler AS (SELECT tp FROM freq WHERE n > 2),
+    flags AS (
+      SELECT doc_id, p,
+             (tp IS NOT NULL AND tp IN (SELECT tp FROM boiler)) AS dropped
+      FROM paras
+    ), agg AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS INT) AS nd,
+             sum(CASE WHEN NOT dropped THEN length(p) ELSE 0 END) AS kept_len,
+             sum(CASE WHEN NOT dropped THEN 1 ELSE 0 END) AS n_kept
+      FROM flags GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(a.nd, 0) AS n_paras_dropped,
+           CAST(CASE WHEN coalesce(a.nd, 0) = 0 THEN length(d.text)
+                ELSE a.kept_len + 3 * greatest(a.n_kept - 1, 0) END AS BIGINT)
+             AS n_chars_after
+    FROM documents d LEFT JOIN agg a USING (doc_id)
     """
 
-    sql["fingerprint_md5"] = f"""
-    SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS fp
-    FROM documents WHERE doc_id < 200
+    # weighted-mixing twin: the md5 hash family's selection gate is a
+    # lexicographic compare over lowercase hex in both engines
+    sql["mix_corpora"] = """
+    WITH web AS (SELECT doc_id FROM documents
+                 WHERE source IN ('src0','src1','src2')),
+    books AS (SELECT doc_id FROM documents
+              WHERE source NOT IN ('src0','src1','src2'))
+    SELECT doc_id, 'web' AS _mix_source, 0 AS _mix_epoch FROM web
+    UNION ALL
+    SELECT doc_id, 'web', 1 FROM web
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || '7' || chr(31) || '1'), 1, 8)
+          < '80000000'
+    UNION ALL
+    SELECT doc_id, 'books', 0 FROM books
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || '7' || chr(31) || '0'), 1, 8)
+          < '40000000'
     """
 
     sql["chi2_drift_by_source"] = """

@@ -328,6 +328,29 @@ def main() -> None:
             docs, "id", "text", k=3, n_hashes=16, bands=4, max_band_freq=50
         ).count(),
     )
+    # crawl-level URL dedup (round-7): synthesized crawl URLs with ~8 raw
+    # variants per page — host/path derive from one group key, then
+    # tracking params / fragments / trailing slashes are sprayed on top;
+    # the canonical-form pass collapses them without touching content
+    from validation_engine.text import url_dedup
+
+    grp = F.pmod(F.col("id"), F.lit(max(n_files // 24, 1000)))
+    urls = docs.select(
+        "id",
+        F.concat(
+            F.lit("https://site"), F.pmod(grp, F.lit(40)).cast("string"),
+            F.lit(".example.com/page/"), grp.cast("string"),
+            F.when(F.pmod(F.col("id"), 3) == 0,
+                   F.concat(F.lit("?utm_source=s"),
+                            F.pmod(F.col("id"), F.lit(7)).cast("string")))
+            .otherwise(F.lit("")),
+            F.when(F.pmod(F.col("id"), 5) == 0, F.lit("#frag"))
+            .otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    queries["url_dedup_corpus"] = timed(
+        "url_dedup_corpus", lambda: url_dedup(urls, "id", "url").count()
+    )
     # round-4 single-scan text ops over the same corpus: BM25 (one scan,
     # zero shuffles) and the unigram-LM quality proxy (one scan, persisted
     # tf frame) — both eager, so the call itself is the measured work

@@ -1,0 +1,211 @@
+"""Adversarial planted-mega-key skew bench (round-7 VERDICT task #1).
+
+Plants a pathological duplicate key — SKEW_FRAC of an N-doc corpus byte-
+identical (the web reality: empty pages / site boilerplate / cookie
+banners collapsing onto one digest and one LSH band key) — and A/Bs, in
+the SAME process window:
+
+  * the round-1..6 WINDOW gate (``count over (partition by key)``): the
+    filter is correct and memory-safe, but the window forces every row of
+    the mega key onto ONE task (sort + spill buffer) before the gate can
+    drop them — the skewed-shuffle straggler class AQE cannot split; vs
+  * the round-7 SALTED TWO-LEVEL ladder (shipped in
+    :mod:`validation_engine.dedup`): level 1 groups by (key, salt) so the
+    flood spreads over ``defaultParallelism`` tasks with per-sub-bucket
+    gating; level 2 only ever sees bounded lists.
+
+Both formulations derive the banded/digest stream ONCE (fair A/B).  For
+each measured job the script also pulls per-stage task-duration quantiles
+from the Spark UI REST API and reports the worst stage's max/median task
+ratio — the straggler signal itself, not just wall clock.
+
+Usage: [SKEW_ROWS=4000000] [SKEW_FRAC=0.5] [ATTEMPTS=3] python scripts/skew_bench.py
+Writes BENCH/skew_r7.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+from pyspark.sql import Window  # noqa: E402
+
+from validation_engine.session import get_spark  # noqa: E402
+
+ROWS = int(os.environ.get("SKEW_ROWS", "4000000"))
+FRAC = float(os.environ.get("SKEW_FRAC", "0.5"))
+ATTEMPTS = int(os.environ.get("ATTEMPTS", "3"))
+UI_PORT = int(os.environ.get("SKEW_UI_PORT", "4049"))
+
+BOILER = (
+    "accept all cookies this website uses cookies to improve your "
+    "experience privacy policy terms of service all rights reserved"
+)
+
+
+def corpus(spark):
+    gate = F.pmod(F.xxhash64("id"), F.lit(1000)) < int(FRAC * 1000)
+    return (
+        spark.range(ROWS)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "id",
+            F.when(gate, F.lit(BOILER))
+            .otherwise(
+                F.concat_ws(
+                    " ",
+                    F.lit("unique document body number"),
+                    F.col("id").cast("string"),
+                    F.lit("with tokens alpha beta gamma delta"),
+                    (F.col("id") % 977).cast("string"),
+                    (F.col("id") % 463).cast("string"),
+                )
+            )
+            .alias("text"),
+        )
+        .persist()
+    )
+
+
+# --- the round-1..6 window-gate formulations, inlined for the A/B ---------
+
+
+def exact_duplicates_window(df, id_col, text_col, max_ids=100):
+    digest = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+    wd = Window.partitionBy("digest").orderBy(id_col)
+    full = wd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    sized = df.select(digest.alias("digest"), F.col(id_col)).select(
+        "digest",
+        id_col,
+        F.count(F.lit(1)).over(full).alias("_n"),
+        F.row_number().over(wd).alias("_rn"),
+    )
+    return (
+        sized.filter((F.col("_n") > 1) & (F.col("_rn") <= int(max_ids)))
+        .groupBy("digest")
+        .agg(
+            F.max("_n").alias("n_docs"),
+            F.min(id_col).alias("keeper"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+    )
+
+
+def lsh_candidates_window(df, id_col, text_col, max_band_freq):
+    from validation_engine.dedup import _band_keys
+
+    banded = _band_keys(df, id_col, text_col, k=3, n_hashes=16, bands=4)
+    sized = banded.withColumn(
+        "_bn", F.count(F.lit(1)).over(Window.partitionBy("bkey"))
+    )
+    buckets = (
+        sized.filter((F.col("_bn") >= 2) & (F.col("_bn") <= int(max_band_freq)))
+        .drop("_bn")
+        .groupBy("bkey")
+        .agg(F.collect_list("_id").alias("ids"))
+    )
+    a = buckets.select(F.explode("ids").alias("id_a"), F.col("ids"))
+    return (
+        a.select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+
+
+# --- task-metric harvesting over the UI REST API --------------------------
+
+
+def _rest(path):
+    url = f"http://localhost:{UI_PORT}/api/v1/{path}"
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return json.load(r)
+
+
+def completed_stage_ids(app_id):
+    try:
+        return {s["stageId"] for s in _rest(f"applications/{app_id}/stages?status=COMPLETE")}
+    except Exception:
+        return set()
+
+
+def worst_stage_skew(app_id, new_ids):
+    """The straggler signal: among the job's substantial stages (max task
+    ≥ 150 ms — tiny result stages are ratio noise), the one with the worst
+    max/median task-duration ratio."""
+    worst = None
+    for sid in new_ids:
+        try:
+            q = _rest(
+                f"applications/{app_id}/stages/{sid}/0/taskSummary"
+                "?quantiles=0.5,1.0"
+            )
+            med, mx = q["executorRunTime"]
+        except Exception:
+            continue
+        if mx < 150:
+            continue
+        ratio = mx / max(med, 1.0)
+        if worst is None or ratio > worst[2]:
+            worst = (mx, med, ratio)
+    if worst is None:
+        return None
+    mx, med, ratio = worst
+    return {
+        "max_task_ms": round(mx, 1),
+        "median_task_ms": round(med, 1),
+        "max_over_median": round(ratio, 2),
+    }
+
+
+def measure(spark, name, build, results):
+    app_id = spark.sparkContext.applicationId
+    best = None
+    for _ in range(ATTEMPTS):
+        before = completed_stage_ids(app_id)
+        t0 = time.time()
+        n = build().count()
+        dt = time.time() - t0
+        if best is None or dt < best["sec"]:
+            skew = worst_stage_skew(app_id, completed_stage_ids(app_id) - before)
+            best = {"sec": round(dt, 2), "n_out": n, "task_skew": skew}
+    results[name] = best
+    print(name, best, flush=True)
+
+
+def main():
+    spark = get_spark(
+        "skew-bench",
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": str(UI_PORT)},
+    )
+    from validation_engine.dedup import exact_duplicates, minhash_lsh_candidates
+
+    docs = corpus(spark)
+    docs.count()  # materialize + warm
+
+    results = {"rows": ROWS, "planted_frac": FRAC, "attempts": ATTEMPTS}
+    measure(spark, "exact_dup_ladder",
+            lambda: exact_duplicates(docs, "id", "text", max_ids=100), results)
+    measure(spark, "exact_dup_window_old",
+            lambda: exact_duplicates_window(docs, "id", "text", 100), results)
+    measure(spark, "lsh_ladder",
+            lambda: minhash_lsh_candidates(docs, "id", "text", k=3, n_hashes=16,
+                                           bands=4, max_band_freq=50), results)
+    measure(spark, "lsh_window_old",
+            lambda: lsh_candidates_window(docs, "id", "text", 50), results)
+
+    os.makedirs("BENCH", exist_ok=True)
+    out = os.path.join("BENCH", "skew_r7.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", out)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -398,3 +398,65 @@ def test_full_mixture_pipeline_reproducible(spark, tmp_path):
     # both epoch copies of a b-doc land independently (different keys)
     some_b = next(d for (d, e) in s1 if d >= 1000 and e == 0)
     assert s1[(some_b, 0)][1] != s1[(some_b, 1)][1]
+
+
+def test_full_mixture_pipeline_strict_packing(spark, tmp_path):
+    """Round-7 capstone variant: the same mixture chain with the STRICT
+    packer (hard bin cap) — proves pack_strict composes with mixing /
+    paragraph-dedup / decontamination / shard-shuffle reproducibility:
+    a re-run from adversarially re-partitioned sources yields identical
+    bins per (doc, epoch), and NO multi-document bin exceeds the budget
+    (the guarantee pack_greedy's window formulation does not make)."""
+    from validation_engine.dedup import paragraph_dedup
+    from validation_engine.text import (
+        decontaminate, mix_corpora, pack_strict, shuffle_shards, token_count,
+    )
+
+    passage = " ".join(f"bench{i}" for i in range(16))
+    src_a = [(i, f"alpha doc {i} " +
+              " ".join(f"a{i}_{j}" for j in range(18 + i % 7))) for i in range(60)]
+    src_b = [(1000 + i, f"beta doc {i} " +
+              " ".join(f"b{i}_{j}" for j in range(15 + i % 5))) for i in range(30)]
+    src_b += [(2000, f"lead {passage} tail")]          # contaminated
+    a_df = spark.createDataFrame(src_a, "doc_id long, text string")
+    b_df = spark.createDataFrame(src_b, "doc_id long, text string")
+    bench = spark.createDataFrame([(passage,)], "q string")
+
+    def run(a, b, out_dir):
+        mixed = mix_corpora([("a", a), ("b", b)], "doc_id",
+                            weights={"a": 1.0, "b": 1.5}, seed=5)
+        mixed = mixed.withColumn("mix_id", F.xxhash64("doc_id", "_mix_epoch"))
+        cleaned = paragraph_dedup(mixed, "mix_id", "text", max_freq=10)
+        flagged = decontaminate(cleaned, "mix_id", "text", bench, "q", n=13)
+        kept = (cleaned.join(flagged.select("mix_id"), "mix_id", "left_anti")
+                .withColumn("n_tok", token_count("text"))
+                .filter(F.col("n_tok") >= 5)
+                )
+        sharded = shuffle_shards(kept, "mix_id", n_shards=4, seed=11) \
+            .withColumnRenamed("_shuffle_key", "skey")
+        bins = pack_strict(sharded, "skey", "n_tok", max_tokens=96,
+                           partition_by=["shard"])
+        packed = sharded.join(bins.select("skey", "bin"), "skey")
+        (packed.repartition(4, "shard")
+               .sortWithinPartitions("shard", "skey", "mix_id")
+               .write.mode("overwrite").partitionBy("shard").parquet(out_dir))
+        return spark.read.parquet(out_dir)
+
+    out1 = run(a_df, b_df, str(tmp_path / "s1"))
+    out2 = run(a_df.repartition(13).sortWithinPartitions(F.desc("text")),
+               b_df.repartition(3), str(tmp_path / "s2"))
+
+    def snap(df):
+        return {(r["doc_id"], r["_mix_epoch"]):
+                (r["shard"], r["skey"], r["bin"], r["text"])
+                for r in df.collect()}
+
+    s1, s2 = snap(out1), snap(out2)
+    assert s1 == s2 and len(s1) > 60
+    assert not any(d == 2000 for (d, _) in s1)         # decontaminated
+    # the strict guarantee end-to-end: every multi-document bin ≤ budget
+    sums = (out1.groupBy("shard", "bin")
+            .agg(F.sum("n_tok").alias("s"), F.count(F.lit(1)).alias("n")))
+    assert sums.filter((F.col("n") > 1) & (F.col("s") > 96)).count() == 0
+    # and packing is dense enough to be real (some bins hold >1 doc)
+    assert sums.filter(F.col("n") > 1).count() > 0

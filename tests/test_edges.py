@@ -97,6 +97,12 @@ def test_exact_duplicates_caps_id_sample(spark):
     r = row[0]
     assert r["n_docs"] == 250 and r["keeper"] == 0
     assert r["doc_ids"] == list(range(10))
+    # skew immunity is structural: the salted ladder has no window, so no
+    # task ever streams a mega-dup digest's full row set
+    fresh = exact_duplicates(df, "id", "text", max_ids=10)
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "_salt" in plan, plan
 
 
 def test_range_join_left_null_point_columns_not_duplicated(spark):
@@ -149,9 +155,13 @@ def test_connected_components_warns_on_nonconvergence(spark, caplog):
 
 
 def test_lsh_mega_bucket_dropped_before_list_aggregation(spark):
-    """max_band_freq must gate a mega-bucket BEFORE any list aggregation
-    builds its member array (the plan filters on a window count over the
-    same partitioning — no second exchange), and small groups still pair."""
+    """max_band_freq must gate a mega-bucket's members at the SALTED level-1
+    aggregation (a sub-bucket over the cap has its member list nulled, so
+    the mega list never travels to level 2), small groups still pair, and
+    the plan must contain NO window — the round-6 skew finding: a
+    count-over-window gate co-locates a mega-bucket's entire row stream on
+    ONE task before filtering, the skewed-shuffle straggler class AQE
+    cannot split."""
     from validation_engine.dedup import minhash_lsh_candidates
 
     boiler = [(i, "exact same boilerplate text repeated everywhere always") for i in range(500)]
@@ -175,7 +185,10 @@ def test_lsh_mega_bucket_dropped_before_list_aggregation(spark):
     fresh = minhash_lsh_candidates(df, "id", "text", k=3, n_hashes=16,
                                    bands=4, max_band_freq=50)
     plan = fresh._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange hashpartitioning(bkey") == 1, plan
-    # tree prints parent-first: the _bn size gate must be BELOW (textually
-    # after) the collect_list aggregate it feeds
-    assert plan.index("collect_list") < plan.index("_bn"), plan
+    # the salted two-level ladder: no window anywhere (no single-task
+    # co-location of a mega-bucket), one exchange on (bkey, _salt) and one
+    # on bkey — both lines start with the same prefix
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning(bkey") == 2, plan
+    # the banded row stream is salted before any list aggregation
+    assert "_salt" in plan, plan

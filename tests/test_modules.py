@@ -72,6 +72,50 @@ def test_real_backend_is_stubbed():
         DecodeBackend().decode_image(b"x")
 
 
+def test_corrupt_blob_degrades_to_null_features(spark, media):
+    """Real backends (ffmpeg/PIL) raise ValueError on corrupt/undecodable
+    bytes; one poisoned row must become a null-feature row — not fail the
+    Arrow task and, after retries, the whole job (round-6 ADVICE)."""
+    from validation_engine.multimodal import (
+        FakeDecodeBackend, audio_features, image_features,
+        video_frame_sample,
+    )
+
+    class CorruptOnBad(FakeDecodeBackend):
+        def decode_image(self, data):
+            if data.startswith(b"bad"):
+                raise ValueError("corrupt image blob")
+            return super().decode_image(data)
+
+        def decode_audio(self, data):
+            if data.startswith(b"bad"):
+                raise ValueError("corrupt audio blob")
+            return super().decode_audio(data)
+
+        def sample_frames(self, data, every_ms):
+            if data.startswith(b"bad"):
+                raise ValueError("corrupt video blob")
+            return super().sample_frames(data, every_ms)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"ok")), (2, bytearray(b"bad"))],
+        "media_id long, data binary",
+    )
+    be = CorruptOnBad()
+    img = {r["media_id"]: r for r in
+           image_features(df, "media_id", "data", backend=be).collect()}
+    assert img[1]["mean_luma"] is not None and img[2]["mean_luma"] is None
+    assert img[2]["sha256"] is not None and img[2]["n_bytes"] == 3
+    aud = {r["media_id"]: r for r in
+           audio_features(df, "media_id", "data", backend=be).collect()}
+    assert aud[1]["rms"] is not None and aud[2]["rms"] is None
+    frames = video_frame_sample(df, "media_id", "data", backend=be).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], set()).add(r["frame_idx"])
+    assert -1 not in by_id[1] and by_id[2] == {-1}
+
+
 def test_pil_backend_fails_fast_without_pillow():
     """Codec-less environments (this container): constructing the real
     backend must fail at construction with an actionable message, never as

@@ -1431,6 +1431,18 @@ def test_mix_corpora_weights_and_determinism(spark):
         mix_corpora([("a", a)], "id", weights={"a": -1})
     with pytest.raises(ValueError, match="at least one"):
         mix_corpora([], "id")
+    with pytest.raises(ValueError, match="hash_family"):
+        mix_corpora([("a", a)], "id", hash_family="bogus")
+    # md5 family: same determinism/partitioning-invariance contract, and
+    # the selection rate lands near the target (oracle parity is pinned by
+    # the driver-gate mix_corpora query)
+    m1 = mix_corpora([("a", a)], "id", weights={"a": 0.5}, seed=4,
+                     hash_family="md5")
+    m2 = mix_corpora([("a", a.repartition(7))], "id", weights={"a": 0.5},
+                     seed=4, hash_family="md5")
+    ids1 = {r["id"] for r in m1.collect()}
+    ids2 = {r["id"] for r in m2.collect()}
+    assert ids1 == ids2 and 0.4 < len(ids1) / a.count() < 0.6
 
 
 def test_paragraph_dedup_duckdb_parity(spark):
@@ -1520,6 +1532,10 @@ def test_canonical_url_merges_noise_keeps_distinct(spark):
         "http://example.com/Path/page",           # scheme differs
         "https://example.com:8443/Path/page",     # non-default port
         "relative/Path/page",                     # no scheme → passthrough
+        "https://example.com/Path/page?next=/",   # query value ends in '/'
+        "https://example.com/Path/page?next=",    # …and its empty twin
+        "https://example.com/Path/page?ref=main", # ref is semantic by default
+        "https://example.com/Path/page?ref=dev",
     ]
     df = spark.createDataFrame(
         [(i, u) for i, u in enumerate(same + distinct)], "i int, url string"
@@ -1530,10 +1546,41 @@ def test_canonical_url_merges_noise_keeps_distinct(spark):
     assert got[0] == "https://example.com/Path/page"
     all_forms = set(got)
     assert len(all_forms) == 1 + len(distinct), sorted(all_forms)
-    # mixed params: tracking stripped, real params kept (order preserved)
+    # mixed params: tracking stripped, real params kept (order preserved);
+    # 'ref' strips only via the explicit opt-in (it is semantic by default)
+    from validation_engine.text import TRACKING_PARAMS
+
     one = spark.createDataFrame(
         [(1, "HTTP://A.B:80/x?utm_source=s&id=1&ref=r&q=2"),
          (2, "http://a.b/x?id=1&q=2")], "i int, url string")
-    pair = [r["c"] for r in
-            one.select("i", canonical_url("url").alias("c")).orderBy("i").collect()]
+    cu = canonical_url("url", tracking_params=TRACKING_PARAMS + ("ref",))
+    pair = [r["c"] for r in one.select("i", cu.alias("c")).orderBy("i").collect()]
     assert pair[0] == pair[1] == "http://a.b/x?id=1&q=2"
+
+
+def test_url_dedup_keeps_one_per_canonical(spark):
+    """Crawl-level URL dedup end-to-end: tracking/fragment/slash variants
+    of one page collapse to the min-id row (original url kept, no temp
+    columns); genuinely different resources all survive."""
+    from validation_engine.text import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://Example.COM/a?utm_source=x"),
+            (2, "https://example.com/a#frag"),
+            (3, "https://example.com/a/"),
+            (4, "https://example.com/b"),
+            (5, "https://example.com/b?id=1"),
+            (6, "https://example.com/b?id=2"),
+        ],
+        "id long, url string",
+    )
+    kept = url_dedup(df, "id", "url")
+    assert {r["id"] for r in kept.collect()} == {1, 4, 5, 6}
+    assert kept.columns == ["id", "url"]
+    # survivors carry their ORIGINAL raw url
+    raw = {r["id"]: r["url"] for r in kept.collect()}
+    assert raw[1] == "https://Example.COM/a?utm_source=x"
+    # 'agg' strategy keeps identical survivors
+    assert {r["id"] for r in url_dedup(df, "id", "url", strategy="agg")
+            .collect()} == {1, 4, 5, 6}

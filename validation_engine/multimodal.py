@@ -218,7 +218,10 @@ class FFmpegDecodeBackend(DecodeBackend):
             ["ffprobe", "-v", "error", "-select_streams", "v:0",
              "-show_entries", "stream=width,height", "-of", "csv=p=0", path]
         )
-        w, h = out.decode().strip().splitlines()[0].split(",")[:2]
+        lines = out.decode().strip().splitlines()
+        if not lines:  # no video stream → same error class as a bad decode
+            raise ValueError("ffprobe found no video stream in input")
+        w, h = lines[0].split(",")[:2]
         return int(w), int(h)
 
     def decode_image(self, data: bytes) -> np.ndarray:
@@ -307,7 +310,12 @@ def image_features(
                         rows.append(
                             (mid, sha, len(data), img.shape[1], img.shape[0], luma, emb.tolist())
                         )
-                    except NotImplementedError:
+                    except (NotImplementedError, ValueError):
+                        # codec missing OR corrupt/undecodable blob: a real
+                        # backend (ffmpeg/PIL) raises ValueError on bad
+                        # bytes — one poisoned row must degrade to a
+                        # null-feature row, not fail the Arrow task (and,
+                        # after retries, the whole 100 TB job)
                         rows.append((mid, sha, len(data), None, None, None, None))
                 yield pd.DataFrame(
                     rows,
@@ -368,7 +376,8 @@ def audio_features(
                          int(len(pcm) * 1000 // sr),
                          float(np.sqrt((pcm**2).mean())))
                     )
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
+                    # codec missing OR corrupt blob → null-feature row
                     rows.append((mid, sha, len(data), None, None))
             yield pd.DataFrame(
                 rows, columns=["media_id", "sha256", "n_bytes", "duration_ms", "rms"]
@@ -402,7 +411,8 @@ def video_frame_sample(
                              + 0.114 * frame[..., 2]).mean()
                         )
                         rows.append((mid, i, luma))
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
+                    # codec missing OR corrupt blob → sentinel frame row
                     rows.append((mid, -1, None))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "mean_luma"])
 

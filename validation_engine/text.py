@@ -242,7 +242,8 @@ def stratified_sample(
 
 
 def mix_corpora(
-    sources, id_col: str, weights=None, seed: int = 0
+    sources, id_col: str, weights=None, seed: int = 0,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic weighted corpus mixing — compose the training set
     from multiple sources at target sampling rates, with UPSAMPLING
@@ -264,7 +265,16 @@ def mix_corpora(
     cluster size (same properties as :func:`shuffle_shards`, and unlike
     ``df.sample`` it is reproducible across resumes and engines).  The
     union is a plan-level concatenation — Spark reads each source once,
-    map-side."""
+    map-side.
+
+    ``hash_family='md5'`` swaps the selection hash for a lexicographic
+    compare of the first 8 hex chars of ``md5(id <US> seed <US> epoch)``
+    against ``hex(rate·2^32)`` — same determinism/uniformity properties,
+    but reproducible character-for-character by any engine with ``md5``
+    (the DuckDB oracle gate).  ``xxhash64`` stays the scale path (one
+    long hash, no string digest per row)."""
+    if hash_family not in ("xxhash64", "md5"):
+        raise ValueError("hash_family must be 'xxhash64' or 'md5'")
     weights = weights or {}
     denom = 1 << 20
     parts = []
@@ -285,10 +295,21 @@ def mix_corpora(
                 }
             )
             if rate < 1.0:
-                gate = F.pmod(
-                    F.xxhash64(F.col(id_col), F.lit(seed), F.lit(epoch)),
-                    F.lit(denom),
-                ) < F.lit(int(rate * denom))
+                if hash_family == "md5":
+                    key = F.concat_ws(
+                        "\x1f",  # unit separator: unambiguous (id,seed,epoch)
+                        F.col(id_col).cast("string"),
+                        F.lit(str(seed)),
+                        F.lit(str(epoch)),
+                    )
+                    gate = F.substring(F.md5(key), 1, 8) < F.lit(
+                        format(int(rate * (1 << 32)), "08x")
+                    )
+                else:
+                    gate = F.pmod(
+                        F.xxhash64(F.col(id_col), F.lit(seed), F.lit(epoch)),
+                        F.lit(denom),
+                    ) < F.lit(int(rate * denom))
                 part = part.filter(gate)
             parts.append(part)
     if not parts:
@@ -848,8 +869,12 @@ class FasttextQualityModel(QualityModelBackend):
 
         if self._model is None:
             self._model = fasttext.load_model(self.model_path)
+        # k=-1 returns EVERY label's probability: the default k=1 yields
+        # only the argmax label, so P(positive_label) would read as 0.0
+        # whenever another label wins — silently turning any threshold
+        # below 0.5 into an argmax filter (round-6 ADVICE finding)
         labels, probs = self._model.predict(
-            [(t or "").replace("\n", " ") for t in texts]
+            [(t or "").replace("\n", " ") for t in texts], k=-1
         )
         out = []
         for ls, ps in zip(labels, probs):
@@ -993,8 +1018,13 @@ def model_token_counts(
 #: makes byte-distinct URLs point at identical content (the list is config:
 #: pipelines extend it per corpus)
 TRACKING_PARAMS = (
+    # NOTE: 'ref' is deliberately NOT in the default list — many sites use
+    # ?ref= semantically (GitHub's ?ref=<branch> selects a branch for a
+    # file view), so stripping it by default would merge genuinely
+    # different resources; corpora where ref is pure affiliate noise can
+    # pass tracking_params=TRACKING_PARAMS + ('ref',)
     "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
-    "gclid", "fbclid", "mc_cid", "mc_eid", "ref", "igshid",
+    "gclid", "fbclid", "mc_cid", "mc_eid", "igshid",
 )
 
 
@@ -1024,8 +1054,39 @@ def canonical_url(col, tracking_params=TRACKING_PARAMS) -> Column:
     rest = F.regexp_replace(rest, r"[?&]+$", "")               # dangling sep
     rest = F.regexp_replace(rest, r"\?&+", "?")                # ?&a → ?a
     out = F.concat(head, rest)
-    out = F.regexp_replace(out, r"/$", "")                     # trailing /
+    # trailing slash: stripped ONLY when no query string is present — a
+    # genuine query value ending in '/' (?next=/ or ?path=/foo/) must keep
+    # its value (canonicalization never merges different resources); the
+    # [^?]* anchor makes the match fail whenever a '?' exists anywhere
+    out = F.regexp_replace(out, r"^([^?]*)/$", "$1")
     # URLs without a scheme://host prefix pass through un-canonicalized
     # (relative links are resolved upstream; merging them here would be
     # wrong) — only the fragment/trailing-slash cleanup applies
-    return F.when(head == "", F.regexp_replace(u, r"/$", "")).otherwise(out)
+    return F.when(head == "", F.regexp_replace(u, r"^([^?]*)/$", "$1")).otherwise(out)
+
+
+def url_dedup(
+    df: DataFrame,
+    id_col: str,
+    url_col: str,
+    tracking_params=TRACKING_PARAMS,
+    strategy: str = "window",
+) -> DataFrame:
+    """Crawl-level URL deduplication — the pass :func:`canonical_url`
+    exists for: keep ONE row (min ``id_col``) per canonical URL form, so
+    the same page crawled under tracking noise / fragments / default
+    ports / trailing slashes survives exactly once BEFORE any content is
+    fetched or hashed (most crawl duplicates are URL-level, and this pass
+    costs a codegen regex chain instead of a content digest).
+
+    The canonical form is computed map-side and the row carries its
+    ORIGINAL url; keeper selection delegates to
+    :func:`validation_engine.dedup.exact_dedup` on the canonical string,
+    inheriting both strategies ('window' one-shuffle default; 'agg' for
+    sources where a second pruned scan beats sorting wide rows).  At
+    10^12-URL scale the shuffle carries (sha2(canonical), row) — the
+    canonical string itself is never the join key."""
+    from .dedup import exact_dedup
+
+    with_c = df.withColumn("_curl", canonical_url(url_col, tracking_params))
+    return exact_dedup(with_c, id_col, "_curl", strategy=strategy).drop("_curl")
