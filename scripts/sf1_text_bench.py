@@ -7,7 +7,7 @@ the single-scan / bucketed-shuffle / broadcast-bench claims hold, rows/s
 should be near-flat (or better — fixed costs amortize) from 200k → 2M docs.
 
 Usage: [SF1_TEXT_ROWS=2000000] python scripts/sf1_text_bench.py
-Writes BENCH/sf1_text_r6.json.
+Writes BENCH/sf1_text_${SF1_TEXT_TAG:-r7}.json.
 """
 
 from __future__ import annotations
@@ -94,6 +94,32 @@ def run_ops(spark, docs, n) -> dict:
     dt = time.time() - t0
     out["paragraph_dedup"] = {"sec": round(dt, 2), "rows_per_sec": round(n / dt, 1),
                               "n_paras_dropped": int(n_dropped or 0)}
+    # incremental snapshot dedup (round 7 anchor): a third of the corpus is
+    # "already ingested"; both sides reduce to digests map-side, the
+    # anti-join shuffles digest keys only — rows/s should hold at 10×
+    from validation_engine.dedup import cross_dedup
+
+    old_side = docs.filter(F.pmod(F.col("id"), 3) == 0)
+    t0 = time.time()
+    n_surv = cross_dedup(docs, old_side, "id", "text", method="exact").count()
+    dt = time.time() - t0
+    out["cross_dedup"] = {"sec": round(dt, 2), "rows_per_sec": round(n / dt, 1),
+                          "n_survivors": n_surv}
+    # deterministic weighted mixing (round 7 anchor): two synthetic halves
+    # at weights 1.5 / 0.25 — selection is a pure map-side hash predicate,
+    # so rows/s should be scan-bound and flat at 10×
+    from validation_engine.text import mix_corpora
+
+    half_a = docs.filter(F.pmod(F.col("id"), 2) == 0)
+    half_b = docs.filter(F.pmod(F.col("id"), 2) != 0)
+    t0 = time.time()
+    n_mixed = mix_corpora(
+        [("a", half_a), ("b", half_b)], "id",
+        weights={"a": 1.5, "b": 0.25}, seed=7,
+    ).count()
+    dt = time.time() - t0
+    out["mix_corpora"] = {"sec": round(dt, 2), "rows_per_sec": round(n / dt, 1),
+                          "n_mixed": n_mixed}
     return out
 
 
@@ -124,7 +150,8 @@ def main() -> None:
             for op in big
         }
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/sf1_text_r6.json", "w") as f:
+    tag = os.environ.get("SF1_TEXT_TAG", "r7")
+    with open(f"BENCH/sf1_text_{tag}.json", "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
     spark.stop()

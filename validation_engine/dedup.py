@@ -482,22 +482,21 @@ def _band_keys(
         )
         sig = minhash_signature_from_hashes(F.col("_sh"), n_hashes)
     with_sig = with_sh.select("_id", sig.alias("_sig"))
+    # band key = ONE xxhash64 over (band index, that band's signature
+    # slice) — an 8-byte long instead of the pre-round-7 "b,h1,..,hr"
+    # concat string (~50-80 B).  Band keys only need equality, and the
+    # gating exchanges carry every (doc, band) row TWICE in the salted
+    # ladder, so key width is the dominant shuffle cost; bucketing by a
+    # 64-bit hash of the band equals bucketing by the band itself up to
+    # hash collisions (the same accepted trade as token_shingle_hashes).
+    # Works for both hash families: xxhash64 hashes array contents
+    # (array<long> fast path, array<string> md5 oracle path).
     return with_sig.select(
         "_id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.concat_ws(
-                    ",",
-                    b.cast("string"),
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice("_sig", b * rows + 1, rows),
-                            lambda x: x.cast("string"),
-                        ),
-                    ),
-                ),
+                lambda b: F.xxhash64(b, F.slice("_sig", b * rows + 1, rows)),
             )
         ).alias("bkey"),
     )
@@ -664,17 +663,17 @@ def simhash_near_duplicates(
     sigs = simhash(df, id_col, text_col)
     width = 64 // n_bands
     mask = (1 << width) - 1
+    # band key = xxhash64(band index, chunk) — 8-byte long, not a concat
+    # string (see _band_keys: the gating exchanges pay key width twice)
     banded = sigs.select(
         F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sig")).alias("v"),
         F.explode(
             F.array(
                 *[
-                    F.concat_ws(
-                        ",",
-                        F.lit(str(i)),
+                    F.xxhash64(
+                        F.lit(i),
                         F.shiftrightunsigned("simhash", i * width)
-                        .bitwiseAND(F.lit(mask))
-                        .cast("string"),
+                        .bitwiseAND(F.lit(mask)),
                     )
                     for i in range(n_bands)
                 ]
