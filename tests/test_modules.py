@@ -771,3 +771,75 @@ def test_tiktoken_backend_fails_fast_without_tiktoken():
 
     with pytest.raises(ImportError, match="tiktoken"):
         TiktokenTokenizer()
+
+
+def _wav_bytes(pcm, sr, bits=16, n_ch=1, tag=1):
+    """Minimal canonical RIFF WAV writer for tests."""
+    import struct
+
+    import numpy as np
+
+    if tag == 1 and bits == 16:
+        raw = (np.asarray(pcm) * 32767).astype("<i2").tobytes()
+    elif tag == 3 and bits == 32:
+        raw = np.asarray(pcm, dtype="<f4").tobytes()
+    else:
+        raise ValueError("test writer supports int16 / float32 only")
+    block = n_ch * bits // 8
+    fmt = struct.pack("<HHIIHH", tag, n_ch, sr, sr * block, block, bits)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(raw)) + raw
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_decode_wav_pcm_fast_path(spark):
+    """The process-free WAV decode (FFmpegDecodeBackend's hot-path
+    amortization) recovers sample rate, duration, and RMS from canonical
+    PCM bytes; non-WAV and truncated blobs return None (codec fallback);
+    stereo mixes down to mono like ffmpeg -ac 1."""
+    import numpy as np
+
+    from validation_engine.multimodal import audio_features, decode_wav_pcm
+
+    sr, amp = 8000, 0.5
+    t = np.arange(sr)  # 1 second
+    sine = amp * np.sin(2 * np.pi * 440 * t / sr)
+    pcm, got_sr = decode_wav_pcm(_wav_bytes(sine, sr))
+    assert got_sr == sr and abs(len(pcm) - sr) <= 1
+    assert abs(float(np.sqrt((pcm ** 2).mean())) - amp / 2 ** 0.5) < 0.01
+
+    # float32 WAV
+    pcm_f, sr_f = decode_wav_pcm(_wav_bytes(sine, 16_000, bits=32, tag=3))
+    assert sr_f == 16_000 and abs(len(pcm_f) - len(sine)) <= 1
+
+    # stereo mixdown: L = sine, R = -sine → mono ≈ silence
+    inter = np.empty(2 * len(sine)); inter[0::2] = sine; inter[1::2] = -sine
+    pcm_s, _ = decode_wav_pcm(_wav_bytes(inter, sr, n_ch=2))
+    assert float(np.abs(pcm_s).max()) < 1e-3
+
+    # rejects: not WAV, truncated data chunk → None (fallback to codec)
+    assert decode_wav_pcm(b"\x89PNG not audio at all" * 4) is None
+    wav = _wav_bytes(sine, sr)
+    assert decode_wav_pcm(wav[: len(wav) // 2]) is None
+
+    # the Spark seam end-to-end: a backend whose decode_audio IS the fast
+    # path (FFmpegDecodeBackend can't construct in this sandbox, but the
+    # fast path is exactly what it would run for these bytes)
+    from validation_engine.multimodal import DecodeBackend
+
+    class WavOnly(DecodeBackend):
+        def decode_audio(self, data):
+            out = decode_wav_pcm(bytes(data))
+            if out is None:
+                raise ValueError("not a canonical WAV")
+            return out
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav_bytes(sine, sr))), (2, bytearray(b"garbage"))],
+        "media_id long, data binary",
+    )
+    rows = {r["media_id"]: r for r in
+            audio_features(df, "media_id", "data", backend=WavOnly()).collect()}
+    assert abs(rows[1]["duration_ms"] - 1000) <= 5
+    assert abs(rows[1]["rms"] - amp / 2 ** 0.5) < 0.01
+    assert rows[2]["rms"] is None  # corrupt → null-feature row
