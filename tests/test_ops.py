@@ -1584,3 +1584,48 @@ def test_url_dedup_keeps_one_per_canonical(spark):
     # 'agg' strategy keeps identical survivors
     assert {r["id"] for r in url_dedup(df, "id", "url", strategy="agg")
             .collect()} == {1, 4, 5, 6}
+
+
+def test_dedup_lines_within_document(spark):
+    """Intra-document line dedup: later repeats drop (first kept, order
+    preserved), short/blank lines are exempt, distinct lines survive, and
+    repetition across DOCUMENTS is untouched (that is paragraph_dedup's
+    job)."""
+    from validation_engine.text import dedup_lines
+
+    d1 = "\n".join(["alpha line", "beta line", "alpha line", "",
+                    "gamma line", "beta line", "--", "alpha line"])
+    d2 = "\n".join(["alpha line", "unique here"])  # cross-doc repeat kept
+    df = spark.createDataFrame([(1, d1), (2, d2)], "id long, text string")
+    out = {r["id"]: r for r in dedup_lines(df, "text").collect()}
+    assert out[1]["text"] == "\n".join(
+        ["alpha line", "beta line", "", "gamma line", "--"])
+    assert out[1]["n_lines_dropped"] == 3
+    assert out[2]["text"] == d2 and out[2]["n_lines_dropped"] == 0
+
+
+def test_dedup_lines_duckdb_parity(spark):
+    """Independent-engine parity on a generated corpus: dropped-line
+    counts match a DuckDB formulation using its index lambdas."""
+    import duckdb
+
+    from validation_engine.text import dedup_lines
+
+    pool = [f"line body {i}" for i in range(6)] + ["x", ""]
+    rows = [(d, "\n".join(pool[(d * 5 + j * j) % len(pool)]
+                          for j in range(1 + d % 7))) for d in range(40)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r["n_lines_dropped"]
+           for r in dedup_lines(df, "text").collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    oracle = dict(con.execute(r"""
+        SELECT doc_id,
+               CAST(len(ls) - len(list_filter(ls, (x, i) ->
+                      length(trim(x)) < 2 OR list_position(ls, x) = i))
+                    AS INT) AS nd
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs)
+    """).fetchall())
+    assert got == oracle and sum(got.values()) > 0

@@ -274,3 +274,84 @@ def test_paragraph_dedup_matches_python_reference(spark, doc_paras, max_freq):
         ).collect()
     }
     assert got == expected, (docs, max_freq)
+
+
+@given(
+    st.lists(  # (key, val) rows over tiny pools so buckets of many sizes
+        st.tuples(st.sampled_from(["k1", "k2", "k3", "k4"]),
+                  st.integers(min_value=0, max_value=30)),
+        min_size=1, max_size=40,
+    ),
+    st.integers(min_value=1, max_value=6),   # max_freq
+    st.integers(min_value=1, max_value=5),   # n_salts (incl. degenerate 1)
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bucket_groups_ladder_matches_python_reference(spark, rows, max_freq,
+                                                       n_salts):
+    """Property: the round-7 salted two-level ladder == a direct Python
+    reference for ANY bucket-size mix, max_freq, and salt count — in
+    particular the exactness of the gate when a sub-bucket's member list
+    is nulled (its count must still flow into the key's total, so a key
+    split across salts can never sneak past max_freq), and the n >= 2
+    floor.  Duplicate (key, val) rows are kept as distinct members, as in
+    the window formulation."""
+    from collections import Counter
+
+    from validation_engine.dedup import _bucket_groups
+
+    df = spark.createDataFrame(rows, "bkey string, _id long")
+    got = {
+        r["bkey"]: sorted(r["_members"])
+        for r in _bucket_groups(df, "bkey", "_id", max_freq,
+                                n_salts=n_salts).collect()
+    }
+
+    by_key: dict = {}
+    for k, v in rows:
+        by_key.setdefault(k, []).append(v)
+    expected = {
+        k: sorted(vs) for k, vs in by_key.items()
+        if 2 <= len(vs) <= max_freq
+    }
+    assert got == expected, (rows, max_freq, n_salts)
+    # and the None path (no cap): every key with >= 2 rows, full members
+    got_none = {
+        r["bkey"]: sorted(r["_members"])
+        for r in _bucket_groups(df, "bkey", "_id", None).collect()
+    }
+    expected_none = {k: sorted(vs) for k, vs in by_key.items() if len(vs) >= 2}
+    assert got_none == expected_none, rows
+
+
+@given(
+    st.lists(  # (id, text) with planted duplicate texts of many sizes
+        st.tuples(st.integers(min_value=0, max_value=99),
+                  st.sampled_from(["t1", "t2", "t3", "", None])),
+        min_size=1, max_size=30, unique_by=lambda r: r[0],
+    ),
+    st.integers(min_value=1, max_value=4),   # max_ids
+    st.integers(min_value=1, max_value=5),   # n_salts
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_exact_duplicates_ladder_matches_python_reference(spark, rows,
+                                                          max_ids, n_salts):
+    """Property: exact_duplicates' ladder == Python — exact n_docs and
+    keeper regardless of salt split, doc_ids = the max_ids SMALLEST ids
+    (the union-of-sub-samples slice must equal the global slice), and
+    null/empty text coalesce to the same group."""
+    from validation_engine.dedup import exact_duplicates
+
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["keeper"]: (r["n_docs"], r["doc_ids"])
+        for r in exact_duplicates(df, "id", "text", max_ids=max_ids,
+                                  n_salts=n_salts).collect()
+    }
+    by_text: dict = {}
+    for i, t in rows:
+        by_text.setdefault(t or "", []).append(i)
+    expected = {
+        min(ids): (len(ids), sorted(ids)[:max_ids])
+        for ids in by_text.values() if len(ids) > 1
+    }
+    assert got == expected, (rows, max_ids, n_salts)

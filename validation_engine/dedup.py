@@ -106,9 +106,18 @@ def exact_dedup(
     formulation strictly dominates.  Measured at sf0.1 (best of 3):
     window 0.52 s vs agg 0.91 s; the keeper aggregate is NOT broadcastable
     at scale (one (digest, id) row per distinct document), so the join
-    never becomes shuffle-free.  ``strategy='agg'`` is kept for sources
-    where a second scan is cheaper than sorting within digest partitions
-    (e.g. re-reading a pruned columnar scan beats sorting multi-MB rows)."""
+    never becomes shuffle-free.  ``strategy='agg'`` is kept for two cases:
+    sources where a second scan is cheaper than sorting within digest
+    partitions (re-reading a pruned columnar scan beats sorting multi-MB
+    rows), and ADVERSARIALLY SKEWED corpora — the window co-locates a
+    mega-dup digest's full-text row flood on one task (the round-6/7
+    straggler class; see :func:`exact_duplicates`' ladder), while 'agg'
+    is skew-free by construction: the keeper aggregate map-side-combines
+    the flood to one row per map task, and the semi-join key
+    ``(digest, id)`` is UNIQUE per left row, so no join partition can
+    skew.  Rule of thumb: 'window' for cleaned/benign corpora (one scan,
+    fastest), 'agg' for raw web crawls where empty/boilerplate mega
+    groups are expected."""
     with_d = df.withColumn("_digest", F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256))
     if strategy == "window":
         from pyspark.sql import Window

@@ -415,6 +415,49 @@ def repetition_ratio(col, unit: str = "line") -> Column:
     )
 
 
+def dedup_lines(
+    df: DataFrame,
+    text_col: str,
+    min_chars: int = 2,
+    sep_pattern: str = r"\n",
+    join_sep: str = "\n",
+) -> DataFrame:
+    """WITHIN-document repeated-line removal — keep each line's FIRST
+    occurrence, drop later repeats: the C4-style intra-document hygiene
+    step that :func:`repetition_ratio` detects and
+    :func:`validation_engine.dedup.paragraph_dedup` does NOT cover (its
+    frequency is cross-document).  Log spam, chat headers, and template
+    repeats collapse to one instance; document order is preserved.
+
+    Rebuilds ``text_col`` in place and adds ``n_lines_dropped``.  Lines
+    whose trimmed length is under ``min_chars`` (blank separators,
+    markdown rules) are kept verbatim — dropping them would reflow the
+    document, and they carry no repetition signal.
+
+    Scale shape: a pure per-row Column expression — zero shuffles, zero
+    Python, composes map-side with the scan.  The duplicate test is
+    ``array_position(lines, x) == i + 1`` (first index wins): O(lines²)
+    comparisons per document, no allocations — lines per document are
+    small by construction, and comparisons are the cheap axis of
+    interpreted higher-order functions (PLANS.md: cost ∝ allocations).
+    The line array is staged ONCE as its own column so the filter and
+    both sizes share one split."""
+    staged = df.withColumn("_lines", F.split(F.col(text_col), sep_pattern))
+    ln = F.col("_lines")
+    kept = F.filter(
+        ln,
+        lambda x, i: (F.length(F.trim(x)) < int(min_chars))
+        | (F.array_position(ln, x) == i + 1),
+    )
+    return (
+        staged.withColumn(
+            "n_lines_dropped", (F.size(ln) - F.size(kept)).cast("int")
+        )
+        .withColumn(text_col, F.concat_ws(join_sep, kept))
+        .drop("_lines")
+    )
+
+
 def unigram_lm_score(
     df: DataFrame,
     id_col: str,
