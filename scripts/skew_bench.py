@@ -19,8 +19,9 @@ each measured job the script also pulls per-stage task-duration quantiles
 from the Spark UI REST API and reports the worst stage's max/median task
 ratio — the straggler signal itself, not just wall clock.
 
-Usage: [SKEW_ROWS=4000000] [SKEW_FRAC=0.5] [ATTEMPTS=3] python scripts/skew_bench.py
-Writes BENCH/skew_r7.json.
+Usage: [SKEW_ROWS=4000000] [SKEW_FRAC=0.5] [ATTEMPTS=3] [SKEW_OUT=skew_r7.json]
+       python scripts/skew_bench.py
+Writes BENCH/$SKEW_OUT (default skew_r7.json).
 """
 
 from __future__ import annotations
@@ -200,7 +201,7 @@ def main():
             lambda: lsh_candidates_window(docs, "id", "text", 50), results)
 
     os.makedirs("BENCH", exist_ok=True)
-    out = os.path.join("BENCH", "skew_r7.json")
+    out = os.path.join("BENCH", os.environ.get("SKEW_OUT", "skew_r7.json"))
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print("wrote", out)
