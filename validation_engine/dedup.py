@@ -524,21 +524,24 @@ def minhash_lsh_candidates(
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH.
 
     rows/band = n_hashes/bands; two docs collide if ANY band matches.
-    Plan shape: one scan to signatures (map-only) → explode bands (×bands) →
-    self-equi-join on (band_idx, band_key) → distinct pairs.
 
     Plan shape (deliberately NOT a self-join): one scan computes shingles →
-    signature → exploded band keys; ONE hash aggregation groups ids per
-    (band, key) bucket; pairs expand inside each bucket with a double
-    explode.  A self-join formulation re-executes the signature pipeline for
-    both sides plus the frequency filter (~3 scans — measured 28 s vs 8 s on
-    200k docs) and shuffles the corpus twice; the groupBy shuffles only
-    (band_key, id) pairs once.
+    signature → exploded 8-byte band-key hashes (:func:`_band_keys`);
+    :func:`_bucket_groups`' salted two-level ladder groups ids per bucket
+    (round 7 — no window, so a boilerplate mega-bucket spreads over the
+    cluster instead of flooding one task); pairs expand inside each
+    bucket with a double explode.  A self-join formulation re-executes
+    the signature pipeline for both sides plus the frequency filter
+    (~3 scans — measured 28 s vs 8 s on 200k docs) and shuffles the
+    corpus twice; the ladder shuffles only narrow (band_key, id) rows.
 
     Skew control (web-corpus reality: boilerplate pages collapse into a few
     mega-buckets that would produce O(n²) candidate pairs): buckets larger
-    than ``max_band_freq`` are dropped in the same aggregation — the
-    standard frequency cap used by large-scale dedup pipelines, free here.
+    than ``max_band_freq`` are dropped inside the ladder — their member
+    lists never travel past the salted first aggregation level — the
+    standard frequency cap used by large-scale dedup pipelines.  ALWAYS
+    set it on raw web corpora; ``None`` accepts unbounded buckets (and
+    unbounded pair fan-out) by contract.
     """
     banded = _band_keys(df, id_col, text_col, k, n_hashes, bands, use_md5)
     buckets = _bucket_groups(banded, "bkey", "_id", max_band_freq).withColumnRenamed(
