@@ -1,0 +1,105 @@
+"""Worktree-interleaved A/B for the `dedup_minhash_lsh_corpus` bench row
+(round 7): the committed r7 clean sample reads 2.19 s vs r6's 1.74 s for
+a row whose gate changed (window -> salted ladder) AND whose band keys
+changed (string -> 8-byte hash) AND whose window drifted — only a
+strictly interleaved r6-code <-> HEAD A/B in ONE window, fresh
+subprocess + fresh session per measurement, separates code from host.
+
+Usage:
+    git worktree add /tmp/ve_r6 aa180f9   # round-6 boundary
+    python scripts/ab_minhash.py /tmp/ve_r6
+Writes BENCH/ab_minhash_r7.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+HEAD = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REPS = int(os.environ.get("AB_REPS", "4"))
+DOCS = int(os.environ.get("AB_DOCS", "200000"))
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+CHILD = r"""
+import sys, time
+sys.path.insert(0, sys.argv[1])
+import pyspark.sql.functions as F
+from validation_engine.session import get_spark
+from validation_engine.datagen import spark_codefiles
+from validation_engine.dedup import minhash_lsh_candidates
+
+n_docs, cpus = int(sys.argv[2]), int(sys.argv[3])
+spark = get_spark("ab-minhash", master=f"local[{cpus}]",
+                  shuffle_partitions=max(cpus, 8))
+spark.sparkContext.setLogLevel("ERROR")
+
+def corpus(n):
+    return (spark_codefiles(spark, n, n_dup=1000)
+            .select(F.xxhash64("repo", "path", "commit").alias("id"),
+                    F.col("content").alias("text")).persist())
+
+warm = corpus(10_000); warm.count()
+minhash_lsh_candidates(warm, "id", "text", k=3, n_hashes=16, bands=4,
+                       max_band_freq=50).count()
+warm.unpersist()
+
+docs = corpus(n_docs); docs.count()
+t0 = time.time()
+n = minhash_lsh_candidates(docs, "id", "text", k=3, n_hashes=16, bands=4,
+                           max_band_freq=50).count()
+print("ABRESULT", round(time.time() - t0, 3), n)
+spark.stop()
+"""
+
+
+def measure(repo_root: str):
+    proc = subprocess.run(
+        [sys.executable, "-c", CHILD, repo_root, str(DOCS), str(CPUS)],
+        capture_output=True, text=True, timeout=1200,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(proc.stderr[-2000:])
+    for line in proc.stdout.splitlines():
+        if line.startswith("ABRESULT"):
+            parts = line.split()
+            return float(parts[1]), int(parts[2])
+    raise RuntimeError("no ABRESULT line:\n" + proc.stdout[-2000:])
+
+
+def main() -> None:
+    r6_root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ve_r6"
+    if not os.path.isdir(os.path.join(r6_root, "validation_engine")):
+        raise SystemExit(
+            f"{r6_root} is not a checkout; run "
+            "`git worktree add /tmp/ve_r6 <round-6-commit>` first"
+        )
+    runs = {"r6": [], "head": []}
+    pairs = {}
+    t_start = time.time()
+    for _ in range(REPS):  # strict interleaving: host drift hits both arms
+        s6, n6 = measure(r6_root)
+        sh, nh = measure(HEAD)
+        runs["r6"].append(s6)
+        runs["head"].append(sh)
+        pairs = {"r6_pairs": n6, "head_pairs": nh}
+    med = {k: round(statistics.median(v), 3) for k, v in runs.items()}
+    out = {
+        "docs": DOCS, "cpus": CPUS, "reps": REPS,
+        "window_sec": round(time.time() - t_start, 1),
+        "interleaved_runs": runs, "median": med,
+        "head_over_r6_ratio": round(med["head"] / med["r6"], 3),
+        **pairs,
+    }
+    os.makedirs(os.path.join(HEAD, "BENCH"), exist_ok=True)
+    with open(os.path.join(HEAD, "BENCH", "ab_minhash_r7.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
