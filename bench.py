@@ -330,17 +330,21 @@ def main() -> None:
     )
     # crawl-level URL dedup (round-7): synthesized crawl URLs with ~8 raw
     # variants per page — host/path derive from one group key, then
-    # tracking params / fragments / trailing slashes are sprayed on top;
-    # the canonical-form pass collapses them without touching content
+    # tracking params, fragments, and trailing slashes are sprayed on top
+    # (the slash only on query-less urls, where canonicalization strips
+    # it); the canonical-form pass collapses them without touching content
     from validation_engine.text import url_dedup
 
     grp = F.pmod(F.col("id"), F.lit(max(n_files // 24, 1000)))
+    has_query = F.pmod(F.col("id"), 3) == 0
     urls = docs.select(
         "id",
         F.concat(
             F.lit("https://site"), F.pmod(grp, F.lit(40)).cast("string"),
             F.lit(".example.com/page/"), grp.cast("string"),
-            F.when(F.pmod(F.col("id"), 3) == 0,
+            F.when(~has_query & (F.pmod(F.col("id"), 7) == 1), F.lit("/"))
+            .otherwise(F.lit("")),
+            F.when(has_query,
                    F.concat(F.lit("?utm_source=s"),
                             F.pmod(F.col("id"), F.lit(7)).cast("string")))
             .otherwise(F.lit("")),

@@ -822,6 +822,18 @@ def test_decode_wav_pcm_fast_path(spark):
     wav = _wav_bytes(sine, sr)
     assert decode_wav_pcm(wav[: len(wav) // 2]) is None
 
+    # odd data-chunk size (in-the-wild off-by-one): the trailing byte is
+    # ignored like ffmpeg does — the blob still decodes on the fast path
+    import struct
+
+    raw = (np.asarray(sine) * 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(raw) + 1) + raw + b"\x00")
+    odd = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    pcm_o, sr_o = decode_wav_pcm(odd)
+    assert sr_o == sr and len(pcm_o) == len(sine)
+
     # the Spark seam end-to-end: a backend whose decode_audio IS the fast
     # path (FFmpegDecodeBackend can't construct in this sandbox, but the
     # fast path is exactly what it would run for these bytes)

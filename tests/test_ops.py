@@ -1596,12 +1596,15 @@ def test_dedup_lines_within_document(spark):
     d1 = "\n".join(["alpha line", "beta line", "alpha line", "",
                     "gamma line", "beta line", "--", "alpha line"])
     d2 = "\n".join(["alpha line", "unique here"])  # cross-doc repeat kept
-    df = spark.createDataFrame([(1, d1), (2, d2)], "id long, text string")
+    df = spark.createDataFrame([(1, d1), (2, d2), (3, None)],
+                               "id long, text string")
     out = {r["id"]: r for r in dedup_lines(df, "text").collect()}
     assert out[1]["text"] == "\n".join(
         ["alpha line", "beta line", "", "gamma line", "--"])
     assert out[1]["n_lines_dropped"] == 3
     assert out[2]["text"] == d2 and out[2]["n_lines_dropped"] == 0
+    # NULL text stays NULL (not rewritten to empty string)
+    assert out[3]["text"] is None and out[3]["n_lines_dropped"] == 0
 
 
 def test_dedup_lines_duckdb_parity(spark):

@@ -49,10 +49,11 @@ def exact_duplicates(
     and AQE cannot split a window the way it splits a join):
 
     1. group by ``(digest, salt)`` with ``salt = xxhash64(id) % n_salts``
-       (default: the cluster's ``defaultParallelism``, so the spread
-       scales with the cluster) — a mega-digest's rows spread evenly over
-       ``n_salts`` tasks; each sub-group keeps an exact count, its min id,
-       and its ``max_ids`` smallest ids.
+       (default ``max(256, defaultParallelism)``, so the spread scales
+       with the cluster and never drops below a real floor) — a
+       mega-digest's rows spread evenly over ``n_salts`` tasks; each
+       sub-group reduces to an exact count, its min id, and its
+       ``max_ids`` smallest ids.
     2. group by ``digest`` — sums the exact counts, mins the keeper, and
        re-sorts/slices the union of sub-samples (the global ``max_ids``
        smallest ids are contained in the union of per-salt ``max_ids``
@@ -61,10 +62,17 @@ def exact_duplicates(
 
     Both aggregations are hash-based (no sort of the row stream); the
     level-1 partial aggregation collapses unique digests map-side as
-    before.  Same results as the window formulation, row for row."""
+    before.  Same results as the window formulation, row for row.
+
+    Residual memory honesty: level 1's ``collect_list`` buffers a
+    sub-group's ids BEFORE the slice, so its per-task state is
+    ``group_size / n_salts`` ids — spread, not eliminated (sort-based
+    aggregation fallback holds one group's buffer in memory).  The
+    default floor keeps a 10^9-row mega group under ~32 MB per task;
+    size ``n_salts ≈ flood / 10^6`` for nastier corpora."""
     digest = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
     if n_salts is None:
-        n_salts = df.sparkSession.sparkContext.defaultParallelism
+        n_salts = max(256, df.sparkSession.sparkContext.defaultParallelism)
     salted = df.select(
         digest.alias("digest"),
         F.col(id_col),
@@ -151,13 +159,18 @@ def _bucket_groups(
     AQE can split a skewed JOIN partition but never a window):
 
     1. group by ``(key, salt)`` with ``salt = xxhash64(val) % n_salts``
-       (default ``defaultParallelism``, so the spread scales with the
-       cluster): a boilerplate mega-bucket's rows spread evenly over
-       ``n_salts`` tasks instead of landing on one.  Each sub-group keeps
-       an exact count ``_sn`` and its member list — but the list is
-       NULLED when ``_sn > max_freq`` (such a key's total is a fortiori
-       over the cap), so a mega-bucket's members never travel past
-       level 1.
+       (default ``max(256, defaultParallelism)``, so the spread scales
+       with the cluster and never drops below a real floor): a
+       boilerplate mega-bucket's rows spread evenly over ``n_salts``
+       tasks instead of landing on one.  Each sub-group keeps an exact
+       count ``_sn`` and its member list — but the list is NULLED when
+       ``_sn > max_freq`` (such a key's total is a fortiori over the
+       cap), so a mega-bucket's members never travel past level 1 in the
+       EXCHANGE.  Level 1's own aggregation buffer still holds a
+       sub-group's list before the nulling (``bucket_size / n_salts``
+       members per task — spread, not eliminated; the default floor
+       keeps a 10^9-row mega bucket under ~32 MB/task, and ``n_salts``
+       is the knob for nastier corpora).
     2. group by ``key``: ``sum(_sn)`` is the exact bucket size (dropped
        lists still contribute their counts, so the 2..max_freq gate is
        exact); surviving member lists flatten into ``_members``.  Level-2
@@ -181,7 +194,7 @@ def _bucket_groups(
         )
     mf = int(max_freq)
     if n_salts is None:
-        n_salts = banded.sparkSession.sparkContext.defaultParallelism
+        n_salts = max(256, banded.sparkSession.sparkContext.defaultParallelism)
     salted = banded.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(val)), F.lit(int(n_salts)))
     )

@@ -19,12 +19,15 @@ analytics never re-shuffles the blobs.
 from __future__ import annotations
 
 import hashlib
+import logging
 from dataclasses import dataclass
 from typing import Iterator, Optional
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
+
+logger = logging.getLogger(__name__)
 
 #: metadata struct carried alongside every media blob
 MEDIA_META_SCHEMA = T.StructType(
@@ -200,6 +203,13 @@ def decode_wav_pcm(data: bytes):
     bits = int.from_bytes(fmt[14:16], "little")
     if n_ch < 1 or sr <= 0:
         return None
+    # a data chunk whose size is not a multiple of the sample width is a
+    # common in-the-wild off-by-one; ffmpeg ignores the trailing bytes, so
+    # truncate rather than letting np.frombuffer raise (a raise here would
+    # defeat the fall-back contract AND the blob is decodable)
+    width = bits // 8
+    if width and len(raw) % width:
+        raw = raw[: len(raw) // width * width]
     if tag == 1 and bits == 16:
         arr = np.frombuffer(raw, "<i2").astype("float64") / 32768.0
     elif tag == 1 and bits == 8:  # 8-bit WAV is unsigned by spec
@@ -312,11 +322,17 @@ class FFmpegDecodeBackend(DecodeBackend):
         return self._with_tmp(data, go)
 
     def decode_audio(self, data: bytes) -> "tuple[np.ndarray, int]":
-        # canonical PCM WAV decodes in-process (no fork, no temp file, no
-        # resample — native rate returned, as the interface allows); only
-        # compressed/exotic formats pay the per-blob ffmpeg process
+        # canonical PCM WAV decodes in-process (no fork, no temp file) —
+        # but ONLY when its native rate already equals the backend's
+        # configured output rate: the constructor promises
+        # ``self.sample_rate`` output, and silently returning 44.1 kHz
+        # PCM to a consumer built for 16 kHz would distort audio 2.75×
+        # for any caller that trusts the constructor arg over the
+        # returned rate.  Rate-mismatched WAVs take the ffmpeg path and
+        # get resampled like every other format; bulk corpora stored at
+        # the target rate (the common case) stay fork-free.
         fast = decode_wav_pcm(data)
-        if fast is not None:
+        if fast is not None and fast[1] == self.sample_rate:
             return fast
 
         def go(path):
@@ -370,12 +386,19 @@ def image_features(
                         rows.append(
                             (mid, sha, len(data), img.shape[1], img.shape[0], luma, emb.tolist())
                         )
-                    except (NotImplementedError, ValueError):
+                    except (NotImplementedError, ValueError) as e:
                         # codec missing OR corrupt/undecodable blob: a real
                         # backend (ffmpeg/PIL) raises ValueError on bad
                         # bytes — one poisoned row must degrade to a
                         # null-feature row, not fail the Arrow task (and,
-                        # after retries, the whole 100 TB job)
+                        # after retries, the whole 100 TB job).  CAVEAT: a
+                        # SYSTEMIC backend failure (ffmpeg build missing a
+                        # codec) also lands here per row — the worker log
+                        # warning plus a null-rate check on the feature
+                        # table (validation is this engine's whole job) is
+                        # the alarm; construction-time binary checks catch
+                        # the absent-binary case fail-fast.
+                        logger.warning("media decode failed for id=%s: %s", mid, e)
                         rows.append((mid, sha, len(data), None, None, None, None))
                 yield pd.DataFrame(
                     rows,
@@ -436,8 +459,10 @@ def audio_features(
                          int(len(pcm) * 1000 // sr),
                          float(np.sqrt((pcm**2).mean())))
                     )
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, ValueError) as e:
                     # codec missing OR corrupt blob → null-feature row
+                    # (systemic-failure caveat: see image_features)
+                    logger.warning("audio decode failed for id=%s: %s", mid, e)
                     rows.append((mid, sha, len(data), None, None))
             yield pd.DataFrame(
                 rows, columns=["media_id", "sha256", "n_bytes", "duration_ms", "rms"]
@@ -471,8 +496,10 @@ def video_frame_sample(
                              + 0.114 * frame[..., 2]).mean()
                         )
                         rows.append((mid, i, luma))
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, ValueError) as e:
                     # codec missing OR corrupt blob → sentinel frame row
+                    # (systemic-failure caveat: see image_features)
+                    logger.warning("video decode failed for id=%s: %s", mid, e)
                     rows.append((mid, -1, None))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "mean_luma"])
 

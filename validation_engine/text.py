@@ -449,11 +449,22 @@ def dedup_lines(
         lambda x, i: (F.length(F.trim(x)) < int(min_chars))
         | (F.array_position(ln, x) == i + 1),
     )
+    # NULL text stays NULL (split(NULL)→NULL but concat_ws(NULL)→'' —
+    # rewriting null to empty would silently shift every downstream
+    # null-vs-empty distinction; paragraph_dedup makes the same promise)
     return (
         staged.withColumn(
-            "n_lines_dropped", (F.size(ln) - F.size(kept)).cast("int")
+            "n_lines_dropped",
+            F.when(ln.isNull(), F.lit(0)).otherwise(
+                F.size(ln) - F.size(kept)
+            ).cast("int"),
         )
-        .withColumn(text_col, F.concat_ws(join_sep, kept))
+        .withColumn(
+            text_col,
+            F.when(ln.isNull(), F.col(text_col)).otherwise(
+                F.concat_ws(join_sep, kept)
+            ),
+        )
         .drop("_lines")
     )
 
