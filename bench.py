@@ -355,6 +355,35 @@ def main() -> None:
     queries["url_dedup_corpus"] = timed(
         "url_dedup_corpus", lambda: url_dedup(urls, "id", "url").count()
     )
+    # semantic dedup (SemDeDup shape): corpus-derived embeddings with 24
+    # planted semantic groups — per-dimension group centre from
+    # xxhash64(group, dim) plus a small per-doc jitter, so each group's
+    # members sit at cosine ≈ 1 and collapse to one exemplar.  Embeddings
+    # cross ONE exchange (the cluster-id groupBy); all pairwise work is
+    # numpy inside Arrow batches.
+    from validation_engine.dedup import semantic_dedup
+
+    sem_dim = 32
+    sem_grp = F.pmod(F.col("id"), F.lit(24))
+    emb = docs.select(
+        "id",
+        F.array(
+            *[
+                (
+                    F.pmod(F.xxhash64(sem_grp, F.lit(i)), 2000) / 1000.0 - 1.0
+                    + F.pmod(F.xxhash64("id", F.lit(i + 4096)), 200) / 1000.0
+                ).alias(f"e{i}")
+                for i in range(sem_dim)
+            ]
+        ).alias("embedding"),
+    )
+    queries["semantic_dedup_corpus"] = timed(
+        "semantic_dedup_corpus",
+        lambda: semantic_dedup(
+            emb, "id", "embedding", threshold=0.9, n_clusters=24,
+            seed=1, sample_cap=8_000,
+        ).count(),
+    )
     # round-4 single-scan text ops over the same corpus: BM25 (one scan,
     # zero shuffles) and the unigram-LM quality proxy (one scan, persisted
     # tf frame) — both eager, so the call itself is the measured work

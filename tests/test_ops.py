@@ -196,6 +196,97 @@ def test_embedding_near_duplicates(spark):
     assert got == {(1, 2)}
 
 
+def _semantic_reference(rows, threshold):
+    """Pure-python twin of the semantic_duplicates greedy: ascending-id
+    order, keep iff max cosine vs previously-KEPT < threshold."""
+    kept, dropped = [], {}
+    for rid, vec in sorted(rows):
+        v = np.asarray(vec, dtype=float)
+        n = np.linalg.norm(v)
+        v = v / (n if n else 1.0)
+        best, best_id = -2.0, None
+        for kid, kv in kept:
+            c = float(v @ kv)
+            if c > best:
+                best, best_id = c, kid
+        if best >= threshold:
+            dropped[rid] = (best_id, round(best, 6))
+        else:
+            kept.append((rid, v))
+    return dropped
+
+
+def test_semantic_duplicates_matches_reference(spark):
+    from validation_engine.dedup import semantic_duplicates
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((6, 8))
+    rows = []
+    rid = 0
+    for b in base:
+        for _ in range(rng.integers(1, 4)):
+            rows.append((rid, [float(x) for x in b + rng.standard_normal(8) * 0.01]))
+            rid += 1
+    df = spark.createDataFrame(rows, ["id", "vec"])
+    # one cluster: the prune must reproduce the global greedy exactly
+    cent = np.zeros((1, 8))
+    got = {
+        r["id"]: (r["dup_of"], r["cosine"])
+        for r in semantic_duplicates(
+            df, "id", "vec", threshold=0.98, centroids=cent
+        ).collect()
+    }
+    assert got == _semantic_reference(rows, 0.98)
+
+
+def test_semantic_duplicates_blocking_boundary(spark):
+    # block_size smaller than the cluster forces the cross-block kept-matrix
+    # path AND the within-block chain path; results must not change
+    from validation_engine.dedup import semantic_duplicates
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((4, 6))
+    rows = [
+        (i, [float(x) for x in base[i % 4] + rng.standard_normal(6) * 0.005])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["id", "vec"])
+    cent = np.zeros((1, 6))
+    ref = _semantic_reference(rows, 0.97)
+    for bs in (1, 3, 64):
+        got = {
+            r["id"]: (r["dup_of"], r["cosine"])
+            for r in semantic_duplicates(
+                df, "id", "vec", threshold=0.97, centroids=cent, block_size=bs
+            ).collect()
+        }
+        assert got == ref, f"block_size={bs}"
+
+
+def test_semantic_dedup_survivors_partitioning_invariant(spark):
+    from validation_engine.dedup import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((5, 8)) * 3
+    rows = []
+    for i in range(40):
+        rows.append(
+            (i, [float(x) for x in base[i % 5] + rng.standard_normal(8) * 0.01])
+        )
+    df = spark.createDataFrame(rows, ["id", "vec"])
+    cent = base + rng.standard_normal((5, 8)) * 0.1  # pinned clustering
+    a = semantic_dedup(df, "id", "vec", threshold=0.95, centroids=cent)
+    b = semantic_dedup(
+        df.repartition(7, "id"), "id", "vec", threshold=0.95, centroids=cent
+    )
+    sa = sorted(r["id"] for r in a.collect())
+    sb = sorted(r["id"] for r in b.collect())
+    assert sa == sb
+    assert 0 < len(sa) < 40  # something dropped, something survived
+    # survivor schema is the input schema untouched
+    assert a.columns == df.columns
+
+
 # ---------------- similarity ----------------
 
 

@@ -1073,3 +1073,147 @@ def cluster_representatives(
         F.col("id").alias(id_col)
     )
     return df.join(to_drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style: cluster, then prune within cluster)
+# ---------------------------------------------------------------------------
+
+
+def semantic_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    seed: int = 42,
+    centroids=None,
+    sample_cap: int = 20_000,
+    block_size: int = 1024,
+) -> DataFrame:
+    """Cluster-then-prune semantic duplicate detection (SemDeDup,
+    Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the embedding
+    space, then inside each cluster drop every document whose cosine
+    similarity to an already-kept document is ≥ ``threshold``.
+
+    Returns the DROPPED rows as ``(id, dup_of, cosine)`` — ``dup_of`` is
+    the kept document that evicted ``id``, ``cosine`` their similarity
+    (rounded to 6 dp).  :func:`semantic_dedup` anti-joins this back for
+    the survivor view.
+
+    Semantics are DETERMINISTIC and partitioning-invariant: within a
+    cluster, documents are processed in ascending ``id_col`` order and a
+    document is kept iff its max cosine against all previously-KEPT
+    documents is < ``threshold``; the kept set is therefore pairwise
+    < ``threshold`` within every cluster.  (This is the min-id flavour of
+    the paper's "keep one exemplar per ε-ball"; the greedy-by-id rule
+    replaces the paper's random choice so reruns and resumes agree.)
+
+    Why this exists next to :func:`embedding_near_duplicates`: the RHP-LSH
+    pair join is the right shape when you need the PAIRS (audit, CC
+    clustering), but its recall is bounded by the bit budget and the
+    bucket join is skew-exposed on dense regions.  SemDeDup is the
+    published scale path for embedding dedup-as-filtering — the paper runs
+    it at 5 B items by making ``n_clusters`` large enough that each
+    cluster's O(c²) similarity work is small; all pairwise work here is
+    vectorized numpy inside one Arrow batch per cluster.
+
+    Scale shape: ONE shuffle, on the cluster id (``groupBy(_cell)`` →
+    ``applyInPandas``); embeddings cross the exchange once.  Per-cluster
+    memory is bounded by the kept-set matrix (≤ c·dim doubles); the
+    block-wise matmul (``block_size``) bounds the transient similarity
+    matrix to ``block_size × kept``.  The skew axis is a mega-cluster:
+    the mitigation — per the paper — is raising ``n_clusters`` with
+    corpus size (they use 50 k clusters for 5 B items) so c stays ~1e4;
+    cluster sizes are data-dependent, so monitor the `_cell` histogram
+    (:func:`validation_engine.stats.group_sizes` shapes) when tuning.
+
+    ``centroids``: pass a precomputed ``(k, dim)`` array to pin the
+    clustering (exact reproducibility across differently-partitioned
+    inputs — driver-side k-means samples the input, so a different
+    partitioning may select a different training sample); otherwise
+    :func:`validation_engine.similarity.ivf_build` trains on a bounded
+    sample with ``seed``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from .similarity import ivf_assign, ivf_build
+
+    if centroids is None:
+        centroids = ivf_build(
+            df, vec_col=vec_col, n_centroids=n_clusters, sample_cap=sample_cap, seed=seed
+        )
+    assigned = ivf_assign(df.select(id_col, vec_col), centroids, vec_col=vec_col)
+
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("id", id_type),
+            StructField("dup_of", id_type),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    tau = float(threshold)
+    blk_sz = int(block_size)
+
+    def prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        X = np.vstack(pdf[vec_col].to_numpy())[order].astype(np.float64)
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0.0] = 1.0
+        X = X / norms[:, None]
+        n = len(X)
+        kept: list = []
+        d_id, d_of, d_cos = [], [], []
+        for s in range(0, n, blk_sz):
+            blk = X[s : s + blk_sz]
+            if kept:
+                sim = blk @ X[kept].T
+                best_j = sim.argmax(axis=1)
+                best = sim[np.arange(len(blk)), best_j]
+            else:
+                best = np.full(len(blk), -2.0)
+                best_j = np.zeros(len(blk), dtype=int)
+            new_local: list = []
+            for bi in range(len(blk)):
+                b = best[bi]
+                b_idx = kept[best_j[bi]] if kept else -1
+                if new_local:
+                    sim2 = blk[bi] @ X[new_local].T
+                    j2 = int(sim2.argmax())
+                    if sim2[j2] > b:
+                        b = sim2[j2]
+                        b_idx = new_local[j2]
+                gi = s + bi
+                if b >= tau:
+                    d_id.append(ids[gi])
+                    d_of.append(ids[b_idx])
+                    d_cos.append(round(float(b), 6))
+                else:
+                    new_local.append(gi)
+            kept.extend(new_local)
+        return pd.DataFrame({"id": d_id, "dup_of": d_of, "cosine": d_cos})
+
+    return assigned.groupBy("_cell").applyInPandas(prune, schema=out_schema)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    **kwargs,
+) -> DataFrame:
+    """Survivor view of :func:`semantic_duplicates`: the input minus every
+    semantically-duplicated row (kept set is pairwise < ``threshold``
+    within each cluster).  Same AQE-owned anti-join rationale as
+    :func:`cluster_representatives` — the drop-list is corpus-proportional,
+    so no forced broadcast."""
+    dropped = semantic_duplicates(
+        df, id_col, vec_col=vec_col, threshold=threshold, **kwargs
+    ).select(F.col("id").alias(id_col))
+    return df.join(dropped, id_col, "left_anti")
