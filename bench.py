@@ -393,6 +393,17 @@ def main() -> None:
         "bm25_topk_corpus",
         lambda: bm25_topk(docs, "id", "text", "def main return", k=10).count(),
     )
+    # char-weighted Gopher repetition signals (sort + run-length per row,
+    # zero shuffles); the filter keeps the count honest about evaluating
+    # the signal columns, not just the scan
+    from validation_engine.text import ngram_repetition
+
+    queries["ngram_repetition_corpus"] = timed(
+        "ngram_repetition_corpus",
+        lambda: ngram_repetition(docs, "text", n=3)
+        .filter(F.col("ngram3_dup_char_frac") < 0.5)
+        .count(),
+    )
     queries["unigram_lm_corpus"] = timed(
         "unigram_lm_corpus",
         lambda: unigram_lm_score(docs, "id", "text", vocab_size=50_000).count(),

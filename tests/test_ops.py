@@ -263,6 +263,19 @@ def test_semantic_duplicates_blocking_boundary(spark):
         assert got == ref, f"block_size={bs}"
 
 
+def test_semantic_duplicates_no_dups_returns_empty(spark):
+    # orthogonal vectors: no cluster drops anything — every per-cluster
+    # pandas return is EMPTY and must still cast to the declared schema
+    from validation_engine.dedup import semantic_dedup, semantic_duplicates
+
+    rows = [(i, [1.0 if j == i else 0.0 for j in range(6)]) for i in range(6)]
+    df = spark.createDataFrame(rows, ["id", "vec"])
+    cent = np.zeros((2, 6))
+    cent[1, 0] = 1.0
+    assert semantic_duplicates(df, "id", "vec", threshold=0.5, centroids=cent).count() == 0
+    assert semantic_dedup(df, "id", "vec", threshold=0.5, centroids=cent).count() == 6
+
+
 def test_semantic_dedup_survivors_partitioning_invariant(spark):
     from validation_engine.dedup import semantic_dedup
 
@@ -759,6 +772,40 @@ def test_repetition_ratio_units(spark):
     assert out[2]["bg"] == round(1 - 1/3, 6)  # 3 bigrams, all 'spam spam'
     assert out[3]["line"] == 0.5            # 4 non-empty lines, 2 distinct
     assert out[4]["tok"] == 0.0 and out[4]["line"] == 0.0
+
+
+def test_ngram_repetition_char_weighted_signals(spark):
+    from validation_engine.text import ngram_repetition
+
+    rows = [
+        (1, "the cat sat on the mat the cat sat again"),
+        (2, "unique words only here today friend"),   # no repeated bigram
+        (3, None),                                    # null stays null
+        (4, ""),                                      # empty → 0.0
+        (5, "one"),                                   # shorter than n
+        (6, "longword longword shrt shrt"),           # char vs count weighting
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {
+        r["id"]: (r["ngram2_top_char_frac"], r["ngram2_dup_char_frac"])
+        for r in ngram_repetition(df, "text", n=2).collect()
+    }
+    # doc 1: 'the cat' and 'cat sat' both occur 2x (max count); top takes
+    # the larger char cover (both 7 chars * 2 = 14); dup also counts
+    # 'sat on'? no — only count>1 grams: 'the cat'(2) 'cat sat'(2) = 28
+    assert out[1] == (round(14 / 40, 6), round(28 / 40, 6))
+    # all bigrams count 1 → top = largest single cover ('unique words', 12)
+    assert out[2] == (round(len("unique words") / 35, 6), 0.0)
+    assert out[3] == (None, None)
+    assert out[4] == (0.0, 0.0)
+    assert out[5] == (0.0, 0.0)
+    # doc 6: every bigram occurs once → top = the widest cover, which is
+    # the 17-char 'longword longword' (char weighting picks it over the
+    # equally-frequent 9-char 'shrt shrt')
+    assert out[6] == (round(17 / 27, 6), 0.0)
+    # column-name prefix override
+    got = ngram_repetition(df, "text", n=3, prefix="g3_").columns
+    assert "g3_top_char_frac" in got and "g3_dup_char_frac" in got
 
 
 def test_asof_join_matches_naive_formulation(spark):

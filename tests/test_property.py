@@ -355,3 +355,47 @@ def test_exact_duplicates_ladder_matches_python_reference(spark, rows,
         for ids in by_text.values() if len(ids) > 1
     }
     assert got == expected, (rows, max_ids, n_salts)
+
+
+@given(
+    st.lists(  # documents: token streams over a tiny alphabet (forces repeats)
+        st.lists(st.sampled_from(["a", "bb", "ccc", "dddd", "e"]),
+                 min_size=0, max_size=14),
+        min_size=1, max_size=10,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_ngram_repetition_matches_python_reference(spark, doc_toks, n):
+    """Property: the char-weighted Gopher repetition signals (top-/dup-
+    n-gram char fractions, computed JVM-side by sort + run-length) equal a
+    direct Counter-based Python reference on arbitrary token streams —
+    including docs shorter than n, empty docs, and mixed-length tokens
+    (char weighting is the point: count-weighting can't tell 'bb bb' from
+    'dddd dddd')."""
+    from validation_engine.text import ngram_repetition
+
+    rows = [(i, " ".join(t)) for i, t in enumerate(doc_toks)]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {
+        r["id"]: (r[f"ngram{n}_top_char_frac"], r[f"ngram{n}_dup_char_frac"])
+        for r in ngram_repetition(df, "text", n=n).collect()
+    }
+
+    from collections import Counter
+
+    for i, toks in enumerate(doc_toks):
+        grams = [" ".join(toks[j : j + n]) for j in range(max(len(toks) - n + 1, 0))]
+        total = len(" ".join(toks))
+        if not grams or total == 0:
+            assert out[i] == (0.0, 0.0), (i, toks)
+            continue
+        c = Counter(grams)
+        mc = max(c.values())
+        top = max(cnt * len(g) for g, cnt in c.items() if cnt == mc)
+        dup = sum(cnt * len(g) for g, cnt in c.items() if cnt > 1)
+        want = (
+            round(min(top / total, 1.0), 6),
+            round(min(dup / total, 1.0), 6),
+        )
+        assert out[i] == want, (i, toks, out[i], want)

@@ -415,6 +415,141 @@ def repetition_ratio(col, unit: str = "line") -> Column:
     )
 
 
+def ngram_repetition(
+    df: DataFrame, text_col: str, n: int = 2, prefix: Optional[str] = None
+) -> DataFrame:
+    """CHAR-WEIGHTED within-document n-gram repetition — the two Gopher
+    quality signals (Rae et al. 2021, arXiv:2112.11446 table A1) that
+    :func:`repetition_ratio`'s count-weighted `1 − distinct/total` cannot
+    express: a page whose repeats are LONG grams ("click here to read the
+    full article …") scores the same count ratio as one repeating "of
+    the", but a very different character ratio.
+
+    Adds two ``[0, 1]`` columns (``prefix`` defaults to ``ngram{n}_``):
+
+    * ``{prefix}top_char_frac`` — characters covered by all occurrences of
+      the MOST FREQUENT token n-gram / document characters (Gopher's
+      "fraction of characters in most common n-gram", n ∈ 2..4);
+    * ``{prefix}dup_char_frac`` — characters covered by every n-gram that
+      occurs more than once / document characters (Gopher's "fraction of
+      characters in duplicate n-grams", n ∈ 5..10).
+
+    Occurrence coverage is ``count × chars(gram)`` — overlapping windows
+    are counted per occurrence, so the sum is an UPPER BOUND on distinct
+    characters covered (Gopher de-overlaps; that needs per-position
+    interval union, quadratic per doc) and is clamped to 1.  Monotone in
+    the same direction, so thresholds tune the same way.
+
+    Scale shape: pure per-row Column expressions — zero shuffles, zero
+    Python.  The document's gram multiset is counted by SORT +
+    RUN-LENGTH, not explode/groupBy (no corpus-scale (doc, gram) shuffle)
+    and not filter-per-distinct-gram (allocations ∝ distinct grams — the
+    interpreted-HOF cost axis).  Every shared array is staged as its own
+    projection alias: a lambda that captures an outer EXPRESSION
+    re-evaluates it per element, so ``_sorted`` etc. must be column
+    references inside the lambdas.
+
+    Denominator: characters of the single-space-joined lowercased token
+    stream (same normalization the grams are built from) — byte-identical
+    across whitespace variants of the same text.  NULL text yields NULL
+    signals (null-vs-empty distinction preserved, as everywhere in this
+    module)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    p = prefix if prefix is not None else f"ngram{n}_"
+    toks_c, grams_c, sorted_c, starts_c, runs_c = (
+        "_nr_toks", "_nr_grams", "_nr_sorted", "_nr_starts", "_nr_runs",
+    )
+    txt = F.col(text_col)
+    staged = df.withColumn(toks_c, _tokens(F.lower(txt)))
+    toks = F.col(toks_c)
+    nt = F.size(toks)
+    staged = staged.withColumn(
+        grams_c,
+        F.when(nt < n, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), nt - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).withColumn(sorted_c, F.array_sort(F.col(grams_c)))
+    srt = F.col(sorted_c)
+    g = F.size(srt)
+    # run starts: 1-based positions where the sorted stream changes value
+    staged = staged.withColumn(
+        starts_c,
+        F.when(g <= 0, F.array().cast("array<int>")).otherwise(
+            F.filter(
+                # sequence(1, 0) would DESCEND ([1, 0]) — hence the g<=0 guard
+                F.sequence(F.lit(1), g),
+            # no short-circuit in SQL OR: the i-1 lookback must stay >= 1
+            # (element_at rejects index 0); at i == 1 the clamped compare
+            # is self != self == false and the first disjunct wins
+                lambda i: (i == 1)
+                | (
+                    F.element_at(srt, i)
+                    != F.element_at(srt, F.greatest(i - 1, F.lit(1)))
+                ),
+            )
+        ),
+    )
+    starts = F.col(starts_c)
+    ns = F.size(starts)
+    # run j covers [starts[j], next_start) — zip with the shifted starts
+    # (sentinel g+1 closes the last run); struct carries (count, char cover)
+    nxt = F.concat(F.slice(starts, 2, F.greatest(ns - 1, F.lit(0))), F.array(g + 1))
+    # F.shuffle is a semantic no-op here (every consumer — array_max,
+    # aggregate-sum — is order-insensitive) but its nondeterminism is a
+    # deliberate optimizer barrier: without it, a downstream
+    # filter-on-the-signal (the operator's normal use) is pushed through
+    # this projection and the ENTIRE interpreted chain is inlined into the
+    # predicate — re-evaluated per row with the staging lost (measured 12×
+    # at 5 k docs).  Same trick as decontaminate's explode barrier
+    # (PLANS.md round 5).
+    staged = staged.withColumn(
+        runs_c,
+        F.shuffle(
+            F.zip_with(
+                starts,
+                nxt,
+                lambda s, e: F.struct(
+                    (e - s).alias("cnt"),
+                    ((e - s) * F.length(F.element_at(srt, s))).alias("cover"),
+                ),
+            )
+        ),
+    )
+    runs = F.col(runs_c)
+    total_chars = F.length(F.concat_ws(" ", toks)).cast("double")
+    # max_cnt is referenced INSIDE the top_cover lambda — it must be a
+    # staged column, not an expression: an interpreted-HOF lambda
+    # re-evaluates captured outer expressions per element, which would
+    # make this O(runs²) per row (observed as a wedged corpus scan)
+    maxcnt_c = "_nr_maxcnt"
+    staged = staged.withColumn(
+        maxcnt_c, F.array_max(F.transform(runs, lambda r: r["cnt"]))
+    )
+    max_cnt = F.col(maxcnt_c)
+    top_cover = F.array_max(
+        F.transform(runs, lambda r: F.when(r["cnt"] == max_cnt, r["cover"]))
+    )
+    dup_cover = F.aggregate(
+        runs,
+        F.lit(0).cast("long"),
+        lambda acc, r: acc + F.when(r["cnt"] > 1, r["cover"]).otherwise(F.lit(0)),
+    )
+    frac = lambda cover: F.when(txt.isNull(), F.lit(None).cast("double")).otherwise(  # noqa: E731
+        F.when((g <= 0) | (total_chars <= 0), F.lit(0.0)).otherwise(
+            F.round(F.least(cover.cast("double") / total_chars, F.lit(1.0)), 6)
+        )
+    )
+    return (
+        staged.withColumn(p + "top_char_frac", frac(F.coalesce(top_cover, F.lit(0))))
+        .withColumn(p + "dup_char_frac", frac(dup_cover))
+        .drop(toks_c, grams_c, sorted_c, starts_c, runs_c, maxcnt_c)
+    )
+
+
 def dedup_lines(
     df: DataFrame,
     text_col: str,
