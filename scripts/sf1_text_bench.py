@@ -120,6 +120,50 @@ def run_ops(spark, docs, n) -> dict:
     dt = time.time() - t0
     out["mix_corpora"] = {"sec": round(dt, 2), "rows_per_sec": round(n / dt, 1),
                           "n_mixed": n_mixed}
+    # char-weighted Gopher repetition signals (round-7 anchor): pure
+    # per-row sort + run-length — scan-bound, rows/s should be flat at 10×;
+    # the threshold filter exercises the operator's real gating use (the
+    # shuffle nondeterminism barrier keeps the chain single-evaluated)
+    from validation_engine.text import ngram_repetition
+
+    t0 = time.time()
+    n_kept = (
+        ngram_repetition(docs, "text", n=3)
+        .filter(F.col("ngram3_dup_char_frac") < 0.5)
+        .count()
+    )
+    dt = time.time() - t0
+    out["ngram_repetition"] = {"sec": round(dt, 2), "rows_per_sec": round(n / dt, 1),
+                               "n_kept": n_kept}
+    # semantic dedup (round-7 anchor): half the docs sit in n/2000 planted
+    # semantic groups, half are unique; n_clusters scales with the corpus
+    # (the SemDeDup prescription) so per-cluster size — and the O(c²)
+    # within-cluster work per KEPT doc — stays constant at 10×
+    from validation_engine.dedup import semantic_dedup
+
+    n_groups = max(n // 2000, 10)
+    grouped = F.pmod(F.col("id"), 2) == 0
+    key = F.when(grouped, F.pmod(F.col("id"), F.lit(n_groups))).otherwise(F.col("id"))
+    emb = docs.select(
+        "id",
+        F.array(
+            *[
+                (
+                    F.pmod(F.xxhash64(key, F.lit(i)), 2000) / 1000.0 - 1.0
+                    + F.pmod(F.xxhash64("id", F.lit(i + 4096)), 200) / 1000.0
+                ).alias(f"e{i}")
+                for i in range(32)
+            ]
+        ).alias("embedding"),
+    )
+    t0 = time.time()
+    n_surv_sem = semantic_dedup(
+        emb, "id", "embedding", threshold=0.9,
+        n_clusters=max(n // 10_000, 16), seed=1, sample_cap=20_000,
+    ).count()
+    dt = time.time() - t0
+    out["semantic_dedup"] = {"sec": round(dt, 2), "rows_per_sec": round(n / dt, 1),
+                             "n_survivors": n_surv_sem}
     return out
 
 

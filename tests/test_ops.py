@@ -263,6 +263,20 @@ def test_semantic_duplicates_blocking_boundary(spark):
         assert got == ref, f"block_size={bs}"
 
 
+def test_semantic_dedup_null_embedding_survives(spark):
+    # a null embedding must neither crash the Arrow batch nor be dropped
+    from validation_engine.dedup import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.001, 0.0, 0.0]),   # near-dup of 1 → dropped
+        (3, None),                     # unjudgeable → survives
+    ]
+    df = spark.createDataFrame(rows, "id: long, vec: array<double>")
+    out = semantic_dedup(df, "id", "vec", threshold=0.99, centroids=np.zeros((1, 4)))
+    assert sorted(r["id"] for r in out.collect()) == [1, 3]
+
+
 def test_semantic_duplicates_no_dups_returns_empty(spark):
     # orthogonal vectors: no cluster drops anything — every per-cluster
     # pandas return is EMPTY and must still cast to the declared schema

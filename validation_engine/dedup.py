@@ -1141,11 +1141,15 @@ def semantic_duplicates(
 
     from .similarity import ivf_assign, ivf_build
 
+    # NULL embeddings can't be judged for similarity — they are never
+    # duplicates (and never evict anything); without this guard one null
+    # row would fail the Arrow batch, and after task retries, the job
+    vecs = df.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
     if centroids is None:
         centroids = ivf_build(
-            df, vec_col=vec_col, n_centroids=n_clusters, sample_cap=sample_cap, seed=seed
+            vecs, vec_col=vec_col, n_centroids=n_clusters, sample_cap=sample_cap, seed=seed
         )
-    assigned = ivf_assign(df.select(id_col, vec_col), centroids, vec_col=vec_col)
+    assigned = ivf_assign(vecs, centroids, vec_col=vec_col)
 
     id_type = df.schema[id_col].dataType
     out_schema = StructType(

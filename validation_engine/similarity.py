@@ -138,7 +138,11 @@ def _kmeans(sample: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 4
     idx = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
     cent = sample[idx].copy()
     for _ in range(iters):
-        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        # argmin of ||x-c||² == argmin of ||c||² - 2x·c (||x||² is constant
+        # per row): the matmul form is an (n, k) temp instead of the
+        # (n, k, dim) broadcast — at the cluster counts SemDeDup scaling
+        # wants (k ~ hundreds), the naive form is a ~1 GB driver alloc/iter
+        d = -2.0 * (sample @ cent.T) + (cent**2).sum(axis=1)[None, :]
         assign = d.argmin(axis=1)
         for c in range(len(cent)):
             pts = sample[assign == c]
