@@ -143,6 +143,9 @@ def run_ops(spark, docs, n) -> dict:
 
     n_groups = max(n // 2000, 10)
     grouped = F.pmod(F.col("id"), 2) == 0
+    # ungrouped docs use their raw id as the centre key; ids are xxhash64
+    # longs, so a collision with the [0, n_groups) group keys is ~2^-54
+    # per doc — effectively never
     key = F.when(grouped, F.pmod(F.col("id"), F.lit(n_groups))).otherwise(F.col("id"))
     emb = docs.select(
         "id",

@@ -263,6 +263,26 @@ def test_semantic_duplicates_blocking_boundary(spark):
         assert got == ref, f"block_size={bs}"
 
 
+def test_semantic_duplicates_single_exchange_plan(spark):
+    """Scale shape: the embeddings cross exactly ONE exchange — the
+    cluster-id groupBy feeding the per-cluster prune.  All pairwise
+    similarity is numpy inside the Arrow batch (a within-cluster
+    self-join would instead push O(c²) rows through a second shuffle)."""
+    from validation_engine.dedup import semantic_duplicates
+
+    rows = [(i, [float(i % 3), 1.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, "id: long, vec: array<double>")
+    out = semantic_duplicates(df, "id", "vec", threshold=0.999,
+                              centroids=np.zeros((2, 2)))
+    out.collect()
+    # AQE's toString repeats the pre-adaptive plan under '== Initial
+    # Plan ==' — pin the FINAL section only
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, plan
+    assert "FlatMapGroupsInPandas" in final, plan
+
+
 def test_semantic_dedup_null_embedding_survives(spark):
     # a null embedding must neither crash the Arrow batch nor be dropped
     from validation_engine.dedup import semantic_dedup
@@ -275,6 +295,37 @@ def test_semantic_dedup_null_embedding_survives(spark):
     df = spark.createDataFrame(rows, "id: long, vec: array<double>")
     out = semantic_dedup(df, "id", "vec", threshold=0.99, centroids=np.zeros((1, 4)))
     assert sorted(r["id"] for r in out.collect()) == [1, 3]
+
+
+def test_semantic_dedup_nan_embedding_does_not_poison_cluster(spark):
+    # review finding: a NaN vector used to win argmax with a NaN cosine
+    # (NaN >= tau is False), silently disabling dedup for every later doc
+    # in its cluster — non-finite vectors must be excluded and survive
+    from validation_engine.dedup import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [float("nan"), 0.0]),      # unjudgeable → survives, must not poison
+        (3, [1.0, 0.0001]),            # true near-dup of 1 → still dropped
+        (4, [float("inf"), 1.0]),      # unjudgeable → survives
+    ]
+    df = spark.createDataFrame(rows, "id: long, vec: array<double>")
+    out = semantic_dedup(df, "id", "vec", threshold=0.95, centroids=np.zeros((1, 2)))
+    assert sorted(r["id"] for r in out.collect()) == [1, 2, 4]
+
+
+def test_semantic_dedup_empty_or_all_null_input(spark):
+    # review finding: default-centroid k-means crashed on an empty
+    # judgeable set; now there is simply nothing to drop
+    from validation_engine.dedup import semantic_dedup, semantic_duplicates
+
+    empty = spark.createDataFrame([], "id: long, vec: array<double>")
+    assert semantic_duplicates(empty, "id", "vec").count() == 0
+    all_null = spark.createDataFrame(
+        [(1, None), (2, None)], "id: long, vec: array<double>"
+    )
+    assert semantic_duplicates(all_null, "id", "vec").count() == 0
+    assert sorted(r["id"] for r in semantic_dedup(all_null, "id", "vec").collect()) == [1, 2]
 
 
 def test_semantic_duplicates_no_dups_returns_empty(spark):

@@ -1101,7 +1101,10 @@ def semantic_duplicates(
     (rounded to 6 dp).  :func:`semantic_dedup` anti-joins this back for
     the survivor view.
 
-    Semantics are DETERMINISTIC and partitioning-invariant: within a
+    Semantics are DETERMINISTIC and partitioning-invariant GIVEN THE
+    CENTROIDS (pass ``centroids`` to pin end-to-end — the default
+    driver-trained k-means samples the input, and the sample depends on
+    partitioning): within a
     cluster, documents are processed in ascending ``id_col`` order and a
     document is kept iff its max cosine against all previously-KEPT
     documents is < ``threshold``; the kept set is therefore pairwise
@@ -1124,7 +1127,7 @@ def semantic_duplicates(
     block-wise matmul (``block_size``) bounds the transient similarity
     matrix to ``block_size × kept``.  The skew axis is a mega-cluster:
     the mitigation — per the paper — is raising ``n_clusters`` with
-    corpus size (they use 50 k clusters for 5 B items) so c stays ~1e4;
+    corpus size (they use 50 k clusters for 5 B items) so c stays ~1e5;
     cluster sizes are data-dependent, so monitor the `_cell` histogram
     (:func:`validation_engine.stats.group_sizes` shapes) when tuning.
 
@@ -1141,16 +1144,6 @@ def semantic_duplicates(
 
     from .similarity import ivf_assign, ivf_build
 
-    # NULL embeddings can't be judged for similarity — they are never
-    # duplicates (and never evict anything); without this guard one null
-    # row would fail the Arrow batch, and after task retries, the job
-    vecs = df.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
-    if centroids is None:
-        centroids = ivf_build(
-            vecs, vec_col=vec_col, n_centroids=n_clusters, sample_cap=sample_cap, seed=seed
-        )
-    assigned = ivf_assign(vecs, centroids, vec_col=vec_col)
-
     id_type = df.schema[id_col].dataType
     out_schema = StructType(
         [
@@ -1159,6 +1152,29 @@ def semantic_duplicates(
             StructField("cosine", DoubleType()),
         ]
     )
+    # NULL or non-finite embeddings can't be judged for similarity — they
+    # are never duplicates and never evict anything, so they are excluded
+    # up front and always survive.  Without the null guard, one null row
+    # would fail its Arrow batch and then — after task retries are
+    # exhausted — the whole job; without the finite guard, a single NaN
+    # component would poison every later comparison in its cluster
+    # (argmax picks the NaN cosine, NaN >= τ is False → true duplicates
+    # sail through undetected).
+    v = F.col(vec_col)
+    non_finite = F.exists(
+        v,
+        lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+    )
+    vecs = df.select(id_col, vec_col).filter(v.isNotNull() & ~non_finite)
+    if centroids is None:
+        # empty judgeable set (empty corpus / all embeddings null): there
+        # is nothing to drop, and k-means on an empty sample would crash
+        if vecs.first() is None:
+            return df.sparkSession.createDataFrame([], out_schema)
+        centroids = ivf_build(
+            vecs, vec_col=vec_col, n_centroids=n_clusters, sample_cap=sample_cap, seed=seed
+        )
+    assigned = ivf_assign(vecs, centroids, vec_col=vec_col)
     tau = float(threshold)
     blk_sz = int(block_size)
 

@@ -43,6 +43,21 @@ def _tokens(col: Column) -> Column:
     return F.split(F.trim(col), r"\s+")
 
 
+def _gram_strings(toks: Column, n: int) -> Column:
+    """Token n-grams as space-joined strings; empty array when the doc has
+    fewer than n tokens (also guards ``sequence(1, 0)``, which DESCENDS).
+    Pass a STAGED column for ``toks`` when the result feeds interpreted
+    higher-order functions — an inline expression is re-evaluated at every
+    use site."""
+    nt = F.size(toks)
+    return F.when(nt < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), nt - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
 def lower_tokens(col) -> Column:
     """Lowercased whitespace tokens — materialize this ONCE (e.g.
     ``withColumn('_toks', lower_tokens('text'))``) and pass it to
@@ -399,14 +414,7 @@ def repetition_ratio(col, unit: str = "line") -> Column:
     elif unit == "token":
         units = _tokens(F.lower(col))
     elif unit == "bigram":
-        toks = _tokens(F.lower(col))
-        n = F.size(toks)
-        units = F.when(n < 2, F.array()).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), n - 1),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-            )
-        )
+        units = _gram_strings(_tokens(F.lower(col)), 2)
     else:
         raise ValueError(f"unknown repetition unit: {unit}")
     total = F.size(units)
@@ -463,16 +471,9 @@ def ngram_repetition(
     txt = F.col(text_col)
     staged = df.withColumn(toks_c, _tokens(F.lower(txt)))
     toks = F.col(toks_c)
-    nt = F.size(toks)
-    staged = staged.withColumn(
-        grams_c,
-        F.when(nt < n, F.array().cast("array<string>")).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), nt - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            )
-        ),
-    ).withColumn(sorted_c, F.array_sort(F.col(grams_c)))
+    staged = staged.withColumn(grams_c, _gram_strings(toks, n)).withColumn(
+        sorted_c, F.array_sort(F.col(grams_c))
+    )
     srt = F.col(sorted_c)
     g = F.size(srt)
     # run starts: 1-based positions where the sorted stream changes value
@@ -482,9 +483,9 @@ def ngram_repetition(
             F.filter(
                 # sequence(1, 0) would DESCEND ([1, 0]) — hence the g<=0 guard
                 F.sequence(F.lit(1), g),
-            # no short-circuit in SQL OR: the i-1 lookback must stay >= 1
-            # (element_at rejects index 0); at i == 1 the clamped compare
-            # is self != self == false and the first disjunct wins
+                # no short-circuit in SQL OR: the i-1 lookback must stay >= 1
+                # (element_at rejects index 0); at i == 1 the clamped compare
+                # is self != self == false and the first disjunct wins
                 lambda i: (i == 1)
                 | (
                     F.element_at(srt, i)
