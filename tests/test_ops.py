@@ -437,6 +437,88 @@ def test_stratified_sample(spark, docs):
     assert n_zh_out == n_zh_in  # fraction 1.0 keeps every row
 
 
+@pytest.fixture(scope="module")
+def capkey_df(spark):
+    """Skewed per-key corpus: one mega key (1500 rows), mid keys, singleton
+    keys, and a NULL key group — the shape domain quotas exist for."""
+    rows = []
+    for i in range(1500):
+        rows.append((f"d{i:05d}", "mega.example"))
+    for k in range(5):
+        for i in range(40):
+            rows.append((f"m{k}_{i:03d}", f"mid{k}.example"))
+    for i in range(30):
+        rows.append((f"s{i:03d}", f"single{i}.example"))
+    for i in range(25):
+        rows.append((f"n{i:03d}", None))
+    return spark.createDataFrame(rows, "doc_id string, domain string")
+
+
+def _capkey_expected(spark, df, n, seed):
+    """Independent selection oracle: rank by the same hash, pick in Python."""
+    hashed = df.select(
+        "doc_id", "domain", F.xxhash64("doc_id", F.lit(seed)).alias("h")
+    ).collect()
+    by_key = {}
+    for r in hashed:
+        by_key.setdefault(r["domain"], []).append((r["h"], r["doc_id"]))
+    keep = set()
+    for ids in by_key.values():
+        for _, doc in sorted(ids)[:n]:
+            keep.add(doc)
+    return keep
+
+
+def test_cap_per_key_bucket_matches_window_and_oracle(spark, capkey_df):
+    from validation_engine.text import cap_per_key
+
+    for n in (1, 25, 100):
+        expected = _capkey_expected(spark, capkey_df, n, seed=7)
+        for strat, bits in (("bucket", 12), ("bucket", 1), ("window", 12)):
+            out = cap_per_key(
+                capkey_df, "domain", "doc_id", n, seed=7,
+                strategy=strat, bucket_bits=bits,
+            )
+            got = {r["doc_id"] for r in out.collect()}
+            assert got == expected, (strat, bits, n)
+            assert out.columns == capkey_df.columns
+
+
+def test_cap_per_key_counts_partitioning_and_seed(spark, capkey_df):
+    from validation_engine.text import cap_per_key
+
+    out = cap_per_key(capkey_df, "domain", "doc_id", 25, seed=3)
+    counts = {
+        r["domain"]: r["c"]
+        for r in out.groupBy("domain").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert counts["mega.example"] == 25
+    assert all(counts[f"mid{k}.example"] == 25 for k in range(5))
+    assert all(counts[f"single{i}.example"] == 1 for i in range(30))
+    assert counts[None] == 25  # null keys form one group
+    # invariant to input partitioning
+    ids = {r["doc_id"] for r in out.collect()}
+    ids_rep = {
+        r["doc_id"]
+        for r in cap_per_key(
+            capkey_df.repartition(7), "domain", "doc_id", 25, seed=3
+        ).collect()
+    }
+    assert ids == ids_rep
+    # a different seed draws an (almost surely) different sample of the mega key
+    ids_s9 = {
+        r["doc_id"]
+        for r in cap_per_key(capkey_df, "domain", "doc_id", 25, seed=9).collect()
+    }
+    assert ids != ids_s9
+    with pytest.raises(ValueError):
+        cap_per_key(capkey_df, "domain", "doc_id", 0)
+    with pytest.raises(ValueError):
+        cap_per_key(capkey_df, "domain", "doc_id", 5, bucket_bits=40)
+    with pytest.raises(ValueError):
+        cap_per_key(capkey_df, "domain", "doc_id", 5, strategy="nope")
+
+
 def test_training_pipeline_composition(spark, corpus):
     """End-to-end training-data pipeline: validate -> quality filter ->
     exact+near dedup -> sequence packing -> shard assignment."""

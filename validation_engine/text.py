@@ -256,6 +256,118 @@ def stratified_sample(
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
 
 
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    n: int,
+    seed: int = 42,
+    strategy: str = "bucket",
+    bucket_bits: int = 12,
+) -> DataFrame:
+    """Keep AT MOST ``n`` rows per key, deterministically — the
+    per-domain / per-source quota pass of a crawl pipeline (cap documents
+    per registered domain so boilerplate-heavy sites can't dominate the
+    mixture; compose with :func:`canonical_url` for the domain key).
+
+    Selection is EXACT and a pure function of (ids, seed): rows are
+    ranked within their key by ``xxhash64(id, seed)`` (ties broken by
+    ``id``) and the first ``n`` survive — a deterministic uniform sample
+    without replacement, invariant to partitioning, cluster size, and
+    resume; reseeding picks an independent sample.  Keys with ≤ ``n``
+    rows keep everything; NULL keys form one group like any other.
+
+    ``strategy='window'`` is the one-shuffle textbook form
+    (``row_number() over (partition by key)``) — fastest on corpora whose
+    key histogram is benign, but a mega-key (the exact reason quotas
+    exist) floods one task with its full row stream, and AQE cannot split
+    a window.  ``strategy='bucket'`` (default) is the skew-bounded form:
+
+    1. bucket each row by the top ``bucket_bits`` of its rank hash
+       (arithmetic shift — order-consistent with the hash);
+    2. ``groupBy(key, bucket).count()`` — map-side combined, the shuffle
+       carries ≤ 2^bucket_bits rows per key;
+    3. per key, fold the sorted (bucket, count) histogram into the CUT
+       bucket (first bucket where the cumulative count reaches ``n``)
+       and the residual quota inside it — aggregation state is the
+       bounded histogram, never rows;
+    4. join the (key, cut, residual) table back (an equi-join AQE CAN
+       skew-split, unlike a window) — rows in buckets below the cut are
+       kept map-side, and only the cut bucket's rows (≈ count/2^bucket_bits
+       per key) pay an exact ``row_number`` window.
+
+    The worst straggler task therefore holds ~``max_key_count / 2^bucket_bits``
+    rows instead of ``max_key_count`` (4096 buckets ⇒ a 10^9-row domain
+    windows 244k narrow rows, not 10^9); raise ``bucket_bits`` to shrink
+    the boundary further at the cost of a wider histogram."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if not 1 <= bucket_bits <= 30:
+        raise ValueError("bucket_bits must be in [1, 30]")
+    from pyspark.sql import Window
+
+    ov = F.xxhash64(F.col(id_col), F.lit(int(seed)))
+    if strategy == "window":
+        w = Window.partitionBy(key_col).orderBy(ov.asc(), F.col(id_col).asc())
+        return (
+            df.withColumn("_cap_rn", F.row_number().over(w))
+            .filter(F.col("_cap_rn") <= n)
+            .drop("_cap_rn")
+        )
+    if strategy != "bucket":
+        raise ValueError("strategy must be 'bucket' or 'window'")
+    d = df.withColumn("_cap_ov", ov).withColumn(
+        "_cap_b", F.shiftright(F.col("_cap_ov"), 64 - bucket_bits).cast("int")
+    )
+    counts = d.groupBy(key_col, "_cap_b").agg(F.count(F.lit(1)).alias("_c"))
+    hist = counts.groupBy(key_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_cap_b").alias("b"), F.col("_c").alias("c")))
+        ).alias("_h")
+    )
+    fold = F.aggregate(
+        F.col("_h"),
+        F.struct(
+            F.lit(0).cast("long").alias("cum"),
+            F.lit(None).cast("int").alias("cut"),
+            F.lit(0).cast("long").alias("rem"),
+        ),
+        lambda acc, x: F.when(acc["cut"].isNotNull(), acc).otherwise(
+            F.struct(
+                (acc["cum"] + x["c"]).alias("cum"),
+                F.when(acc["cum"] + x["c"] >= n, x["b"])
+                .otherwise(F.lit(None).cast("int"))
+                .alias("cut"),
+                F.when(acc["cum"] + x["c"] >= n, F.lit(n).cast("long") - acc["cum"])
+                .otherwise(F.lit(0).cast("long"))
+                .alias("rem"),
+            )
+        ),
+    )
+    cuts = hist.select(
+        F.col(key_col).alias("_cap_k"),
+        fold["cut"].alias("_cap_cut"),
+        fold["rem"].alias("_cap_rem"),
+    )
+    joined = d.join(
+        cuts, F.col(key_col).eqNullSafe(F.col("_cap_k")), "left"
+    ).drop("_cap_k")
+    # cut null ⇒ the key never reached n rows — everything below survives
+    below = joined.filter(
+        F.col("_cap_cut").isNull() | (F.col("_cap_b") < F.col("_cap_cut"))
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("_cap_ov").asc(), F.col(id_col).asc()
+    )
+    boundary = (
+        joined.filter(F.col("_cap_b") == F.col("_cap_cut"))
+        .withColumn("_cap_rn", F.row_number().over(w))
+        .filter(F.col("_cap_rn") <= F.col("_cap_rem"))
+        .drop("_cap_rn")
+    )
+    return below.unionByName(boundary).drop("_cap_ov", "_cap_b", "_cap_cut", "_cap_rem")
+
+
 def mix_corpora(
     sources, id_col: str, weights=None, seed: int = 0,
     hash_family: str = "xxhash64",
