@@ -355,6 +355,28 @@ def main() -> None:
     queries["url_dedup_corpus"] = timed(
         "url_dedup_corpus", lambda: url_dedup(urls, "id", "url").count()
     )
+    # per-domain quota (round-7 cap_per_key): 40% of the corpus shares ONE
+    # mega domain — the operating point quotas exist for.  The bucket
+    # strategy's exchange carries per-(key,bucket) histogram rows, and the
+    # only window runs over the mega key's cut bucket (~count/4096 rows)
+    from validation_engine.text import cap_per_key
+
+    domains = docs.select(
+        "id",
+        F.when(F.pmod(F.col("id"), 10) < 4, F.lit("mega.example"))
+        .otherwise(
+            F.concat(
+                F.lit("site"),
+                F.pmod(F.col("id"), 2000).cast("string"),
+                F.lit(".example"),
+            )
+        )
+        .alias("domain"),
+    )
+    queries["cap_per_key_corpus"] = timed(
+        "cap_per_key_corpus",
+        lambda: cap_per_key(domains, "domain", "id", 50, seed=7).count(),
+    )
     # semantic dedup (SemDeDup shape): corpus-derived embeddings with 24
     # planted semantic groups — per-dimension group centre from
     # xxhash64(group, dim) plus a small per-doc jitter, so each group's

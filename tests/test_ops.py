@@ -519,6 +519,113 @@ def test_cap_per_key_counts_partitioning_and_seed(spark, capkey_df):
         cap_per_key(capkey_df, "domain", "doc_id", 5, strategy="nope")
 
 
+def test_strip_html_unit(spark):
+    from validation_engine.text import extract_text
+
+    html = (
+        '<!DOCTYPE html><html><head><title>T</title>'
+        "<style>body { color: red; }</style>"
+        '<script>if (a < b) { alert("x</div>"); }</script></head><body>'
+        "<!-- a comment with <p>tags</p> inside -->"
+        "<h1>Header &amp; More</h1>"
+        "<p>A <b>bold</b> &lt;literal tag&gt;.</p>"
+        "<p>B&nbsp;x &amp;lt;escaped once&amp;gt; and &#39;q&#39;.</p>"
+        "<ul><li>one</li><li>two</li></ul>"
+        "line one<BR>line two<br />"
+        "</body></html>"
+    )
+    df = spark.createDataFrame(
+        [(1, html), (2, None), (3, ""), (4, "plain, no markup")],
+        "id long, html string",
+    )
+    got = {
+        r["id"]: r["t"]
+        for r in df.select("id", extract_text("html").alias("t")).collect()
+    }
+    assert got[1] == (
+        "T\nHeader & More\nA bold <literal tag>.\n"
+        "B x &lt;escaped once&gt; and 'q'.\none\ntwo\n\nline one\nline two"
+    )
+    assert got[2] is None and got[3] == "" and got[4] == "plain, no markup"
+
+
+def _html_parity_rows():
+    """Deterministic corpus of nasty HTML fragments for engine parity."""
+    frags = [
+        "<p>para {i} with &amp; and &#39;s</p>",
+        "<script>\nvar x = '{i}' < 3 && \"</p>\";\n</script>ok{i}",
+        "<style>.c{{margin:0}}</style><DIV>block {i}</DIV>",
+        "<!-- hidden <b>{i}</b>\n-->shown {i}",
+        "a{i}<br>b<BR/>c<br   />d",
+        "<ul>\r\n<li>one&nbsp;{i}</li>\r<li>&lt;two&gt;</li></ul>",
+        "text\x01with\x1fcontrols​and nbsp {i}",
+        "<table><tr><td>c{i}</td></tr></table>tail",
+        "&amp;lt;double-escaped {i}&amp;gt; &quot;q&quot; &apos;a&apos;",
+        "no markup at all, line {i}\n\n\n\nfar below",
+        "<h2>head {i}</h2><blockquote>quote</blockquote><pre>x  =  {i}</pre>",
+        "broken <tag soup <p>inner {i}</p> trailing <",
+    ]
+    rows = []
+    for i in range(60):
+        rows.append((i, frags[i % len(frags)].replace("{i}", str(i))))
+    rows.append((1000, None))
+    rows.append((1001, ""))
+    return rows
+
+
+def test_strip_html_duckdb_parity(spark):
+    """strip_html/clean_text are RE2-compatible by contract: the SAME
+    regex chain evaluated by DuckDB (independent regex engine + SQL
+    evaluator) must produce byte-identical text."""
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    from validation_engine.text import HTML_ENTITIES, extract_text
+
+    rows = _html_parity_rows()
+    got = {
+        r["id"]: r["t"]
+        for r in spark.createDataFrame(rows, "id long, html string")
+        .select("id", extract_text("html").alias("t"))
+        .collect()
+    }
+
+    block = (
+        "p|div|h[1-6]|li|tr|ul|ol|table|blockquote|pre|section|article"
+        "|header|footer|figure|form|title"
+    )
+    x = "html"
+    nl = "chr(10)"
+    for pat, rep in [
+        (r"(?is)<script\b[^>]*>.*?</script>", "' '"),
+        (r"(?is)<style\b[^>]*>.*?</style>", "' '"),
+        (r"(?s)<!--.*?-->", "' '"),
+        (r"(?i)<br[ \t]*/?>", nl),
+        (rf"(?i)</(?:{block})>", nl),
+        (r"(?s)<[^>]*>", "' '"),
+    ]:
+        x = f"regexp_replace({x}, '{pat}', {rep}, 'g')"
+    for ent, ch in HTML_ENTITIES:
+        x = f"replace({x}, '{ent}', '{ch.replace(chr(39), chr(39)*2)}')"
+    for pat, rep in [
+        (r"[\x{200B}-\x{200D}\x{FEFF}\x{00AD}]", "''"),
+        (r"\r\n|\r", nl),
+        (r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "''"),
+        (r"[ \t\x{00A0}]+", "' '"),
+        (r" ?\n ?", nl),
+        (r"\n{3,}", nl + " || " + nl),
+        (r"^\s+|\s+$", "''"),
+    ]:
+        x = f"regexp_replace({x}, '{pat}', {rep}, 'g')"
+
+    pdf = pd.DataFrame(rows, columns=["id", "html"])  # noqa: F841
+    duck = {
+        int(i): t
+        for i, t in duckdb.sql(f"SELECT id, {x} AS t FROM pdf").fetchall()
+    }
+    assert got == duck
+
+
 def test_training_pipeline_composition(spark, corpus):
     """End-to-end training-data pipeline: validate -> quality filter ->
     exact+near dedup -> sequence packing -> shard assignment."""

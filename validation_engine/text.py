@@ -1399,3 +1399,81 @@ def url_dedup(
 
     with_c = df.withColumn("_curl", canonical_url(url_col, tracking_params))
     return exact_dedup(with_c, id_col, "_curl", strategy=strategy).drop("_curl")
+
+
+# HTML entities strip_html decodes — the named set that dominates crawl
+# text.  LITERAL replaces (codegen, no regex engine); &amp; is decoded
+# LAST, so double-escaped input (&amp;lt;) resolves exactly one level —
+# the single-pass semantics of a real HTML decoder, never a double-decode.
+# Numeric entities (&#8217; …) pass through: decoding arbitrary
+# code points is the job of a real extractor backend, not a regex pass.
+HTML_ENTITIES = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+    ("&apos;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+)
+
+# block-level closers whose end marks a text boundary worth a newline
+_HTML_BLOCK_TAGS = (
+    "p|div|h[1-6]|li|tr|ul|ol|table|blockquote|pre|section|article"
+    "|header|footer|figure|form|title"
+)
+
+
+def strip_html(col) -> Column:
+    """Markup → text for crawl pages (the CCNet/RefinedWeb extraction
+    stage, at regex fidelity): script/style/comment blocks vanish
+    wholesale, block-element boundaries become newlines (so paragraph
+    structure survives for :func:`~validation_engine.dedup.paragraph_dedup`
+    and the n-gram repetition signals), every remaining tag becomes a
+    space, and the common named entities decode.  Pure ``regexp_replace``
+    + literal ``replace`` chains — whole-stage codegen, zero Python, one
+    map-side pass at any scale.  Patterns are deliberately RE2-compatible
+    (no lookaround/backrefs) so the DuckDB parity twin runs the SAME
+    regexes (`tests/test_ops.py::test_strip_html_duckdb_parity`).
+
+    Fidelity contract: this is the SCALE path, not a DOM parser —
+    unclosed ``<script>`` degrades to tag-stripping its contents,
+    ``<table>`` linearizes, and visibility CSS is ignored.  A
+    trafilatura-class extractor slots in through the backend-seam pattern
+    (:class:`QualityModelBackend` et al.) if semantic extraction is
+    needed; whitespace is NOT normalized here — compose with
+    :func:`clean_text` (or call :func:`extract_text`)."""
+    x = F.col(col) if isinstance(col, str) else col
+    # non-content blocks can contain '<', '>' and newlines: dotall +
+    # case-insensitive with a LAZY close, then removed wholesale
+    x = F.regexp_replace(x, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    x = F.regexp_replace(x, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    x = F.regexp_replace(x, r"(?s)<!--.*?-->", " ")
+    x = F.regexp_replace(x, r"(?i)<br[ \t]*/?>", "\n")
+    x = F.regexp_replace(x, rf"(?i)</(?:{_HTML_BLOCK_TAGS})>", "\n")
+    # every remaining tag — opening, self-closing, doctype, orphaned
+    x = F.regexp_replace(x, r"(?s)<[^>]*>", " ")
+    for ent, ch in HTML_ENTITIES:
+        x = F.replace(x, F.lit(ent), F.lit(ch))
+    return x
+
+
+def clean_text(col) -> Column:
+    """Whitespace/control normalization for extracted text — the cleanup
+    half of the extraction stage (and useful standalone on any crawl
+    text): zero-width characters and soft hyphens removed, C0 control
+    characters dropped (tab/newline kept; CR/CRLF become LF), horizontal
+    whitespace collapsed to single spaces, spaces trimmed around line
+    breaks, runs of blank lines capped at one, and the ends trimmed.
+    Pure codegen regex chain, RE2-compatible (DuckDB parity twin in
+    `tests/test_ops.py::test_strip_html_duckdb_parity`)."""
+    x = F.col(col) if isinstance(col, str) else col
+    x = F.regexp_replace(x, r"[\x{200B}-\x{200D}\x{FEFF}\x{00AD}]", "")
+    x = F.regexp_replace(x, "\r\n|\r", "\n")
+    x = F.regexp_replace(x, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    x = F.regexp_replace(x, r"[ \t\x{00A0}]+", " ")
+    x = F.regexp_replace(x, r" ?\n ?", "\n")
+    x = F.regexp_replace(x, r"\n{3,}", "\n\n")
+    x = F.regexp_replace(x, r"^\s+|\s+$", "")
+    return x
+
+
+def extract_text(col) -> Column:
+    """:func:`strip_html` composed with :func:`clean_text` — raw crawl
+    HTML in, paragraph-structured clean text out, one codegen pass."""
+    return clean_text(strip_html(col))
