@@ -377,6 +377,29 @@ def main() -> None:
         "cap_per_key_corpus",
         lambda: cap_per_key(domains, "domain", "id", 50, seed=7).count(),
     )
+    # HTML→text extraction (round-7): the corpus wrapped in markup —
+    # head/style/script chrome, per-paragraph <p> tags, entities — then
+    # extracted back out.  Zero shuffles, whole-stage codegen; the filter
+    # keeps the count honest about evaluating the extracted column
+    from validation_engine.text import extract_text
+
+    pages = docs.select(
+        "id",
+        F.concat(
+            F.lit("<!DOCTYPE html><html><head><title>doc</title>"
+                  "<style>body{margin:0}</style>"
+                  "<script>var a = 1 < 2 && \"x\";</script></head><body>"),
+            F.lit("<p>"),
+            F.regexp_replace(F.col("text"), r"\n", "</p>\n<p>"),
+            F.lit("</p><!-- tail --><br></body></html>"),
+        ).alias("html"),
+    )
+    queries["extract_text_corpus"] = timed(
+        "extract_text_corpus",
+        lambda: pages.select(extract_text("html").alias("t"))
+        .filter(F.length("t") > 0)
+        .count(),
+    )
     # semantic dedup (SemDeDup shape): corpus-derived embeddings with 24
     # planted semantic groups — per-dimension group centre from
     # xxhash64(group, dim) plus a small per-doc jitter, so each group's

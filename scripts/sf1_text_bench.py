@@ -120,6 +120,54 @@ def run_ops(spark, docs, n) -> dict:
     dt = time.time() - t0
     out["mix_corpora"] = {"sec": round(dt, 2), "rows_per_sec": round(n / dt, 1),
                           "n_mixed": n_mixed}
+    # per-domain quota (round-7 anchor): 40% of the corpus on ONE mega
+    # domain + a 2000-key long tail.  The bucket strategy's exchange
+    # carries (key, bucket) histogram rows — volume grows with keys, not
+    # corpus rows — so rows/s should IMPROVE at 10× as the scan amortizes
+    from validation_engine.text import cap_per_key
+
+    domains = docs.select(
+        "id",
+        F.when(F.pmod(F.col("id"), 10) < 4, F.lit("mega.example"))
+        .otherwise(
+            F.concat(
+                F.lit("site"),
+                F.pmod(F.col("id"), 2000).cast("string"),
+                F.lit(".example"),
+            )
+        )
+        .alias("domain"),
+    )
+    t0 = time.time()
+    n_capped = cap_per_key(domains, "domain", "id", 50, seed=7).count()
+    dt = time.time() - t0
+    out["cap_per_key"] = {"sec": round(dt, 2), "rows_per_sec": round(n / dt, 1),
+                          "n_kept": n_capped}
+    # HTML→text extraction (round-7 anchor): markup wrapped around every
+    # doc map-side, then stripped back out — zero shuffles, codegen
+    # regex chain, rows/s should be scan-bound and flat at 10×
+    from validation_engine.text import extract_text
+
+    pages = docs.select(
+        "id",
+        F.concat(
+            F.lit("<!DOCTYPE html><html><head><title>doc</title>"
+                  "<style>body{margin:0}</style>"
+                  "<script>var a = 1 < 2 && \"x\";</script></head><body>"),
+            F.lit("<p>"),
+            F.regexp_replace(F.col("text"), r"\n", "</p>\n<p>"),
+            F.lit("</p><!-- tail --><br></body></html>"),
+        ).alias("html"),
+    )
+    t0 = time.time()
+    n_pages = (
+        pages.select(extract_text("html").alias("t"))
+        .filter(F.length("t") > 0)
+        .count()
+    )
+    dt = time.time() - t0
+    out["extract_text"] = {"sec": round(dt, 2), "rows_per_sec": round(n / dt, 1),
+                           "n_pages": n_pages}
     # char-weighted Gopher repetition signals (round-7 anchor): pure
     # per-row sort + run-length — scan-bound, rows/s should be flat at 10×;
     # the threshold filter exercises the operator's real gating use (the
