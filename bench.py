@@ -322,6 +322,14 @@ def main() -> None:
         "cross_dedup_corpus",
         lambda: cross_dedup(docs, old_side, "id", "text", method="exact").count(),
     )
+    # bloom-prefiltered incremental dedup (round-7): same inputs as
+    # cross_dedup_corpus, but the old side collapses to a 2^24-bit bloom
+    # and only bloom candidates enter the confirming anti-join — the
+    # new-corpus shuffle shrinks to ~the true-dup fraction
+    queries["cross_dedup_bloom_corpus"] = timed(
+        "cross_dedup_bloom_corpus",
+        lambda: cross_dedup(docs, old_side, "id", "text", method="bloom").count(),
+    )
     queries["dedup_minhash_lsh_corpus"] = timed(
         "dedup_minhash_lsh_corpus",
         lambda: minhash_lsh_candidates(

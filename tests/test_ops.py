@@ -725,6 +725,52 @@ def test_cross_dedup_exact_and_minhash(spark):
         cross_dedup(new, old, "doc_id", "text", method="nope")
 
 
+def test_cross_dedup_bloom_matches_exact(spark, docs):
+    """method='bloom' is EXACT by contract when bloom_confirm=True: the
+    bitmap only prefilters; every candidate is confirmed by the digest
+    anti-join.  Pinned at two extremes — a roomy bloom (few FPs) and a
+    64-bit bloom where EVERY probe collides (all rows become candidates
+    and the confirm join alone must reproduce the exact answer)."""
+    from validation_engine.dedup import cross_dedup
+
+    new = docs.filter(F.col("doc_id") < 300)
+    old = docs.filter(F.col("doc_id") >= 200)
+    exact = {
+        r["doc_id"]
+        for r in cross_dedup(new, old, "doc_id", "text", method="exact").collect()
+    }
+    assert 0 < len(exact) < new.count()  # real overlap in the fixture
+    for bits, k in ((1 << 16, 6), (64, 2)):
+        got = {
+            r["doc_id"]
+            for r in cross_dedup(
+                new, old, "doc_id", "text", method="bloom",
+                bloom_bits=bits, bloom_hashes=k,
+            ).collect()
+        }
+        assert got == exact, (bits, k)
+    # unconfirmed mode: over-deletion only (survivors ⊆ exact); with a
+    # roomy bloom over this tiny old side there are no FPs at all
+    noconf = {
+        r["doc_id"]
+        for r in cross_dedup(
+            new, old, "doc_id", "text", method="bloom",
+            bloom_bits=1 << 16, bloom_confirm=False,
+        ).collect()
+    }
+    assert noconf <= exact and noconf == exact
+    # empty old side → empty bitmap → everything survives, zero candidates
+    empty_old = old.filter(F.lit(False))
+    assert (
+        cross_dedup(new, empty_old, "doc_id", "text", method="bloom").count()
+        == new.count()
+    )
+    with pytest.raises(ValueError, match="power of two"):
+        cross_dedup(new, old, "doc_id", "text", method="bloom", bloom_bits=100)
+    with pytest.raises(ValueError, match="bloom_hashes"):
+        cross_dedup(new, old, "doc_id", "text", method="bloom", bloom_hashes=0)
+
+
 def test_cross_dedup_minhash_band_freq_cap(spark):
     """max_band_freq ignores the old corpus's mega-buckets: a band key
     shared by hundreds of boilerplate old docs is low-signal and must not
