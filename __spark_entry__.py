@@ -362,8 +362,10 @@ def q14_promo_share(spark, sf):
     )
 
 
-def q18_large_orders(spark, sf):
-    """TPC-H Q18 shape: orders above a quantity threshold, joined back."""
+def _q18_large_orders_retired(spark, sf):
+    """TPC-H Q18 shape: orders above a quantity threshold, joined back.
+    Retired from the 50-query gate late round 7 (shape subsumed by
+    q3_top_orders + orders_with_5plus_items) in favor of extract_text."""
     orders = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem")
     big = (
@@ -646,6 +648,30 @@ def q_paragraph_dedup(spark, sf):
         "n_paras_dropped",
         F.length("text").cast("bigint").alias("n_chars_after"),
     )
+
+
+def q_extract_text(spark, sf):
+    """HTML→text extraction over documents (round-7 promotion): every doc
+    is wrapped in deterministic page chrome — doctype/head/style/script,
+    per-line <p> tags, a comment, a <br> — then extracted back to clean
+    text by the real operator chain.  The oracle runs the SAME
+    RE2-compatible regex chain in DuckDB (strip_html's documented parity
+    contract), so the value hash pins the full extracted STRINGS, byte
+    for byte, over the whole table."""
+    from validation_engine.text import extract_text
+
+    docs = _t(spark, sf, "documents")
+    html = F.concat(
+        F.lit('<!DOCTYPE html><html><head><title>doc</title>'
+              '<style>body{margin:0}</style>'
+              '<script>var a = 1 < 2 && "x";</script></head><body><p>'),
+        F.replace(F.col("text"), F.lit("\n"), F.lit("</p>\n<p>")),
+        F.lit("</p><!-- tail --><br></body></html>"),
+    )
+    return docs.select(
+        "doc_id",
+        extract_text(html).alias("txt"),
+    ).withColumn("n_chars_out", F.length("txt").cast("bigint"))
 
 
 def q_cross_dedup(spark, sf):
@@ -1072,6 +1098,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     row-for-row by pytest) → paragraph_dedup and mix_corpora, and
     q10_returned_revenue (a fourth 3-table TPC-H join shape, subsumed by
     q3/q5/q18; kept as _q10_returned_revenue_retired) → cross_dedup.
+    Late round 7 swapped q18_large_orders (join + groupBy + HAVING,
+    subsumed by q3_top_orders + orders_with_5plus_items; kept as
+    _q18_large_orders_retired) → extract_text, putting the HTML→text
+    extraction chain under a byte-exact full-string oracle.
     """
     return {
         "element_report_documents": q_element_report_documents,
@@ -1091,7 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_dedup": q_cross_dedup,
         "wasserstein_drift_by_source": q_wasserstein_drift_by_source,
         "q14_promo_share": q14_promo_share,
-        "q18_large_orders": q18_large_orders,
+        "extract_text": q_extract_text,
         "decontaminate_documents": q_decontaminate_documents,
         "events_pivot": q_events_pivot,
         "funnel_signup_purchase": q_funnel_signup_purchase,
@@ -1347,12 +1377,47 @@ def oracle_sql() -> dict[str, str]:
     )
     """
 
-    sql["q18_large_orders"] = """
-    SELECT o.o_orderkey, o.o_custkey, CAST(qty AS DOUBLE) AS total_qty
-    FROM orders o JOIN (
-      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
-      FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
-    ) b ON o.o_orderkey = b.l_orderkey
+    # HTML→text twin: the SAME RE2-compatible regex chain strip_html /
+    # clean_text run (their documented parity contract) evaluated by
+    # DuckDB's regex engine over the identically-wrapped documents —
+    # the value hash compares the full extracted strings byte-for-byte
+    from validation_engine.text import HTML_ENTITIES
+
+    _block = (
+        "p|div|h[1-6]|li|tr|ul|ol|table|blockquote|pre|section|article"
+        "|header|footer|figure|form|title"
+    )
+    _x = (
+        "'<!DOCTYPE html><html><head><title>doc</title>"
+        "<style>body{margin:0}</style>"
+        "<script>var a = 1 < 2 && \"x\";</script></head><body><p>'"
+        " || replace(text, chr(10), '</p>' || chr(10) || '<p>')"
+        " || '</p><!-- tail --><br></body></html>'"
+    )
+    for _pat, _rep in [
+        (r"(?is)<script\b[^>]*>.*?</script>", "' '"),
+        (r"(?is)<style\b[^>]*>.*?</style>", "' '"),
+        (r"(?s)<!--.*?-->", "' '"),
+        (r"(?i)<br[ \t]*/?>", "chr(10)"),
+        (rf"(?i)</(?:{_block})>", "chr(10)"),
+        (r"(?s)<[^>]*>", "' '"),
+    ]:
+        _x = f"regexp_replace({_x}, '{_pat}', {_rep}, 'g')"
+    for _ent, _ch in HTML_ENTITIES:
+        _x = f"replace({_x}, '{_ent}', '{_ch.replace(chr(39), chr(39) * 2)}')"
+    for _pat, _rep in [
+        (r"[\x{200B}-\x{200D}\x{FEFF}\x{00AD}]", "''"),
+        (r"\r\n|\r", "chr(10)"),
+        (r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "''"),
+        (r"[ \t\x{00A0}]+", "' '"),
+        (r" ?\n ?", "chr(10)"),
+        (r"\n{3,}", "chr(10) || chr(10)"),
+        (r"^\s+|\s+$", "''"),
+    ]:
+        _x = f"regexp_replace({_x}, '{_pat}', {_rep}, 'g')"
+    sql["extract_text"] = f"""
+    SELECT doc_id, {_x} AS txt, length({_x}) AS n_chars_out
+    FROM documents
     """
 
     # decontamination twin: 13-gram overlap on n-gram STRINGS (the engine's
