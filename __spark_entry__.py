@@ -343,8 +343,11 @@ def _q10_returned_revenue_retired(spark, sf):
     )
 
 
-def q14_promo_share(spark, sf):
-    """TPC-H Q14 shape: promo revenue share (conditional / total, decimal-safe)."""
+def _q14_promo_share_retired(spark, sf):
+    """TPC-H Q14 shape: promo revenue share (conditional / total, decimal-safe).
+    Retired from the 50-query gate round 7 (conditional-aggregate shape
+    subsumed by q6_filtered_revenue + events_pivot/funnel) in favor of
+    span_dedup_stats."""
     part = _t(spark, sf, "part")
     li = _t(spark, sf, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
@@ -672,6 +675,30 @@ def q_extract_text(spark, sf):
         "doc_id",
         extract_text(html).alias("txt"),
     ).withColumn("n_chars_out", F.length("txt").cast("bigint"))
+
+
+def q_span_dedup_stats(spark, sf):
+    """Duplicated-substring-span detection (ExactSubstr, Lee et al. 2021)
+    over the documents corpus: per document, how many tokens sit inside a
+    13-token window that occurs ≥ 2 times corpus-wide.  The engine hashes
+    token windows (xxhash64 chains, no strings); the oracle compares the
+    WINDOW STRINGS themselves in DuckDB — parity holds up to negligible
+    64-bit collisions, so the value hash independently pins tokenization,
+    window generation, corpus-wide frequency, and span-coverage
+    accounting."""
+    from validation_engine.dedup import span_dedup
+
+    docs = _t(spark, sf, "documents")
+    return (
+        span_dedup(docs, "doc_id", "text", min_len=13, mode="mark")
+        .filter(F.col("n_dup_tokens") > 0)
+        .select(
+            "doc_id",
+            F.col("n_dup_tokens").cast("bigint").alias("n_dup_tokens"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def q_cross_dedup(spark, sf):
@@ -1101,7 +1128,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Late round 7 swapped q18_large_orders (join + groupBy + HAVING,
     subsumed by q3_top_orders + orders_with_5plus_items; kept as
     _q18_large_orders_retired) → extract_text, putting the HTML→text
-    extraction chain under a byte-exact full-string oracle.
+    extraction chain under a byte-exact full-string oracle, and
+    q14_promo_share (conditional aggregate, subsumed by
+    q6_filtered_revenue + events_pivot/funnel; kept as
+    _q14_promo_share_retired) → span_dedup_stats, putting the
+    ExactSubstr duplicated-span operator under a window-string oracle.
     """
     return {
         "element_report_documents": q_element_report_documents,
@@ -1120,7 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_revenue_by_nation": q5_revenue_by_nation,
         "cross_dedup": q_cross_dedup,
         "wasserstein_drift_by_source": q_wasserstein_drift_by_source,
-        "q14_promo_share": q14_promo_share,
+        "span_dedup_stats": q_span_dedup_stats,
         "extract_text": q_extract_text,
         "decontaminate_documents": q_decontaminate_documents,
         "events_pivot": q_events_pivot,
@@ -1365,16 +1396,28 @@ def oracle_sql() -> dict[str, str]:
     FROM e2 GROUP BY partition
     """
 
-    sql["q14_promo_share"] = f"""
-    SELECT CAST(promo AS DOUBLE) / CAST(total AS DOUBLE) AS promo_share,
-           CAST(promo AS DOUBLE) AS promo_revenue,
-           CAST(total AS DOUBLE) AS total_revenue
-    FROM (
-      SELECT SUM(CASE WHEN p.p_type LIKE 'PROMO%' THEN {_rev}
-                      ELSE CAST(0 AS DECIMAL(28,6)) END) AS promo,
-             SUM({_rev}) AS total
-      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    # span_dedup twin: the engine compares xxhash64 window-hash chains;
+    # the oracle compares the 13-token WINDOW STRINGS themselves — an
+    # independent formulation of ExactSubstr's duplicated-window coverage
+    sql["span_dedup_stats"] = r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ), w AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+12], ' ') AS win
+      FROM toks, unnest(range(1, len(t) - 13 + 2)) AS u(i)
+      WHERE len(t) >= 13
+    ), dup AS (
+      SELECT win FROM w GROUP BY win HAVING count(*) >= 2
+    ), cov AS (
+      SELECT DISTINCT w.doc_id, w.pos + j.j AS idx
+      FROM w JOIN dup USING (win), unnest(range(0, 13)) AS j(j)
     )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_dup_tokens,
+           CAST(any_value(len(t.t)) AS BIGINT) AS n_tokens
+    FROM cov c JOIN toks t USING (doc_id)
+    GROUP BY c.doc_id ORDER BY c.doc_id
     """
 
     # HTML→text twin: the SAME RE2-compatible regex chain strip_html /

@@ -336,6 +336,18 @@ def main() -> None:
             docs, "id", "text", k=3, n_hashes=16, bands=4, max_band_freq=50
         ).count(),
     )
+    # duplicated-substring-span dedup (ExactSubstr, Lee et al. — round-7):
+    # every 50-token window hashed (longs only), corpus-wide frequency,
+    # per-doc merged spans; the agg forces full span materialization
+    # (a bare count() would let Catalyst prune the mark columns)
+    from validation_engine.dedup import span_dedup
+
+    queries["span_dedup_corpus"] = timed(
+        "span_dedup_corpus",
+        lambda: span_dedup(docs, "id", "text", min_len=50)
+        .agg(F.sum("n_dup_tokens"), F.sum("n_tokens"))
+        .collect(),
+    )
     # crawl-level URL dedup (round-7): synthesized crawl URLs with ~8 raw
     # variants per page — host/path derive from one group key, then
     # tracking params, fragments, and trailing slashes are sprayed on top

@@ -2070,3 +2070,160 @@ def test_dedup_lines_duckdb_parity(spark):
         FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs)
     """).fetchall())
     assert got == oracle and sum(got.values()) > 0
+
+
+# ---------------- duplicated-substring-span dedup ----------------
+
+
+def _span_dedup_reference(rows, L):
+    """Pure-Python ExactSubstr reference: exact token-tuple windows (no
+    hashing), corpus-wide occurrence counts, per-doc merged spans."""
+    from collections import Counter
+
+    toksd = {}
+    for i, t in rows:
+        s = (t or "").strip()
+        toksd[i] = s.split() if s else [""]
+    cnt = Counter()
+    wins = {}
+    for i, tk in toksd.items():
+        w = [tuple(tk[p:p + L]) for p in range(len(tk) - L + 1)]
+        wins[i] = w
+        cnt.update(w)
+    out = {}
+    for i, tk in toksd.items():
+        spans = []
+        for p, x in enumerate(wins[i]):
+            if cnt[x] < 2:
+                continue
+            if spans and p <= spans[-1][1]:
+                spans[-1] = (spans[-1][0], p + L)
+            else:
+                spans.append((p, p + L))
+        out[i] = ([tuple(s) for s in spans],
+                  sum(e - s for s, e in spans), len(tk))
+    return out
+
+
+def test_span_dedup_mark_matches_reference(spark):
+    """mark mode reproduces the exact-token-tuple reference (window hashing
+    is invisible up to 64-bit collisions) on a corpus with a full-document
+    duplicate, a partial overlap, an internal repetition, short docs and a
+    NULL."""
+    from validation_engine.dedup import span_dedup
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "x x c d e f g h q r"),
+        (3, "a b c d e f g h i j"),
+        (4, "short doc"),
+        (5, None),
+        (6, "z z z z z z z z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: ([(s["start"], s["end"]) for s in r["dup_spans"]],
+                      r["n_dup_tokens"], r["n_tokens"])
+        for r in span_dedup(df, "doc_id", "text", min_len=4).collect()
+    }
+    assert got == _span_dedup_reference(rows, 4)
+
+
+def test_span_dedup_cut_modes(spark):
+    """cut removes every copy; cut_keep_one leaves exactly one intact
+    survivor of a fully-duplicated document pair (document-ranked keeper
+    election), keeps one copy of an internally-repeated block, and its
+    n_dup_tokens equals the tokens actually removed."""
+    from validation_engine.dedup import span_dedup
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (3, "a b c d e f g h i j"),
+        (4, "short doc"),
+        (6, "z z z z z z z z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cut = {r["doc_id"]: r["text"]
+           for r in span_dedup(df, "doc_id", "text", min_len=4,
+                               mode="cut").collect()}
+    assert cut[1] == "" and cut[3] == "" and cut[6] == ""
+    assert cut[4] == "short doc"  # sub-threshold doc untouched
+
+    k1 = {r["doc_id"]: r
+          for r in span_dedup(df, "doc_id", "text", min_len=4,
+                              mode="cut_keep_one").collect()}
+    survivors = [i for i in (1, 3) if k1[i]["text"] == rows[0][1]]
+    assert len(survivors) == 1
+    loser = 3 if survivors == [1] else 1
+    assert k1[loser]["text"] == ""
+    assert k1[6]["text"] == "z z z z"  # one window copy survives
+    for r in k1.values():
+        kept_n = len(r["text"].split()) if r["text"] else 0
+        assert kept_n == r["n_tokens"] - r["n_dup_tokens"]
+
+
+def test_span_dedup_duckdb_parity(spark, docs):
+    """Independent-engine parity on the real sf0.001 documents corpus:
+    per-document duplicated-token counts match a DuckDB formulation that
+    compares WINDOW STRINGS (the engine compares xxhash64 chains — parity
+    holds up to negligible 64-bit collisions)."""
+    import duckdb
+
+    from validation_engine.dedup import span_dedup
+
+    L = 13
+    got = {r["doc_id"]: (r["n_dup_tokens"], r["n_tokens"])
+           for r in span_dedup(docs, "doc_id", "text", min_len=L)
+           .filter(F.col("n_dup_tokens") > 0)
+           .select("doc_id", "n_dup_tokens", "n_tokens").collect()}
+
+    con = duckdb.connect()
+    oracle = dict((row[0], (row[1], row[2])) for row in con.execute(rf"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+          FROM read_parquet('{SF}/documents.parquet')
+        ), w AS (
+          SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+{L - 1}], ' ') AS win
+          FROM toks, unnest(range(1, len(t) - {L} + 2)) AS u(i)
+          WHERE len(t) >= {L}
+        ), dup AS (
+          SELECT win FROM w GROUP BY win HAVING count(*) >= 2
+        ), cov AS (
+          SELECT DISTINCT w.doc_id, w.pos + j.j AS idx
+          FROM w JOIN dup USING (win), unnest(range(0, {L})) AS j(j)
+        )
+        SELECT c.doc_id, CAST(count(*) AS INT) AS nd, CAST(any_value(len(t.t)) AS INT)
+        FROM cov c JOIN toks t USING (doc_id) GROUP BY c.doc_id
+    """).fetchall())
+    assert got == oracle and len(oracle) > 10
+
+
+def test_span_dedup_hierarchical_window_path(spark):
+    """min_len > 16 takes the two-level factored window hash (a ≈ √L
+    slices per level instead of L — the L=50 codegen-explosion fix);
+    its results must match the exact-token-tuple reference just like the
+    direct path."""
+    from validation_engine.dedup import span_dedup
+
+    blk = " ".join(f"t{i}" for i in range(20))
+    rows = [
+        (1, blk + " u1 u2 u3"),
+        (2, "v0 " + blk + " v1"),          # shares the 20-token block
+        (3, " ".join(f"w{i}" for i in range(30))),  # unique, long enough
+        (4, "too short"),
+        (5, blk),                           # exactly L tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: ([(s["start"], s["end"]) for s in r["dup_spans"]],
+                      r["n_dup_tokens"], r["n_tokens"])
+        for r in span_dedup(df, "doc_id", "text", min_len=20).collect()
+    }
+    assert got == _span_dedup_reference(rows, 20)
+    # prime L (no clean factorization: 23 = 4*5 + 3 exercises r > 0)
+    got23 = {
+        r["doc_id"]: r["n_dup_tokens"]
+        for r in span_dedup(df, "doc_id", "text", min_len=23).collect()
+    }
+    ref23 = {i: nd for i, (sp, nd, n) in _span_dedup_reference(rows, 23).items()}
+    assert got23 == ref23

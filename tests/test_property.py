@@ -399,3 +399,43 @@ def test_ngram_repetition_matches_python_reference(spark, doc_toks, n):
             round(min(dup / total, 1.0), 6),
         )
         assert out[i] == want, (i, toks, out[i], want)
+
+
+@given(
+    st.lists(  # documents: token lists over a 3-symbol alphabet (forces
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+        min_size=1, max_size=8,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_span_dedup_matches_python_reference(spark, doc_toks, min_len):
+    """Property: span_dedup('mark') == the exact-token-tuple ExactSubstr
+    reference (window hashing invisible), and 'cut' removes exactly the
+    marked tokens, on random tiny-alphabet corpora dense with duplicated
+    windows."""
+    from tests.test_ops import _span_dedup_reference
+
+    from validation_engine.dedup import span_dedup
+
+    rows = [(i, " ".join(tk)) for i, tk in enumerate(doc_toks)]
+    expected = _span_dedup_reference(rows, min_len)
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    marked = span_dedup(df, "doc_id", "text", min_len=min_len).collect()
+    got = {
+        r["doc_id"]: ([(s["start"], s["end"]) for s in r["dup_spans"]],
+                      r["n_dup_tokens"], r["n_tokens"])
+        for r in marked
+    }
+    assert got == expected, (rows, min_len)
+
+    cut = span_dedup(df, "doc_id", "text", min_len=min_len, mode="cut").collect()
+    for r in cut:
+        spans, nd, _n = expected[r["doc_id"]]
+        if nd == 0:
+            assert r["text"] == rows[r["doc_id"]][1]
+        else:
+            toks = (rows[r["doc_id"]][1] or "").strip().split() or [""]
+            kept = [t for i, t in enumerate(toks)
+                    if not any(s <= i < e for s, e in spans)]
+            assert r["text"] == " ".join(kept), (rows, min_len)

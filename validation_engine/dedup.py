@@ -466,6 +466,259 @@ def paragraph_dedup(
     )
 
 
+def span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 50,
+    mode: str = "mark",
+) -> DataFrame:
+    """Duplicated-substring-span deduplication — find (and optionally cut)
+    every token span of length ≥ ``min_len`` that occurs more than once in
+    the corpus: the ExactSubstr step of Lee et al., *Deduplicating Training
+    Data Makes Language Models Better* (2021), re-expressed as distributed
+    window hashing instead of a single-machine suffix array (a suffix array
+    over 100 TB does not shard; ``min_len``-token window-hash frequency
+    finds the identical duplicated regions, at window granularity).
+
+    Semantics: each document is whitespace-tokenized; every ``min_len``-token
+    window is hashed (one ``xxhash64`` per token, one ``xxhash64`` per
+    window over the token-hash slices — the :func:`token_shingle_hashes`
+    trick, no window strings ever materialize); a window is DUPLICATED if
+    its hash occurs ≥ 2 times corpus-wide (occurrences, not distinct
+    documents — a doc repeating its own 50-token block is marked, as in the
+    reference algorithm).  Per document, duplicated window positions merge
+    into maximal half-open token spans ``[start, end)``.
+
+    Modes (all add ``dup_spans array<struct<start,end>>``,
+    ``n_dup_tokens``, ``n_tokens``):
+
+    * ``'mark'`` — annotate only; ``text_col`` untouched.
+    * ``'cut'`` — remove every duplicated span from EVERY document
+      (deliberate over-deletion: no copy survives; the right call for
+      boilerplate/license blocks).
+    * ``'cut_keep_one'`` — per duplicated window, one occurrence is exempt
+      from cutting, so one copy of each duplicated region survives,
+      approximating the reference's remove-all-but-one.  The keeper is the
+      occurrence minimizing ``(xxhash64(id), id, pos)`` — ranked by
+      DOCUMENT, not by window, so every window of a region duplicated
+      between the same documents elects the SAME keeper document and the
+      surviving copy stays contiguous (two byte-identical documents ⇒ one
+      survives verbatim, the other is cut entirely).  Keeper windows
+      PROTECT their tokens: a token is removed iff it is covered by a
+      duplicated window and by no keeper window, so a kept occurrence is
+      not eroded by its own overlapping duplicate windows.  Output adds
+      ``keep_spans`` (the protected spans) and ``n_dup_tokens`` counts the
+      tokens actually removed.  Where regions duplicated across DIFFERENT
+      document sets overlap, cuts can still nibble a keeper's flanks —
+      window granularity is the honest contract.
+
+    Cut modes rebuild ``text_col`` as the space-joined surviving tokens
+    (whitespace-NORMALIZED output — the same convention as every
+    tokenize-then-rebuild stage here; pipelines re-tokenize downstream).
+
+    Scale shape: the corpus text never enters an exchange.  (1) One
+    map-side pass derives (id, pos, window-hash) rows — fixed-width longs;
+    (2) the only all-to-all exchange is ``groupBy(hash).count()``, map-side
+    combined, so a mega-hash (10⁹ copies of one boilerplate window at
+    100×) collapses to one row per map task before it travels; (3)
+    duplicated hashes join back onto the narrow (id, pos, hash) projection
+    — an equi-join AQE can skew-split (never a window over the raw
+    stream, per the round-7 ladder audit); (4) per-doc position lists
+    aggregate with state bounded by the document's own token count, and
+    each document rebuilds map-side by index-filtering its own split
+    against its merged spans.
+
+    Reference: Lee et al. 2021 §4.1 (ExactSubstr, 50-token threshold);
+    reference repo has no sub-document dedup — this is pipeline surface
+    beyond SURVEY §2, same family as :func:`paragraph_dedup`.
+    """
+    if min_len < 2:
+        raise ValueError("min_len must be >= 2")
+    if mode not in ("mark", "cut", "cut_keep_one"):
+        raise ValueError("mode must be 'mark', 'cut' or 'cut_keep_one'")
+    L = int(min_len)
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.split(F.trim(text), r"\s+")
+    n = F.size(toks)
+    empty_longs = F.expr("cast(array() as array<bigint>)")
+
+    # One xxhash64 per token, materialized as a real column so the window
+    # pass references an array, not a re-expanded expression tree.
+    base = df.select(
+        F.col(id_col), F.transform(toks, lambda t: F.xxhash64(t)).alias("_sd_th")
+    )
+    nn = F.size("_sd_th")
+    if L <= 16:
+        # direct window hash: L shifted slices of the token-hash array
+        # (the token_shingle_hashes pattern)
+        zipped = F.arrays_zip(
+            *[F.slice("_sd_th", j + 1, nn - (L - 1)) for j in range(L)]
+        )
+        grams = F.transform(
+            zipped, lambda s: F.xxhash64(*[s[str(j)] for j in range(L)])
+        )
+        lvl = base
+    else:
+        # hierarchical window hash: a flat L-wide zip generates O(L) slice
+        # expressions whose unrolled codegen compiles in MINUTES at L=50
+        # (measured: 190 s first run vs 13 s warm).  Factor L = a·b + r
+        # with a ≈ √L: level 1 hashes every a-gram (a slices), level 2
+        # hashes b a-gram hashes at stride a plus the r remainder token
+        # hashes (b + r slices) — ~3√L slices total, identical window
+        # identity up to the (already assumed) 64-bit collision bound.
+        # The level-1 array lands in its own projection: it is non-cheap
+        # and multiply-referenced, so CollapseProject keeps it
+        # materialized instead of re-inlining the expression b times.
+        a = max(2, int(L**0.5))
+        b, r = divmod(L, a)
+        za = F.arrays_zip(
+            *[F.slice("_sd_th", j + 1, nn - (a - 1)) for j in range(a)]
+        )
+        ha = F.transform(za, lambda s: F.xxhash64(*[s[str(j)] for j in range(a)]))
+        lvl = base.select(
+            F.col(id_col),
+            "_sd_th",
+            F.when(nn < a, empty_longs).otherwise(ha).alias("_sd_ha"),
+        )
+        parts = [
+            F.slice("_sd_ha", 1 + j * a, nn - (L - 1)) for j in range(b)
+        ] + [F.slice("_sd_th", 1 + b * a + t, nn - (L - 1)) for t in range(r)]
+        zipped = F.arrays_zip(*parts)
+        grams = F.transform(
+            zipped, lambda s: F.xxhash64(*[s[str(j)] for j in range(b + r)])
+        )
+    window_hashes = F.when(nn < L, empty_longs).otherwise(grams)
+
+    exploded = lvl.select(
+        F.col(id_col), F.posexplode(window_hashes).alias("_sd_pos", "_sd_h")
+    )
+    if mode == "cut_keep_one":
+        # keeper ranked by DOCUMENT (xxhash64(id)), not by window hash, so
+        # every window of a same-document-set duplicated region elects the
+        # same keeper and the surviving copy stays contiguous
+        dup = (
+            exploded.groupBy("_sd_h")
+            .agg(
+                F.count(F.lit(1)).alias("_sd_n"),
+                F.min(
+                    F.struct(
+                        F.xxhash64(F.col(id_col)).alias("r"),
+                        F.col(id_col).alias("kid"),
+                        F.col("_sd_pos").alias("kpos"),
+                    )
+                ).alias("_sd_keep"),
+            )
+            .filter(F.col("_sd_n") >= 2)
+            .select("_sd_h", "_sd_keep")
+        )
+        hits = exploded.join(dup, "_sd_h").withColumn(
+            "_sd_is_keep",
+            (F.col(id_col) == F.col("_sd_keep.kid"))
+            & (F.col("_sd_pos") == F.col("_sd_keep.kpos")),
+        )
+        pos_lists = hits.groupBy(id_col).agg(
+            F.sort_array(F.collect_list("_sd_pos")).alias("_sd_ps"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("_sd_is_keep"), F.col("_sd_pos")))
+            ).alias("_sd_kps"),
+        )
+    else:
+        dup = (
+            exploded.groupBy("_sd_h")
+            .agg(F.count(F.lit(1)).alias("_sd_n"))
+            .filter(F.col("_sd_n") >= 2)
+            .select("_sd_h")
+        )
+        hits = exploded.join(dup, "_sd_h", "left_semi")
+        pos_lists = hits.groupBy(id_col).agg(
+            F.sort_array(F.collect_list("_sd_pos")).alias("_sd_ps")
+        )
+
+    empty_spans = F.expr("cast(array() as array<struct<start:int,end:int>>)")
+
+    def merged_spans(ps):
+        # fold sorted window starts into merged half-open spans: window at p
+        # covers [p, p+L); p <= last.end ⇒ overlapping-or-adjacent ⇒ extend
+        return F.aggregate(
+            ps,
+            empty_spans,
+            lambda acc, p: F.when(
+                (F.size(acc) > 0) & (p <= F.element_at(acc, -1)["end"]),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(
+                        F.struct(
+                            F.element_at(acc, -1)["start"].alias("start"),
+                            (p + F.lit(L)).alias("end"),
+                        )
+                    ),
+                ),
+            ).otherwise(
+                F.concat(
+                    acc,
+                    F.array(F.struct(p.alias("start"), (p + F.lit(L)).alias("end"))),
+                )
+            ),
+        )
+
+    out = (
+        df.join(pos_lists, id_col, "left")
+        .withColumn(
+            "dup_spans",
+            F.when(F.col("_sd_ps").isNull(), empty_spans).otherwise(
+                merged_spans(F.col("_sd_ps"))
+            ),
+        )
+        .withColumn("n_tokens", n)
+    )
+    if mode == "cut_keep_one":
+        out = out.withColumn(
+            "keep_spans",
+            F.when(F.col("_sd_kps").isNull(), empty_spans).otherwise(
+                merged_spans(F.col("_sd_kps"))
+            ),
+        ).drop("_sd_ps", "_sd_kps")
+        kept = F.filter(
+            toks,
+            lambda t, i: ~F.exists(
+                F.col("dup_spans"), lambda s: (i >= s["start"]) & (i < s["end"])
+            )
+            | F.exists(
+                F.col("keep_spans"), lambda s: (i >= s["start"]) & (i < s["end"])
+            ),
+        )
+        return (
+            out.withColumn("n_dup_tokens", n - F.size(kept))
+            .withColumn(
+                text_col,
+                F.when(F.size("dup_spans") == 0, F.col(text_col)).otherwise(
+                    F.concat_ws(" ", kept)
+                ),
+            )
+        )
+    out = out.drop("_sd_ps").withColumn(
+        "n_dup_tokens",
+        F.aggregate(
+            "dup_spans", F.lit(0), lambda acc, s: acc + (s["end"] - s["start"])
+        ),
+    )
+    if mode == "mark":
+        return out
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("dup_spans"), lambda s: (i >= s["start"]) & (i < s["end"])
+        ),
+    )
+    return out.withColumn(
+        text_col,
+        F.when(F.size("dup_spans") == 0, F.col(text_col)).otherwise(
+            F.concat_ws(" ", kept)
+        ),
+    )
+
+
 def token_shingles(col, k: int = 3) -> Column:
     """Token k-gram shingles as an array<string> — pure array intrinsics:
     transform over a 0..n-k index sequence, slice+concat per position."""
