@@ -808,8 +808,11 @@ def q6_filtered_revenue(spark, sf):
     )
 
 
-def q_orders_with_5plus_items(spark, sf):
-    """Semi-join/HAVING shape: orders with at least 5 lineitems."""
+def _q_orders_with_5plus_items_retired(spark, sf):
+    """Semi-join/HAVING shape: orders with at least 5 lineitems.
+    Retired from the 50-query gate late round 7 (group-HAVING shape
+    subsumed by cube_lineitem / stats_agg_lineitem / sql_api_order_stats)
+    in favor of code_signals_documents."""
     li = _t(spark, sf, "lineitem")
     return (
         li.groupBy("l_orderkey")
@@ -818,6 +821,42 @@ def q_orders_with_5plus_items(spark, sf):
         .groupBy()
         .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("n_items").alias("n_items_total"))
     )
+
+
+def q_code_signals(spark, sf):
+    """StarCoder-style source-file quality signals (round-7): documents
+    get deterministic adversarial augmentation — an autogen header every
+    3rd doc, a 128-char base64 run every 4th, a 160-char hex run every
+    5th — then the full `code_signals` struct is computed per doc.  Every
+    field is an integer count or one division of two exact integers and
+    every regex is RE2-compatible, so the DuckDB twin reproduces the
+    doubles bit-for-bit; `keep` additionally pins the `code_filter`
+    StarCoder default gate."""
+    from validation_engine.text import code_filter, code_signals
+
+    docs = _t(spark, sf, "documents")
+    aug = F.concat(
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("// AUTO-GENERATED do not edit\n")).otherwise(F.lit("")),
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit("\n" + "QUJD" * 32)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit("\n" + "deadbeef" * 20)).otherwise(F.lit("")),
+    )
+    s = code_signals(aug)
+    return docs.select(
+        "doc_id",
+        s["n_lines"].alias("n_lines"),
+        s["max_line_len"].alias("max_line_len"),
+        s["avg_line_len"].alias("avg_line_len"),
+        s["alnum_frac"].alias("alnum_frac"),
+        s["alpha_frac"].alias("alpha_frac"),
+        s["b64_frac"].alias("b64_frac"),
+        s["hex_frac"].alias("hex_frac"),
+        s["autogen"].alias("autogen"),
+        code_filter(aug).alias("keep"),
+    ).orderBy("doc_id")
 
 
 
@@ -1132,7 +1171,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q14_promo_share (conditional aggregate, subsumed by
     q6_filtered_revenue + events_pivot/funnel; kept as
     _q14_promo_share_retired) → span_dedup_stats, putting the
-    ExactSubstr duplicated-span operator under a window-string oracle.
+    ExactSubstr duplicated-span operator under a window-string oracle,
+    and orders_with_5plus_items (group-HAVING, subsumed by
+    cube_lineitem / stats_agg_lineitem / sql_api_order_stats; kept as
+    _q_orders_with_5plus_items_retired) → code_signals_documents,
+    putting the StarCoder source-quality signals under a bit-exact
+    doubles oracle.
     """
     return {
         "element_report_documents": q_element_report_documents,
@@ -1162,7 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_event_ranks": q_window_event_ranks,
         "timeseries_rollup_events": q_timeseries_rollup_events,
         "q6_filtered_revenue": q6_filtered_revenue,
-        "orders_with_5plus_items": q_orders_with_5plus_items,
+        "code_signals_documents": q_code_signals,
         "js_divergence_drift_by_source": q_js_divergence_drift_by_source,
         "window_lag_rolling": q_window_lag_rolling,
         "asof_latest_event": q_asof_latest_event,
@@ -1609,10 +1653,51 @@ def oracle_sql() -> dict[str, str]:
     WHERE l_discount >= 0.02 AND l_discount <= 0.05 AND l_quantity < 10
     """
 
-    sql["orders_with_5plus_items"] = """
-    SELECT COUNT(*) AS n_orders, CAST(SUM(n_items) AS BIGINT) AS n_items_total
-    FROM (SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem
-          GROUP BY l_orderkey HAVING COUNT(*) >= 5)
+    # code_signals twin: the SAME RE2-compatible regexes and exact-integer
+    # divisions evaluated by DuckDB (regexp_replace needs the 'g' flag —
+    # Spark's is global by default); augmentation mirrored with CASE/repeat
+    sql["code_signals_documents"] = r"""
+    WITH aug AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0
+                   THEN '// AUTO-GENERATED do not edit' || chr(10) ELSE '' END)
+             || text
+             || (CASE WHEN doc_id % 4 = 0
+                      THEN chr(10) || repeat('QUJD', 32) ELSE '' END)
+             || (CASE WHEN doc_id % 5 = 0
+                      THEN chr(10) || repeat('deadbeef', 20) ELSE '' END) AS x
+      FROM documents
+    ), sig AS (
+      SELECT doc_id, x,
+             string_split(x, chr(10)) AS ls,
+             length(x) AS nc,
+             length(regexp_replace(x, '[^A-Za-z0-9]', '', 'g')) AS alnum,
+             length(regexp_replace(x, '[^A-Za-z]', '', 'g')) AS alpha,
+             length(x) - length(regexp_replace(x, '[A-Za-z0-9+/=]{64,}', '', 'g')) AS b64,
+             length(x) - length(regexp_replace(x, '[0-9a-fA-F]{128,}', '', 'g')) AS hx,
+             regexp_matches(substring(x, 1, 500),
+               '(?i)(auto[- ]?generated|automatically generated|generated by|do not edit)')
+               AS autogen
+      FROM aug
+    )
+    SELECT doc_id,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(list_max(list_transform(ls, l -> length(l))) AS BIGINT) AS max_line_len,
+           CAST(list_sum(list_transform(ls, l -> length(l))) AS DOUBLE)
+             / CAST(len(ls) AS DOUBLE) AS avg_line_len,
+           CAST(alnum AS DOUBLE) / CAST(greatest(nc, 1) AS DOUBLE) AS alnum_frac,
+           CAST(alpha AS DOUBLE) / CAST(greatest(nc, 1) AS DOUBLE) AS alpha_frac,
+           CAST(b64 AS DOUBLE) / CAST(greatest(nc, 1) AS DOUBLE) AS b64_frac,
+           CAST(hx AS DOUBLE) / CAST(greatest(nc, 1) AS DOUBLE) AS hex_frac,
+           autogen,
+           (list_max(list_transform(ls, l -> length(l))) <= 1000
+            AND CAST(list_sum(list_transform(ls, l -> length(l))) AS DOUBLE)
+                / CAST(len(ls) AS DOUBLE) <= 100.0
+            AND CAST(alnum AS DOUBLE) / CAST(greatest(nc, 1) AS DOUBLE) >= 0.25
+            AND (CAST(b64 AS DOUBLE) / CAST(greatest(nc, 1) AS DOUBLE)
+                 + CAST(hx AS DOUBLE) / CAST(greatest(nc, 1) AS DOUBLE)) < 0.5
+            AND NOT autogen) AS keep
+    FROM sig ORDER BY doc_id
     """
 
     # Jensen–Shannon twin: pooled q from global bucket shares, per-partition

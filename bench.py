@@ -469,6 +469,14 @@ def main() -> None:
         .filter(F.col("ngram3_dup_char_frac") < 0.5)
         .count(),
     )
+    # StarCoder source-quality gate (round-7): full signal struct + filter
+    # over the code corpus — one codegen stage, zero shuffles
+    from validation_engine.text import code_filter
+
+    queries["code_filter_corpus"] = timed(
+        "code_filter_corpus",
+        lambda: docs.filter(code_filter("text")).count(),
+    )
     queries["unigram_lm_corpus"] = timed(
         "unigram_lm_corpus",
         lambda: unigram_lm_score(docs, "id", "text", vocab_size=50_000).count(),

@@ -2227,3 +2227,62 @@ def test_span_dedup_hierarchical_window_path(spark):
     }
     ref23 = {i: nd for i, (sp, nd, n) in _span_dedup_reference(rows, 23).items()}
     assert got23 == ref23
+
+
+# ---------------- code quality signals (StarCoder filters) ----------------
+
+
+def test_code_signals_and_filter(spark):
+    """Each StarCoder filter signal fires on its crafted offender and the
+    default gate keeps only the clean file: line geometry on a minified
+    one-liner, alnum/encoded fractions on base64/hex payloads, the
+    autogen marker, and a clean pass-through."""
+    from validation_engine.text import code_filter, code_signals
+
+    clean = "def f(x):\n    return x + 1\n"
+    rows = [
+        (1, clean),
+        (2, "x=1;" * 500),                              # one 2000-char line
+        (3, "data = \"" + "QUJDRA==" * 32 + "\"\n"),    # long base64 run
+        (4, "h = 0x" + "ab" * 100 + "\n"),              # 200-char hex run
+        (5, "# AUTO-GENERATED do not edit\n" + clean),
+        (6, "\x00\x01\x02\x03!!!???\n" * 5),            # low alnum
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        code_signals("text").alias("s"),
+        code_filter("text").alias("keep"),
+    ).collect()}
+
+    assert out[1]["keep"] and not out[1]["s"]["autogen"]
+    assert out[2]["s"]["max_line_len"] == 2000 and not out[2]["keep"]
+    assert out[3]["s"]["b64_frac"] > 0.9 and not out[3]["keep"]
+    assert out[4]["s"]["hex_frac"] > 0.7 and not out[4]["keep"]
+    assert out[5]["s"]["autogen"] and not out[5]["keep"]
+    assert out[6]["s"]["alnum_frac"] < 0.25 and not out[6]["keep"]
+    # NULL text: empty-string convention, n_lines 1, all fracs 0
+    assert out[7]["s"]["n_lines"] == 1 and out[7]["s"]["alnum_frac"] == 0.0
+    # exact line geometry on the clean file: 3 split segments (trailing \n)
+    assert out[1]["s"]["n_lines"] == 3
+    assert out[1]["s"]["max_line_len"] == len("    return x + 1")
+
+
+def test_code_filter_on_code_corpus(spark, corpus):
+    """The synthetic corpus generates single-line files (mean line length
+    ≈ full file), which the StarCoder avg-line gate correctly rejects as
+    minified-style; after inserting line breaks every 8 tokens the same
+    gate keeps the overwhelming majority — pinning both directions of the
+    line-geometry filter over 3000 real-ish files."""
+    from validation_engine.text import code_filter
+
+    files = corpus["files"]
+    n = files.count()
+    kept_raw = files.filter(code_filter("content")).count()
+    assert kept_raw < 0.5 * n  # single-line files: avg_line_len gate fires
+    wrapped = files.withColumn(
+        "content", F.regexp_replace("content", r"((?:\S+\s+){8})", "$1\n")
+    )
+    kept = wrapped.filter(code_filter("content")).count()
+    assert 0.9 * n <= kept <= n

@@ -166,6 +166,79 @@ def quality_score(col, tokens: Column = None) -> Column:
     return F.round(score, 6)
 
 
+def code_signals(col) -> Column:
+    """Source-file quality signals — the BigCode/StarCoder preprocessing
+    filter inputs (Li et al. 2023, *StarCoder: may the source be with
+    you!*, data curation §3; same family as SantaCoder's filters), as one
+    codegen struct over any text column:
+
+    * ``n_lines`` / ``max_line_len`` / ``avg_line_len`` — line geometry
+      (minified JS / data blobs have pathological line lengths);
+    * ``alnum_frac`` / ``alpha_frac`` — alphanumeric / alphabetic
+      character fractions (near-zero ⇒ binary-ish or encoded content);
+    * ``b64_frac`` / ``hex_frac`` — fraction of characters inside long
+      base64 (≥ 64 chars) or hex (≥ 128 chars) runs — embedded payloads;
+    * ``autogen`` — generated-file marker within the first 500 chars
+      ("auto-generated", "do not edit", "generated by", …).
+
+    Every field is a pure integer count or a single division of two
+    exact integers, and every regex is RE2-compatible — so a DuckDB twin
+    running the SAME expressions reproduces the doubles BIT-FOR-BIT
+    (driver oracle ``code_signals_documents``).  One map-side pass, zero
+    shuffles, zero Python."""
+    x = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    lines = F.split(x, "\n")
+    n_lines = F.size(lines)
+    line_lens = F.transform(lines, F.length)
+    tot = F.aggregate(line_lens, F.lit(0).cast("long"), lambda a, v: a + v)
+    n_chars = F.length(x)
+    # count of chars MATCHING a class = length after removing its complement
+    matching = lambda cls: F.length(  # noqa: E731
+        F.regexp_replace(x, f"[^{cls}]", "")
+    )
+    denom = F.greatest(n_chars, F.lit(1)).cast("double")
+    return F.struct(
+        n_lines.cast("long").alias("n_lines"),
+        F.array_max(line_lens).cast("long").alias("max_line_len"),
+        (tot.cast("double") / n_lines.cast("double")).alias("avg_line_len"),
+        (matching("A-Za-z0-9").cast("double") / denom).alias("alnum_frac"),
+        (matching("A-Za-z").cast("double") / denom).alias("alpha_frac"),
+        ((n_chars - F.length(F.regexp_replace(x, r"[A-Za-z0-9+/=]{64,}", "")))
+         .cast("double") / denom).alias("b64_frac"),
+        ((n_chars - F.length(F.regexp_replace(x, r"[0-9a-fA-F]{128,}", "")))
+         .cast("double") / denom).alias("hex_frac"),
+        F.substring(x, 1, 500)
+        .rlike(r"(?i)(auto[- ]?generated|automatically generated|generated by|do not edit)")
+        .alias("autogen"),
+    )
+
+
+def code_filter(
+    col,
+    max_line_len: int = 1000,
+    max_avg_line_len: int = 100,
+    min_alnum_frac: float = 0.25,
+    max_encoded_frac: float = 0.5,
+    drop_autogen: bool = True,
+) -> Column:
+    """Boolean keep-gate over :func:`code_signals` with the StarCoder
+    defaults: max line ≤ 1000 chars, mean line ≤ 100 chars, ≥ 25%
+    alphanumeric, < 50% of content in base64/hex runs, and no
+    generated-file marker.  Compose as ``df.filter(code_filter("content"))``
+    — the struct inlines, so Catalyst computes only the needed fields and
+    the whole gate stays in one codegen stage."""
+    s = code_signals(col)
+    keep = (
+        (s["max_line_len"] <= int(max_line_len))
+        & (s["avg_line_len"] <= float(max_avg_line_len))
+        & (s["alnum_frac"] >= float(min_alnum_frac))
+        & ((s["b64_frac"] + s["hex_frac"]) < float(max_encoded_frac))
+    )
+    if drop_autogen:
+        keep = keep & ~s["autogen"]
+    return keep
+
+
 def fingerprint(col, normalize: bool = True, tokens: Column = None) -> Column:
     """64-bit document fingerprint: xxhash64 of the normalized token stream
     (lowercase, whitespace-collapsed) — a rolling-hash-equivalent identity
