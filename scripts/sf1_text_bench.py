@@ -215,6 +215,29 @@ def run_ops(spark, docs, n) -> dict:
     dt = time.time() - t0
     out["semantic_dedup"] = {"sec": round(dt, 2), "rows_per_sec": round(n / dt, 1),
                              "n_survivors": n_surv_sem}
+    # duplicated-substring-span dedup (late-round-7 anchor): hierarchical
+    # window hashing, one map-side-combined hash-count exchange, narrow
+    # (id,pos,hash) rows — per-row work is O(tokens), exchange volume
+    # scales with windows, so rows/s should hold at 10×
+    from validation_engine.dedup import span_dedup
+
+    t0 = time.time()
+    n_dup_toks = (
+        span_dedup(docs, "id", "text", min_len=50)
+        .agg(F.sum("n_dup_tokens")).collect()[0][0]
+    )
+    dt = time.time() - t0
+    out["span_dedup"] = {"sec": round(dt, 2), "rows_per_sec": round(n / dt, 1),
+                         "n_dup_tokens": int(n_dup_toks or 0)}
+    # StarCoder code-quality gate (late-round-7 anchor): one codegen
+    # stage, zero shuffles — strictly scan-bound, flat at 10×
+    from validation_engine.text import code_filter
+
+    t0 = time.time()
+    n_cq = docs.filter(code_filter("text")).count()
+    dt = time.time() - t0
+    out["code_filter"] = {"sec": round(dt, 2), "rows_per_sec": round(n / dt, 1),
+                          "n_kept": n_cq}
     return out
 
 

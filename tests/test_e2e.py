@@ -342,15 +342,19 @@ def test_full_mixture_pipeline_reproducible(spark, tmp_path):
     partitioned write — run twice, the second time from adversarially
     re-partitioned/re-ordered sources, producing IDENTICAL shard
     assignments, order keys, bins, and texts per (doc, epoch)."""
-    from validation_engine.dedup import paragraph_dedup
+    from validation_engine.dedup import paragraph_dedup, span_dedup
     from validation_engine.text import (
         decontaminate, mix_corpora, pack_greedy, shuffle_shards, token_count,
     )
 
     boiler = "join our mailing list now"
+    license_run = ("this software is provided as is without "
+                   "warranty of any kind whatsoever")
     passage = " ".join(f"bench{i}" for i in range(16))
     src_a = [(i, f"alpha doc {i}\n\n{boiler}\n\n" +
-              " ".join(f"a{i}_{j}" for j in range(18 + i % 7))) for i in range(80)]
+              " ".join(f"a{i}_{j}" for j in range(18 + i % 7)) +
+              (f"\n\n{license_run}" if i % 10 == 0 else ""))
+             for i in range(80)]
     src_b = [(1000 + i, f"beta doc {i}\n\n" +
               " ".join(f"b{i}_{j}" for j in range(15 + i % 5))) for i in range(40)]
     src_b += [(2000, f"lead {passage} tail")]          # contaminated
@@ -359,6 +363,17 @@ def test_full_mixture_pipeline_reproducible(spark, tmp_path):
     bench = spark.createDataFrame([(passage,)], "q string")
 
     def run(a, b, out_dir):
+        # per-source hygiene runs BEFORE mixing (as in real pipelines —
+        # post-mix, epoch upsampling's deliberate full-document repeats
+        # would be shredded as duplicated spans): paragraph-dedup the
+        # boiler out first (span cut's token-rebuild flattens paragraph
+        # boundaries, so paragraph hygiene must precede it), then the
+        # 12-token license run shared by every 10th a-doc is span-cut to
+        # exactly one surviving copy
+        a = paragraph_dedup(a, "doc_id", "text",
+                            max_freq=10).select("doc_id", "text")
+        a = span_dedup(a, "doc_id", "text", min_len=6,
+                       mode="cut_keep_one").select("doc_id", "text")
         mixed = mix_corpora([("a", a), ("b", b)], "doc_id",
                             weights={"a": 1.0, "b": 2.0}, seed=3)
         mixed = mixed.withColumn(
@@ -393,6 +408,11 @@ def test_full_mixture_pipeline_reproducible(spark, tmp_path):
     assert epochs_b == {0, 1}
     assert all(e == 0 for (d, e) in s1 if d < 1000)
     assert all(boiler not in t for (_, _, _, t) in s1.values())
+    # the 5-token boiler is BELOW the span threshold (paragraph_dedup's
+    # job); the 12-token license run is span-cut to exactly one survivor
+    lic_docs = {d for (d, e), (_, _, _, t) in s1.items()
+                if e == 0 and "without warranty" in t}
+    assert len(lic_docs) == 1 and next(iter(lic_docs)) % 10 == 0
     # contaminated doc dropped in every epoch
     assert not any(d == 2000 for (d, _) in s1)
     # both epoch copies of a b-doc land independently (different keys)
