@@ -2286,3 +2286,26 @@ def test_code_filter_on_code_corpus(spark, corpus):
     )
     kept = wrapped.filter(code_filter("content")).count()
     assert 0.9 * n <= kept <= n
+
+
+def test_span_dedup_plan_never_partitions_by_text(spark):
+    """Scale shape (same pin as paragraph_dedup's): every exchange in the
+    span_dedup plan partitions by hash/id/pos longs — never by the corpus
+    text column; window hashing, frequency counting and span merging all
+    move fixed-width keys only."""
+    import re
+
+    from validation_engine.dedup import span_dedup
+
+    df = spark.createDataFrame(
+        [(i, ("shared run of tokens x y z w " * 2) if i % 2 == 0
+          else f"unique u{i} " + " ".join(f"t{i}_{j}" for j in range(12)))
+         for i in range(50)],
+        "doc_id int, text string",
+    )
+    for mode in ("mark", "cut", "cut_keep_one"):
+        out = span_dedup(df, "doc_id", "text", min_len=4, mode=mode)
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            assert "text" not in ex, (mode, plan)
