@@ -439,3 +439,52 @@ def test_span_dedup_matches_python_reference(spark, doc_toks, min_len):
             kept = [t for i, t in enumerate(toks)
                     if not any(s <= i < e for s, e in spans)]
             assert r["text"] == " ".join(kept), (rows, min_len)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+        min_size=1, max_size=8,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_span_dedup_keep_one_preserves_content(spark, doc_toks, min_len):
+    """Properties of cut_keep_one: (1) every duplicated min_len-window's
+    token tuple still occurs contiguously in at least one surviving
+    document (keeper windows protect their tokens — the guarantee plain
+    'cut' deliberately does not make); (2) the output is invariant to
+    input partitioning (document-ranked keeper election is a pure
+    function of ids)."""
+    from collections import Counter
+
+    from validation_engine.dedup import span_dedup
+
+    rows = [(i, " ".join(tk)) for i, tk in enumerate(doc_toks)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    def snap(frame):
+        return {r["doc_id"]: r["text"] for r in
+                span_dedup(frame, "doc_id", "text", min_len=min_len,
+                           mode="cut_keep_one").collect()}
+
+    out = snap(df)
+    out2 = snap(df.repartition(7).sortWithinPartitions(F.desc("text")))
+    assert out == out2, (rows, min_len)
+
+    cnt = Counter()
+    for _i, tk in enumerate(doc_toks):
+        toks = tk if tk else [""]
+        cnt.update(tuple(toks[p:p + min_len])
+                   for p in range(len(toks) - min_len + 1))
+    out_toks = {i: (t.split() if t else []) for i, t in out.items()}
+
+    def occurs(win):
+        L = len(win)
+        return any(tuple(ot[p:p + L]) == win
+                   for ot in out_toks.values()
+                   for p in range(len(ot) - L + 1))
+
+    for win, c in cnt.items():
+        if c >= 2:
+            assert occurs(win), (rows, min_len, win)

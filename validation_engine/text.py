@@ -1144,7 +1144,10 @@ PII_PATTERNS = {
 }
 
 
-def pii_counts(df: DataFrame, id_col: str, text_col: str, patterns=None) -> DataFrame:
+def pii_counts(
+    df: DataFrame, id_col: str, text_col: str, patterns=None,
+    total_name: str = "n_pii_total",
+) -> DataFrame:
     """Per-document PII hit counts, one column per pattern plus a total —
     pure ``regexp_count`` expressions (JVM regex, whole-stage codegen, zero
     Python): the filter stage of a redaction pipeline, and a quality signal
@@ -1158,7 +1161,7 @@ def pii_counts(df: DataFrame, id_col: str, text_col: str, patterns=None) -> Data
     total = None
     for a in counts:
         total = F.col(a) if total is None else total + F.col(a)
-    return out.withColumn("n_pii_total", total)
+    return out.withColumn(total_name, total)
 
 
 def redact_pii(col, patterns=None, token: str = "[PII]") -> Column:
@@ -1170,6 +1173,50 @@ def redact_pii(col, patterns=None, token: str = "[PII]") -> Column:
     for rx in patterns.values():
         col = F.regexp_replace(col, rx, token)
     return col
+
+
+# Credential/secret shapes a source-code corpus must scrub before training
+# (the BigCode/StarCoder secrets-removal pass; reference repo has no text
+# hygiene at all — pipeline surface beyond SURVEY §2).  Anchored with
+# lookarounds so identifiers merely CONTAINING a token shape don't match;
+# the private-key pattern prefers the full BEGIN…END block (lazy body) and
+# falls back to the header alone when the footer is missing, so redaction
+# removes the key MATERIAL, not just the banner.
+SECRET_PATTERNS = {
+    "aws_access_key": r"(?<![A-Z0-9])(?:AKIA|ASIA)[A-Z0-9]{16}(?![A-Z0-9])",
+    "github_token": r"(?<![A-Za-z0-9])gh[pousr]_[A-Za-z0-9]{36,}(?![A-Za-z0-9])",
+    "slack_token": r"(?<![A-Za-z0-9])xox[baprs]-[A-Za-z0-9-]{10,}(?![A-Za-z0-9-])",
+    "private_key": (
+        r"-----BEGIN[A-Z ]*PRIVATE KEY(?: BLOCK)?-----"
+        r"(?:[\s\S]*?-----END[A-Z ]*PRIVATE KEY(?: BLOCK)?-----)?"
+    ),
+    "jwt": (
+        r"(?<![A-Za-z0-9_-])eyJ[A-Za-z0-9_-]{10,}"
+        r"\.[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{10,}(?![A-Za-z0-9_-])"
+    ),
+    "assigned_secret": (
+        r"(?i)(?:api[_-]?key|secret[_-]?key|access[_-]?token|auth[_-]?token"
+        r"|password)\s*[:=]\s*['\"][A-Za-z0-9/+_\-]{12,}['\"]"
+    ),
+}
+
+
+def secret_counts(df: DataFrame, id_col: str, text_col: str, patterns=None) -> DataFrame:
+    """Per-document credential hit counts (one column per
+    :data:`SECRET_PATTERNS` entry + ``n_secrets_total``) — the audit stage
+    of the secrets-scrubbing pass; same zero-Python ``regexp_count`` shape
+    as :func:`pii_counts`."""
+    return pii_counts(
+        df, id_col, text_col,
+        patterns=patterns or SECRET_PATTERNS, total_name="n_secrets_total",
+    )
+
+
+def redact_secrets(col, patterns=None, token: str = "[SECRET]") -> Column:
+    """Replace every credential match with ``token`` — chained JVM
+    ``regexp_replace``; the private-key pattern swallows the whole
+    BEGIN…END block so no key material survives."""
+    return redact_pii(col, patterns=patterns or SECRET_PATTERNS, token=token)
 
 
 class QualityModelBackend:
