@@ -346,7 +346,7 @@ def _q10_returned_revenue_retired(spark, sf):
 def _q14_promo_share_retired(spark, sf):
     """TPC-H Q14 shape: promo revenue share (conditional / total, decimal-safe).
     Retired from the 50-query gate round 7 (conditional-aggregate shape
-    subsumed by q6_filtered_revenue + events_pivot/funnel) in favor of
+    subsumed by q1/stats_agg + events_pivot/funnel) in favor of
     span_dedup_stats."""
     part = _t(spark, sf, "part")
     li = _t(spark, sf, "lineitem")
@@ -790,8 +790,12 @@ def q_embedding_centroid_by_label(spark, sf):
     return sums.select("label", "n", F.round(F.sqrt(sq), 6).alias("centroid_norm_8"))
 
 
-def q6_filtered_revenue(spark, sf):
-    """TPC-H Q6 shape: pushdown-heavy filtered aggregate."""
+def _q6_filtered_revenue_retired(spark, sf):
+    """TPC-H Q6 shape: pushdown-heavy filtered aggregate.  Retired from
+    the 50-query gate late round 7: the scan→filter→global-agg shape is
+    already pinned by q1_pricing_summary (pushdown + agg),
+    stats_agg_lineitem and quantity_percentiles; retired in favor of
+    license_documents (a curation operator the gate did not yet cover)."""
     li = _t(spark, sf, "lineitem")
     rev = (F.col("l_extendedprice").cast("decimal(18,2)")
            * F.col("l_discount").cast("decimal(18,2)")).cast("decimal(28,6)")
@@ -806,6 +810,46 @@ def q6_filtered_revenue(spark, sf):
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+def q_license_documents(spark, sf):
+    """License detection + permissive gate (round-7, The Stack/StarCoder
+    curation §3): documents get a deterministic license header planted by
+    ``doc_id % 8`` — MIT, Apache-2.0, a line-wrapped GPL-3 (exercising
+    the comment-leader normalization), BSD-3 with the endorsement clause,
+    an explicit SPDX tag (must outrank body text), a wrapped Unlicense,
+    LGPL, and none — then `license_detect` labels each file and
+    `license_filter` applies the permissive-only gate.  All regexes are
+    RE2-compatible and the normalization is two regexp_replace rewrites,
+    so the DuckDB twin reproduces labels and booleans exactly."""
+    from validation_engine.text import license_detect, license_filter
+
+    docs = _t(spark, sf, "documents")
+    m = F.col("doc_id") % 8
+    hdr = (
+        F.when(m == 0, F.lit("/* MIT License */\n"))
+        .when(m == 1, F.lit(
+            "# Licensed under the Apache License, Version 2.0\n"))
+        .when(m == 2, F.lit(
+            "# GNU General Public License, either\n"
+            "# version 3 of the License\n"))
+        .when(m == 3, F.lit(
+            "/* Redistribution and use in source and binary forms, with "
+            "or without modification; neither the name of the author may "
+            "be used */\n"))
+        .when(m == 4, F.lit("// SPDX-License-Identifier: BSD-2-Clause\n"))
+        .when(m == 5, F.lit(
+            "# This is free and unencumbered software released into\n"
+            "# the public domain\n"))
+        .when(m == 6, F.lit("// GNU Lesser General Public License\n"))
+        .otherwise(F.lit(""))
+    )
+    aug = F.concat(hdr, F.col("text"))
+    return docs.select(
+        "doc_id",
+        license_detect(aug).alias("license"),
+        license_filter(aug).alias("permissive"),
+    ).orderBy("doc_id")
 
 
 def _q_orders_with_5plus_items_retired(spark, sf):
@@ -1176,7 +1220,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     cube_lineitem / stats_agg_lineitem / sql_api_order_stats; kept as
     _q_orders_with_5plus_items_retired) → code_signals_documents,
     putting the StarCoder source-quality signals under a bit-exact
-    doubles oracle.
+    doubles oracle, and q6_filtered_revenue (scan→filter→global-agg,
+    subsumed by q1_pricing_summary + stats_agg_lineitem +
+    quantity_percentiles; kept as _q6_filtered_revenue_retired) →
+    license_documents, putting license detection + the permissive gate
+    under a full labels+booleans oracle.
     """
     return {
         "element_report_documents": q_element_report_documents,
@@ -1205,7 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_lineitem": q_cube_lineitem,
         "window_event_ranks": q_window_event_ranks,
         "timeseries_rollup_events": q_timeseries_rollup_events,
-        "q6_filtered_revenue": q6_filtered_revenue,
+        "license_documents": q_license_documents,
         "code_signals_documents": q_code_signals,
         "js_divergence_drift_by_source": q_js_divergence_drift_by_source,
         "window_lag_rolling": q_window_lag_rolling,
@@ -1646,11 +1694,59 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY GROUPING SETS ((event_type, d, h), (event_type, d), (event_type))
     """
 
-    sql["q6_filtered_revenue"] = """
-    SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
-           COUNT(*) AS n_rows
-    FROM lineitem
-    WHERE l_discount >= 0.02 AND l_discount <= 0.05 AND l_quantity < 10
+    # license_documents twin: same planted headers, the SAME two
+    # normalization rewrites ('g' flag — Spark's regexp_replace is global
+    # by default), SPDX-tag precedence, and the LICENSE_PATTERNS CASE
+    # chain in the engine's exact precedence order.
+    sql["license_documents"] = r"""
+    WITH aug AS (
+      SELECT doc_id,
+        (CASE doc_id % 8
+           WHEN 0 THEN '/* MIT License */' || chr(10)
+           WHEN 1 THEN '# Licensed under the Apache License, Version 2.0'
+                       || chr(10)
+           WHEN 2 THEN '# GNU General Public License, either' || chr(10)
+                       || '# version 3 of the License' || chr(10)
+           WHEN 3 THEN '/* Redistribution and use in source and binary forms, with or without modification; neither the name of the author may be used */'
+                       || chr(10)
+           WHEN 4 THEN '// SPDX-License-Identifier: BSD-2-Clause' || chr(10)
+           WHEN 5 THEN '# This is free and unencumbered software released into'
+                       || chr(10) || '# the public domain' || chr(10)
+           WHEN 6 THEN '// GNU Lesser General Public License' || chr(10)
+           ELSE '' END) || text AS x
+      FROM documents
+    ), n AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(substring(x, 1, 4000),
+          '[\r\n]+[ \t]*(?:[#;*]+|//+|--+)?[ \t]*', ' ', 'g'),
+          '[ \t]{2,}', ' ', 'g') AS nm,
+        regexp_extract(substring(x, 1, 4000),
+          'SPDX-License-Identifier:\s*([A-Za-z0-9.+\-]+)', 1) AS spdx
+      FROM aug
+    ), lic AS (
+      SELECT doc_id,
+        CASE WHEN spdx <> '' THEN lower(spdx)
+          WHEN regexp_matches(nm, '(?i)apache license,? (version )?2\.0|(?i)licensed under the apache license') THEN 'apache-2.0'
+          WHEN regexp_matches(nm, '(?i)mit license|(?i)permission is hereby granted, free of charge') THEN 'mit'
+          WHEN regexp_matches(nm, '(?i)gnu (lesser|library) general public license') THEN 'lgpl'
+          WHEN regexp_matches(nm, '(?i)gnu affero general public license') THEN 'agpl-3.0'
+          WHEN regexp_matches(nm, '(?i)gnu general public license[\s\S]{0,200}version 3') THEN 'gpl-3.0'
+          WHEN regexp_matches(nm, '(?i)gnu general public license[\s\S]{0,200}version 2') THEN 'gpl-2.0'
+          WHEN regexp_matches(nm, '(?i)gnu general public license') THEN 'gpl'
+          WHEN regexp_matches(nm, '(?i)redistribution and use in source and binary forms[\s\S]{0,800}neither the name') THEN 'bsd-3-clause'
+          WHEN regexp_matches(nm, '(?i)redistribution and use in source and binary forms') THEN 'bsd-2-clause'
+          WHEN regexp_matches(nm, '(?i)mozilla public license,? (v\. |version )?2\.0') THEN 'mpl-2.0'
+          WHEN regexp_matches(nm, '(?i)permission to use, copy, modify, and/?or distribute') THEN 'isc'
+          WHEN regexp_matches(nm, '(?i)free and unencumbered software released into the public domain') THEN 'unlicense'
+          WHEN regexp_matches(nm, '(?i)cc0[ -]?1\.0|(?i)creative commons zero') THEN 'cc0-1.0'
+          ELSE NULL END AS license
+      FROM n
+    )
+    SELECT doc_id, license,
+           COALESCE(license IN ('mit','apache-2.0','bsd-2-clause',
+             'bsd-3-clause','isc','unlicense','cc0-1.0','0bsd','zlib',
+             'bsl-1.0'), FALSE) AS permissive
+    FROM lic ORDER BY doc_id
     """
 
     # code_signals twin: the SAME RE2-compatible regexes and exact-integer

@@ -2311,6 +2311,76 @@ def test_span_dedup_plan_never_partitions_by_text(spark):
             assert "text" not in ex, (mode, plan)
 
 
+# ---------------- license detection (code-corpus curation) ----------------
+
+
+def test_license_detect_matrix(spark):
+    """Every LICENSE_PATTERNS family is detected from a realistic header
+    snippet, the SPDX tag outranks body text, Lesser/Affero outrank plain
+    GPL, BSD-3's endorsement clause outranks BSD-2, and unknown → NULL."""
+    from validation_engine.text import license_detect
+
+    rows = [
+        (0, "/*\n * MIT License\n * Copyright (c) 2020 Jane\n */\nint x;"),
+        (1, "# Licensed under the Apache License, Version 2.0 (the "
+            '"License");\ncode'),
+        (2, "# under the terms of the GNU General Public License as\n"
+            "# published by the Free Software Foundation, either version 3\n"
+            "code"),
+        (3, "# GNU General Public License as published by the Free\n"
+            "# Software Foundation; version 2 of the License.\ncode"),
+        (4, "// GNU Lesser General Public License v2.1; see also the GNU\n"
+            "// General Public License it incorporates.\ncode"),
+        (5, "# GNU Affero General Public License for network use\ncode"),
+        (6, "Redistribution and use in source and binary forms, with or\n"
+            "without modification, are permitted provided ... Neither the\n"
+            "name of the copyright holder may be used to endorse\ncode"),
+        (7, "Redistribution and use in source and binary forms, with or\n"
+            "without modification, are permitted.\ncode"),
+        (8, "/* This Source Code Form is subject to the terms of the\n"
+            " * Mozilla Public License, v. 2.0. */\ncode"),
+        (9, "# Permission to use, copy, modify, and/or distribute this\n"
+            "# software for any purpose\ncode"),
+        (10, "This is free and unencumbered software released into the\n"
+             "public domain.\ncode"),
+        # SPDX tag wins over conflicting body text
+        (11, "// SPDX-License-Identifier: GPL-3.0-only\n// MIT License\n"),
+        (12, "def f():\n    return 1\n"),       # no license → NULL
+        (13, None),                              # NULL text → NULL
+        # license text BEYOND the header window is ignored
+        (14, ("x = 1\n" * 800) + "MIT License\n"),
+    ]
+    expect = {0: "mit", 1: "apache-2.0", 2: "gpl-3.0", 3: "gpl-2.0",
+              4: "lgpl", 5: "agpl-3.0", 6: "bsd-3-clause",
+              7: "bsd-2-clause", 8: "mpl-2.0", 9: "isc", 10: "unlicense",
+              11: "gpl-3.0-only", 12: None, 13: None, 14: None}
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lic"] for r in
+           df.select("doc_id", license_detect("text").alias("lic")).collect()}
+    assert got == expect
+
+
+def test_license_filter_gate(spark):
+    """Default gate keeps exactly the permissive families, drops copyleft
+    AND unknown; allow_unknown=True readmits only the unknowns."""
+    from validation_engine.text import license_filter
+
+    rows = [
+        (0, "// SPDX-License-Identifier: MIT\ncode"),
+        (1, "// SPDX-License-Identifier: Apache-2.0\ncode"),
+        (2, "// SPDX-License-Identifier: GPL-3.0-only\ncode"),
+        (3, "# GNU Affero General Public License\ncode"),
+        (4, "plain file, no license\n"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r["doc_id"] for r in df.filter(license_filter("text")).collect()}
+    assert kept == {0, 1}
+    kept_u = {r["doc_id"] for r in
+              df.filter(license_filter("text", allow_unknown=True)).collect()}
+    assert kept_u == {0, 1, 4, 5}
+
+
 # ---------------- secrets scrubbing (code-corpus hygiene) ----------------
 
 

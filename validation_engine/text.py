@@ -239,6 +239,103 @@ def code_filter(
     return keep
 
 
+# License-family detection patterns, searched over the file's HEADER
+# region only (licenses live in the top comment block; scanning the whole
+# blob would false-positive on license text quoted in strings/docs).
+# Order IS precedence: Lesser/Affero are listed before plain GPL because
+# their license texts contain the substring "General Public License" too;
+# BSD-3 (with the "neither the name" endorsement clause) before BSD-2.
+# Every pattern is RE2-compatible ([\s\S] not DOTALL, no backrefs), so a
+# DuckDB regexp_matches twin reproduces the labels exactly.
+LICENSE_PATTERNS = (
+    ("apache-2.0", r"(?i)apache license,? (version )?2\.0"
+                   r"|(?i)licensed under the apache license"),
+    ("mit", r"(?i)mit license"
+            r"|(?i)permission is hereby granted, free of charge"),
+    ("lgpl", r"(?i)gnu (lesser|library) general public license"),
+    ("agpl-3.0", r"(?i)gnu affero general public license"),
+    ("gpl-3.0", r"(?i)gnu general public license[\s\S]{0,200}version 3"),
+    ("gpl-2.0", r"(?i)gnu general public license[\s\S]{0,200}version 2"),
+    ("gpl", r"(?i)gnu general public license"),
+    ("bsd-3-clause", r"(?i)redistribution and use in source and binary "
+                     r"forms[\s\S]{0,800}neither the name"),
+    ("bsd-2-clause", r"(?i)redistribution and use in source and binary forms"),
+    ("mpl-2.0", r"(?i)mozilla public license,? (v\. |version )?2\.0"),
+    ("isc", r"(?i)permission to use, copy, modify, and/?or distribute"),
+    ("unlicense",
+     r"(?i)free and unencumbered software released into the public domain"),
+    ("cc0-1.0", r"(?i)cc0[ -]?1\.0|(?i)creative commons zero"),
+)
+
+# SPDX ids (lowercased) a code-corpus pipeline keeps by default — the
+# permissive set The Stack / StarCoder style curation trains on.  MPL-2.0
+# is deliberately NOT here (weak copyleft); pass it via `allow` to widen.
+PERMISSIVE_LICENSES = (
+    "mit", "apache-2.0", "bsd-2-clause", "bsd-3-clause", "isc",
+    "unlicense", "cc0-1.0", "0bsd", "zlib", "bsl-1.0",
+)
+
+
+def license_detect(col, header_chars: int = 4000) -> Column:
+    """License-family label for a source file, or NULL if unrecognized.
+
+    Precedence: an explicit ``SPDX-License-Identifier: <id>`` tag anywhere
+    in the header wins (returned lowercased, e.g. ``apache-2.0``) — it is
+    machine-written ground truth; otherwise the first matching family in
+    :data:`LICENSE_PATTERNS` (ordered so Lesser/Affero GPL outrank plain
+    GPL and BSD-3's endorsement clause outranks BSD-2).  Only the first
+    ``header_chars`` characters are searched: license headers live in the
+    top comment block, and bounding the scan keeps the regex cost per row
+    constant no matter how large the file is.  Pure codegen (one
+    substring + one regexp per family, zero Python, zero shuffles);
+    labels align with lowercased SPDX ids so the two precedence arms
+    compose in one ``isin`` filter.
+
+    Reference parity note: the reference framework has no license pass —
+    this is part of the training-data curation surface (The Stack v1 §2,
+    StarCoder §3 curate by detected license)."""
+    x = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    head = F.substring(x, 1, int(header_chars))
+    spdx = F.regexp_extract(
+        head, r"SPDX-License-Identifier:\s*([A-Za-z0-9.+\-]+)", 1
+    )
+    # License headers are line-wrapped inside comment blocks ("# ", " * ",
+    # "// " leaders), so a literal-space pattern would miss "the\n * public
+    # domain".  Normalize: newline + leading comment decoration → one
+    # space, then collapse space runs.  Both rewrites are RE2-compatible,
+    # so the DuckDB twin normalizes identically.
+    norm = F.regexp_replace(
+        head, r"[\r\n]+[ \t]*(?:[#;*]+|//+|--+)?[ \t]*", " "
+    )
+    norm = F.regexp_replace(norm, r"[ \t]{2,}", " ")
+    fam = F.lit(None).cast("string")
+    for name, pat in reversed(LICENSE_PATTERNS):
+        fam = F.when(norm.rlike(pat), F.lit(name)).otherwise(fam)
+    return F.when(spdx != "", F.lower(spdx)).otherwise(fam)
+
+
+def license_filter(
+    col,
+    allow=PERMISSIVE_LICENSES,
+    allow_unknown: bool = False,
+    header_chars: int = 4000,
+) -> Column:
+    """Boolean keep-gate: file's detected license is in ``allow`` (default
+    :data:`PERMISSIVE_LICENSES`).  ``allow_unknown=True`` additionally
+    keeps files with NO recognized license (repos often hold the license
+    at repo root, not per file — at repo granularity pair this with a
+    repo-level join instead).  Compose as
+    ``df.filter(license_filter("content"))`` — inlines into the same
+    codegen stage as any other row predicate."""
+    lic = license_detect(col, header_chars=header_chars)
+    keep = lic.isin(*[str(a) for a in allow])
+    if allow_unknown:
+        keep = keep | lic.isNull()
+    # isin(NULL) yields NULL, which filter() drops — make it an explicit
+    # False so the gate is a total boolean predicate either way.
+    return F.coalesce(keep, F.lit(False))
+
+
 def fingerprint(col, normalize: bool = True, tokens: Column = None) -> Column:
     """64-bit document fingerprint: xxhash64 of the normalized token stream
     (lowercase, whitespace-collapsed) — a rolling-hash-equivalent identity
