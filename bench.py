@@ -330,6 +330,28 @@ def main() -> None:
         "cross_dedup_bloom_corpus",
         lambda: cross_dedup(docs, old_side, "id", "text", method="bloom").count(),
     )
+    # repo-level fork detection (round-7): 20 planted forks (90% file
+    # overlap, renamed repo) over the Zipf-skewed repo population; the
+    # set-similarity join shuffles (repo, long) item hashes and 8-byte
+    # band keys only — file content never enters an exchange
+    from validation_engine.dedup import fork_pairs
+
+    filesb = spark_codefiles(
+        spark, max(n_files // 3, 10_000), n_dup=0
+    ).select("repo", "path", "content")
+    forked = (
+        filesb.filter(
+            F.col("repo").isin([f"repo_{i:04d}" for i in range(20)])
+            & (F.xxhash64("path") % 10 != 0)
+        ).withColumn("repo", F.concat(F.lit("fork_"), F.col("repo")))
+    )
+    fboth = filesb.unionByName(forked).persist()
+    fboth.count()
+    queries["fork_pairs_corpus"] = timed(
+        "fork_pairs_corpus",
+        lambda: fork_pairs(fboth, threshold=0.5, max_band_freq=50).count(),
+    )
+    fboth.unpersist()
     queries["dedup_minhash_lsh_corpus"] = timed(
         "dedup_minhash_lsh_corpus",
         lambda: minhash_lsh_candidates(

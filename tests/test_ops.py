@@ -2429,3 +2429,137 @@ def test_secret_counts_and_redaction(spark):
         "doc_id long, text string")
     r10 = hdr.select(redact_secrets("text").alias("t")).collect()[0]["t"]
     assert "BEGIN PRIVATE KEY" not in r10
+
+
+# ---------------- import census + fork detection (code corpora) ----------------
+
+
+def test_extract_imports_matrix(spark):
+    """Per-language import forms extract the module name, sorted and
+    de-duplicated per file; prose mentioning 'import' mid-line does not
+    match; a lang COLUMN builds the CASE chain and unknown langs yield
+    an empty array."""
+    from validation_engine.text import extract_imports
+
+    rows = [
+        (0, "python", "import os\nimport numpy.linalg\n"
+            "from collections import OrderedDict\nimport os\n"
+            "x = 'we import nothing here'\n"),
+        (1, "javascript", "const fs = require('fs');\n"
+            "import React from 'react';\nimport 'side-effect';\n"
+            "export { x } from './util';\n"),
+        (2, "rust", "use std::collections::HashMap;\npub use serde::de;\n"
+            "extern crate rand;\n"),
+        (3, "java", "import java.util.List;\nimport static org.junit.Assert.assertTrue;\n"),
+        (4, "go", 'import "fmt"\nimport (\n\t"os"\n\tio "io/ioutil"\n)\n'),
+        (5, "markdown", "import looks like code but lang is unknown\n"),
+        (6, "python", None),
+    ]
+    expect = {
+        0: ["collections", "numpy.linalg", "os"],
+        1: ["./util", "fs", "react", "side-effect"],
+        2: ["rand", "serde", "std"],
+        3: ["java.util.List", "org.junit.Assert.assertTrue"],
+        4: ["fmt", "io/ioutil", "os"],
+        5: [],
+        6: [],
+    }
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: r["mods"] for r in df.select(
+        "doc_id", extract_imports("text", F.col("lang")).alias("mods")
+    ).collect()}
+    assert got == expect
+    # str-typed lang takes the single-language fast path, same result
+    py = {r["doc_id"]: r["mods"] for r in
+          df.filter(F.col("lang") == "python")
+            .select("doc_id", extract_imports("text", "python").alias("mods"))
+            .collect()}
+    assert py[0] == expect[0] and py[6] == []
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        extract_imports("text", "cobol")
+
+
+def test_module_popularity_python_re_parity(spark, corpus):
+    """Corpus-wide census matches a pure-Python re reference file-for-file
+    over the 3000-file synthetic corpus (multiple languages, lang-column
+    CASE path): same (lang, module) keys, same n_files counts."""
+    import re
+    from collections import Counter
+
+    from validation_engine.text import IMPORT_PATTERNS, module_popularity
+
+    files = corpus["files"]
+    got = {(r["lang"], r["module"]): r["n_files"]
+           for r in module_popularity(files, "content", "lang").collect()}
+    ref = Counter()
+    for row in files.select("lang", "content").collect():
+        pats = IMPORT_PATTERNS.get(row["lang"])
+        if not pats or row["content"] is None:
+            continue
+        mods = set()
+        for p in pats:
+            mods.update(re.findall(p, row["content"]))
+        for m in mods:
+            ref[(row["lang"], m)] += 1
+    assert got == dict(ref)
+
+
+def test_set_minhash_pairs_exact_jaccard(spark):
+    """Planted group families: near-identical sets are found and every
+    reported jaccard/n_common equals the exact Python set computation;
+    ga < gb ordering; threshold filters."""
+    from validation_engine.dedup import set_minhash_pairs
+
+    sets = {
+        "a1": set(range(0, 100)),
+        "a2": set(range(5, 100)),          # |∩|=95 |∪|=100 → 0.95 vs a1
+        "b1": set(range(1000, 1050)),
+        "b2": set(range(1000, 1050)),      # identical → 1.0
+        "c": set(range(5000, 5030)),       # unrelated
+    }
+    rows = [(g, int(v)) for g, vs in sets.items() for v in vs]
+    df = spark.createDataFrame(rows, "grp string, item long")
+    out = {(r["group_a"], r["group_b"]): r for r in
+           set_minhash_pairs(df, "grp", "item", n_hashes=32, bands=32,
+                             threshold=0.5).collect()}
+    assert ("a1", "a2") in out and ("b1", "b2") in out
+    for (ga, gb), r in out.items():
+        inter = len(sets[ga] & sets[gb])
+        union = len(sets[ga] | sets[gb])
+        assert r["n_common"] == inter
+        assert r["n_a"] == len(sets[ga]) and r["n_b"] == len(sets[gb])
+        assert abs(r["jaccard"] - inter / union) < 1e-6
+        assert r["jaccard"] >= 0.5 and ga < gb
+    assert not any("c" in k for k in out)
+
+
+def test_fork_pairs_detects_fork(spark, corpus):
+    """A planted 90%-file-overlap fork of one repo is detected at the
+    default threshold with the exact file-set jaccard; no false pair
+    among the original (disjoint-content) repos; plan never shuffles
+    file content."""
+    import re
+
+    from validation_engine.dedup import fork_pairs
+
+    files = corpus["files"].dropDuplicates(["repo", "path", "commit"]) \
+        .filter(F.col("repo") == "repo_0001").select("repo", "path", "content")
+    n = files.count()
+    fork = (files.filter(F.xxhash64("path") % 10 != 0)
+            .withColumn("repo", F.lit("fork_0001")))
+    n_fork = fork.count()
+    both = files.unionByName(fork)
+    out = fork_pairs(both, threshold=0.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["group_a"], r["group_b"]) == ("fork_0001", "repo_0001")
+    # fork's (path, content) items are a strict subset of the original's
+    n_items = files.select("path", "content").distinct().count()
+    n_fork_items = fork.select("path", "content").distinct().count()
+    assert r["n_common"] == n_fork_items
+    assert abs(r["jaccard"] - n_fork_items / n_items) < 1e-6
+    plan = fork_pairs(both, threshold=0.5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "content" not in ex, plan

@@ -1590,3 +1590,150 @@ def semantic_dedup(
         df, id_col, vec_col=vec_col, threshold=threshold, **kwargs
     ).select(F.col("id").alias(id_col))
     return df.join(dropped, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# set-similarity join (repo/fork-level dedup)
+# ---------------------------------------------------------------------------
+
+
+def set_minhash_pairs(
+    df: DataFrame,
+    group_col: str,
+    item_col,
+    n_hashes: int = 32,
+    bands: int = 8,
+    max_band_freq: Optional[int] = None,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Near-identical GROUPS by Jaccard over their ITEM SETS:
+    ``(group_a, group_b, n_a, n_b, n_common, jaccard)`` with
+    ``group_a < group_b`` and exact ``jaccard >= threshold``.
+
+    The set-level sibling of :func:`minhash_lsh_candidates`: there the
+    set is a document's shingles; here it is ANY per-group collection —
+    a repository's files (fork detection, see :func:`fork_pairs`), a
+    domain's page digests, a user's event types.  ``item_col`` may be a
+    column name or an arbitrary Column expression.
+
+    Scale shape (group payloads never shuffle): (1) items hash to longs
+    map-side and de-duplicate per group — the only corpus-wide exchange
+    carries (group, long) pairs; (2) per-group MinHash signatures are
+    ``n_hashes`` plain ``min`` aggregations over seeded re-hashes — a
+    map-side-combined hash agg, so a 10^7-file mega repo collapses to
+    one signature row per map task (skew-free by construction, no
+    window, no salted ladder needed at this stage); (3) signatures band
+    into 8-byte keys exactly like :func:`_band_keys` and candidate pairs
+    come from :func:`_bucket_groups`' salted ladder (``max_band_freq``
+    caps template-bucket fan-out — e.g. thousands of single-file
+    boilerplate repos sharing one signature); (4) the exact
+    intersection re-joins ITEM HASHES only for candidate groups
+    (semi-join pushdown), never the corpus.
+
+    With ``bands = n_hashes`` (1 row/band) recall approaches the
+    single-MinHash collision probability = Jaccard itself; the default
+    8 bands x 4 rows targets the ``jaccard >= ~0.7`` fork regime."""
+    rows = n_hashes // bands
+    if rows * bands != n_hashes:
+        raise ValueError("bands must divide n_hashes")
+    item = F.col(item_col) if isinstance(item_col, str) else item_col
+    items = (
+        df.select(F.col(group_col).alias("_g"), F.xxhash64(item).alias("_h"))
+        .distinct()
+    )
+    sigs = items.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"_m{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    sig_arr = F.array(*[F.col(f"_m{i}") for i in range(n_hashes)])
+    banded = sigs.select(
+        "_g",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(b, F.slice(sig_arr, b * rows + 1, rows)),
+            )
+        ).alias("bkey"),
+    )
+    buckets = _bucket_groups(banded, "bkey", "_g", max_band_freq)
+    cand = (
+        buckets.select(F.explode("_members").alias("ga"), F.col("_members"))
+        .select("ga", F.explode("_members").alias("gb"))
+        .filter(F.col("ga") < F.col("gb"))
+        .distinct()
+    )
+    # intersection re-reads item hashes for CANDIDATE groups only: the
+    # semi-join prefilter keeps the per-pair join linear in the candidate
+    # groups' item counts, not the corpus's (most groups are never
+    # candidates; AQE broadcasts the candidate-group set at runtime)
+    cg = (
+        cand.select(F.col("ga").alias("_g"))
+        .union(cand.select(F.col("gb").alias("_g")))
+        .distinct()
+    )
+    sub = items.join(cg, "_g", "left_semi")
+    ia = sub.select(F.col("_g").alias("ga"), "_h")
+    ib = sub.select(F.col("_g").alias("gb"), "_h")
+    inter = (
+        cand.join(ia, "ga")
+        .join(ib, ["gb", "_h"])
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sigs.select("_g", "_n")
+    out = (
+        cand.join(inter, ["ga", "gb"], "left")
+        .na.fill({"n_common": 0})
+        .join(sizes.withColumnsRenamed({"_g": "ga", "_n": "n_a"}), "ga")
+        .join(sizes.withColumnsRenamed({"_g": "gb", "_n": "n_b"}), "gb")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            "n_a", "n_b", "n_common", "jaccard",
+        )
+    )
+    return out.filter(F.col("jaccard") >= float(threshold))
+
+
+def fork_pairs(
+    files: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    content_col: str = "content",
+    threshold: float = 0.7,
+    n_hashes: int = 32,
+    bands: int = 8,
+    max_band_freq: Optional[int] = None,
+) -> DataFrame:
+    """Fork / mirror detection over a code corpus: repository pairs whose
+    FILE SETS — identity = (path, content) — overlap with Jaccard >=
+    ``threshold``.  The repo-level dedup pass of The Stack-style
+    curation: training on thousands of forks of one project is the
+    repo-granularity analogue of document duplication, and file-level
+    exact dedup alone cannot see it (each fork's files survive as the
+    keeper of SOME duplicate group).  Renamed-but-identical files count
+    as different items (path is part of the identity) — drop
+    ``path_col`` sensitivity by passing the content digest as
+    ``item_col`` to :func:`set_minhash_pairs` directly.  Downstream:
+    feed the pairs to :func:`connected_components` +
+    :func:`cluster_representatives` to keep one repo per fork family."""
+    item = F.xxhash64(
+        F.coalesce(F.col(path_col), F.lit("")),
+        F.coalesce(F.col(content_col), F.lit("")),
+    )
+    return set_minhash_pairs(
+        files, repo_col, item,
+        n_hashes=n_hashes, bands=bands,
+        max_band_freq=max_band_freq, threshold=threshold,
+    )

@@ -1694,3 +1694,84 @@ def extract_text(col) -> Column:
     """:func:`strip_html` composed with :func:`clean_text` — raw crawl
     HTML in, paragraph-structured clean text out, one codegen pass."""
     return clean_text(strip_html(col))
+
+
+# Per-language import/dependency patterns: (language → regexes whose group 1
+# is the imported module).  Anchored to line starts ((?m)) so prose
+# mentioning "import" doesn't match; every pattern is RE2-compatible, so a
+# DuckDB regexp_extract_all twin reproduces the arrays exactly.
+IMPORT_PATTERNS = {
+    "python": (
+        r"(?m)^[ \t]*import[ \t]+([A-Za-z_][\w.]*)",
+        r"(?m)^[ \t]*from[ \t]+([A-Za-z_][\w.]*)[ \t]+import",
+    ),
+    "javascript": (
+        r"""require\([ \t]*['"]([^'"]+)['"][ \t]*\)""",
+        r"""(?m)^[ \t]*import[^'"\n]*['"]([^'"]+)['"]""",
+        r"""(?m)^[ \t]*export[ \t]+[^'"\n]*from[ \t]*['"]([^'"]+)['"]""",
+    ),
+    "rust": (
+        r"(?m)^[ \t]*(?:pub[ \t]+)?use[ \t]+([A-Za-z_][A-Za-z0-9_]*)",
+        r"(?m)^[ \t]*extern[ \t]+crate[ \t]+([A-Za-z_][A-Za-z0-9_]*)",
+    ),
+    "java": (r"(?m)^[ \t]*import[ \t]+(?:static[ \t]+)?([\w.]+)[ \t]*;",),
+    "go": (
+        r'(?m)^[ \t]*import[ \t]+(?:[A-Za-z_.]+[ \t]+)?"([^"]+)"',
+        r'(?m)^[ \t]+(?:[A-Za-z_.]+[ \t]+)?"([^"]+)"',
+    ),
+}
+
+
+def extract_imports(col, lang="python") -> Column:
+    """Imported module names per source file, as a sorted de-duplicated
+    ``array<string>`` — the dependency census primitive for code corpora
+    (library-usage statistics for data mixing, stdlib-vs-thirdparty
+    ratios, ecosystem drift between crawl snapshots).
+
+    ``lang`` is a language NAME (str) or a per-row language Column (e.g.
+    the corpus ``lang`` column): a Column builds one CASE branch per
+    entry in :data:`IMPORT_PATTERNS`, unknown languages yield an empty
+    array.  Pure codegen (``regexp_extract_all`` + array intrinsics),
+    zero Python, zero shuffles; Go's grouped-import block is matched by
+    its indented quoted lines, so only the common single-level layouts
+    are recognized (a full parser is out of scope for a regex census)."""
+    x = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+
+    def _for(pats) -> Column:
+        parts = [F.regexp_extract_all(x, F.lit(p), 1) for p in pats]
+        arr = parts[0] if len(parts) == 1 else F.concat(*parts)
+        return F.array_sort(F.array_distinct(arr))
+
+    if isinstance(lang, str):
+        if lang not in IMPORT_PATTERNS:
+            raise ValueError(
+                f"no import patterns for {lang!r}; known: "
+                f"{sorted(IMPORT_PATTERNS)}"
+            )
+        return _for(IMPORT_PATTERNS[lang])
+    out = F.array().cast("array<string>")
+    for name, pats in reversed(sorted(IMPORT_PATTERNS.items())):
+        out = F.when(lang == name, _for(pats)).otherwise(out)
+    return out
+
+
+def module_popularity(
+    df: DataFrame, text_col: str, lang_col: str, id_col: Optional[str] = None
+) -> DataFrame:
+    """Corpus-wide dependency census: ``(lang, module, n_files)`` sorted
+    by descending ``n_files``.  Per-file module sets come from
+    :func:`extract_imports` (already de-duplicated per file, so a file
+    importing numpy twice counts once); one explode feeds a hash
+    aggregation whose map-side combine collapses popular modules per
+    task before the only exchange — the same scale shape as
+    token_histogram.  ``id_col`` is unused (kept for API symmetry with
+    the other census operators) but documents that counts are per FILE."""
+    mods = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(extract_imports(text_col, F.col(lang_col))).alias("module"),
+    )
+    return (
+        mods.groupBy("lang", "module")
+        .agg(F.count(F.lit(1)).alias("n_files"))
+        .orderBy(F.desc("n_files"), "lang", "module")
+    )
