@@ -2563,3 +2563,30 @@ def test_fork_pairs_detects_fork(spark, corpus):
         .executedPlan().toString()
     for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "content" not in ex, plan
+
+
+def test_repo_license_root_wins(spark):
+    """Repo-level license comes from the conventional license FILE; the
+    shallowest one wins (vendored third_party licenses never override the
+    root), COPYING and case variants are recognized, and repos with no
+    license file are absent (join → null)."""
+    from validation_engine.text import repo_license
+
+    mit = "MIT License\n\nPermission is hereby granted, free of charge\n"
+    gpl = "GNU GENERAL PUBLIC LICENSE\nVersion 3, 29 June 2007\n"
+    gpl2 = "GNU GENERAL PUBLIC LICENSE\nVersion 2, June 1991\n"
+    rows = [
+        ("r1", "LICENSE", mit),
+        ("r1", "third_party/dep/LICENSE", gpl),
+        ("r1", "src/main.py", "import os\n"),
+        ("r2", "COPYING.txt", gpl2),
+        ("r3", "docs/Licence.md", mit),
+        ("r4", "src/app.js", "const x = require('fs');\n"),
+        ("r5", "LICENSES.md", mit),   # plural — NOT the convention
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string, content string")
+    got = {r["repo"]: r["repo_license"] for r in repo_license(df).collect()}
+    assert got == {"r1": "mit", "r2": "gpl-2.0", "r3": "mit"}
+    joined = df.join(repo_license(df), "repo", "left")
+    n_null = joined.filter(F.col("repo_license").isNull()).count()
+    assert n_null == 2  # r4's and r5's rows

@@ -1775,3 +1775,53 @@ def module_popularity(
         .agg(F.count(F.lit(1)).alias("n_files"))
         .orderBy(F.desc("n_files"), "lang", "module")
     )
+
+
+def repo_license(
+    files: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    content_col: str = "content",
+    header_chars: int = 4000,
+) -> DataFrame:
+    """Repository-level license: ``(repo, repo_license)`` — one row per
+    repo, NULL when no license file is recognized.
+
+    Most source files carry no license header; the governing license
+    lives in a root ``LICENSE`` / ``COPYING`` / ``UNLICENSE`` file (this
+    is what The Stack's curation actually keys on — go-license-detector
+    runs per REPO, not per file).  Detection: :func:`license_detect` over
+    files whose basename matches the license-file convention
+    (``LICENSE[.md|.txt|.rst]``, ``COPYING[...]``, ``LICENCE[...]``,
+    ``UNLICENSE``, case-insensitive); shallower paths win (a vendored
+    dependency's ``third_party/foo/LICENSE`` must not override the root
+    one), ties broken by path for determinism.
+
+    Scale shape: the basename filter prunes the corpus to ~one row per
+    repo BEFORE anything shuffles (license files are a vanishing fraction
+    of a code corpus and the filter is a codegen regex on the path
+    column); the per-repo argmin is a two-column map-side-combined
+    ``min_by`` over (depth, path) — content never shuffles because
+    detection runs map-side in the same scan.  Join the result back to
+    ``files`` on ``repo_col`` (AQE will broadcast it — one row per repo)
+    to gate whole repos:
+    ``files.join(repo_license(files), "repo", "left")``."""
+    path = F.coalesce(F.col(path_col), F.lit(""))
+    base = F.element_at(F.split(path, "/"), -1)
+    is_license_file = base.rlike(
+        r"(?i)^(un)?licen[cs]e(\.(md|txt|rst))?$|^copying(\.(md|txt|rst))?$"
+    )
+    depth = F.size(F.split(path, "/"))
+    cand = files.filter(is_license_file).select(
+        F.col(repo_col).alias("repo"),
+        F.struct(
+            depth.alias("_depth"),
+            path.alias("_path"),
+            license_detect(F.col(content_col), header_chars).alias("_lic"),
+        ).alias("_c"),
+    )
+    return (
+        cand.groupBy("repo")
+        .agg(F.min("_c").alias("_best"))
+        .select("repo", F.col("_best._lic").alias("repo_license"))
+    )
