@@ -238,6 +238,34 @@ def run_ops(spark, docs, n) -> dict:
     dt = time.time() - t0
     out["code_filter"] = {"sec": round(dt, 2), "rows_per_sec": round(n / dt, 1),
                           "n_kept": n_cq}
+    # repo-level fork detection (late-round-7 anchor): repos scale with
+    # the corpus (~1000 files each), 10% of them forked at 90% file
+    # overlap.  Item hashing and signatures are map-side; the only
+    # corpus-wide exchanges carry (repo, long) pairs and 8-byte band
+    # keys, and the intersection join reads candidate repos only — so
+    # rows/s should hold (or improve) at 10×
+    from validation_engine.dedup import fork_pairs
+
+    n_repos = max(n // 1000, 20)
+    filesb = docs.select(
+        F.concat(
+            F.lit("repo_"), F.pmod(F.col("id"), F.lit(n_repos)).cast("string")
+        ).alias("repo"),
+        F.concat(F.lit("src/f"), F.col("id").cast("string")).alias("path"),
+        F.col("text").alias("content"),
+    )
+    forked = (
+        filesb.filter(
+            (F.pmod(F.xxhash64("repo"), 10) == 0)
+            & (F.pmod(F.xxhash64("path"), 10) != 0)
+        ).withColumn("repo", F.concat(F.lit("fork_"), F.col("repo")))
+    )
+    fboth = filesb.unionByName(forked)
+    t0 = time.time()
+    n_fp = fork_pairs(fboth, threshold=0.5, max_band_freq=50).count()
+    dt = time.time() - t0
+    out["fork_pairs"] = {"sec": round(dt, 2), "rows_per_sec": round(n / dt, 1),
+                         "n_pairs": n_fp}
     return out
 
 
