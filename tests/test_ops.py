@@ -2590,3 +2590,83 @@ def test_repo_license_root_wins(spark):
     joined = df.join(repo_license(df), "repo", "left")
     n_null = joined.filter(F.col("repo_license").isNull()).count()
     assert n_null == 2  # r4's and r5's rows
+
+
+def test_comment_stats_matches_python_reference(spark):
+    """Block-comment state machine (one F.aggregate fold, no Python at
+    runtime) matches a pure-Python line-walker on crafted files covering:
+    line comments, multi-line blocks, one-line self-contained blocks,
+    trailing text after close, python docstrings, unknown lang → 0."""
+    from validation_engine.text import COMMENT_SYNTAX, comment_stats
+
+    samples = [
+        (0, "javascript",
+         "// a\ncode();\n/* one */\ncode();\n/* open\nmid\nclose */\ncode();\n"),
+        (1, "python",
+         '# c\nx = 1\n"""doc\nbody\n"""\ny = 2\n"""one-liner"""\nz = 3\n'),
+        (2, "java", "/* a */ code();\ncode();\n"),
+        (3, "sql", "-- note\nSELECT 1;\n/* b\nc */\n"),
+        (4, "markdown", "# heading but unknown lang\n"),
+        (5, "rust", None),
+    ]
+
+    def ref(text, lang):
+        syn = COMMENT_SYNTAX.get(lang)
+        if syn is None or text is None:
+            return 0
+        pat, bopen, bclose = syn
+        import re
+        cnt, in_block = 0, False
+        for l in (text or "").split("\n"):
+            l = l.strip()
+            if in_block:
+                cnt += 1
+                in_block = bclose not in l
+            elif bopen and l.startswith(bopen):
+                cnt += 1
+                in_block = bclose not in l[len(bopen):]
+            elif re.search(pat, l):
+                cnt += 1
+        return cnt
+
+    df = spark.createDataFrame(samples, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", comment_stats("text", F.col("lang")).alias("s")).collect()}
+    for i, lang, text in samples:
+        exp = ref(text, lang)
+        assert got[i]["n_comment_lines"] == exp, (i, got[i], exp)
+    # str-typed lang fast path + fraction sanity
+    one = df.filter(F.col("doc_id") == 0).select(
+        comment_stats("text", "javascript").alias("s")).first()["s"]
+    assert one["n_comment_lines"] == 5 and one["n_lines"] == 9
+    assert abs(one["comment_line_frac"] - 5 / 9) < 1e-9
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        comment_stats("text", "cobol")
+
+
+def test_repo_stats_census(spark):
+    """Per-repo census: exact file/char/lang counts, deterministic
+    dominant language (count then lexicographic tie-break), license
+    propagated from the root LICENSE file, repos without one get NULL."""
+    from validation_engine.text import repo_stats
+
+    rows = [
+        ("r1", "LICENSE", "text", "MIT License\n"),
+        ("r1", "a.py", "python", "import os\n"),
+        ("r1", "b.py", "python", "x = 1\n"),
+        ("r1", "c.js", "javascript", "var x;\n"),
+        ("r2", "x.rs", "rust", "fn main() {}\n"),
+        ("r2", "y.js", "javascript", "let y;\n"),  # tie 1-1 → javascript
+        ("r2", "z", None, None),
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string, lang string, content string")
+    got = {r["repo"]: r for r in repo_stats(df).collect()}
+    r1, r2 = got["r1"], got["r2"]
+    assert r1["n_files"] == 4 and r1["main_lang"] == "python"
+    assert r1["main_lang_files"] == 2 and r1["n_langs"] == 3
+    assert r1["total_chars"] == sum(len(c) for _, _, _, c in rows[:4] if c)
+    assert r1["repo_license"] == "mit"
+    assert r2["repo_license"] is None
+    assert r2["main_lang"] == "javascript" and r2["n_langs"] == 3  # null lang is a group
+    assert r2["total_chars"] == len("fn main() {}\n") + len("let y;\n")

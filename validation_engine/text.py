@@ -1825,3 +1825,155 @@ def repo_license(
         .agg(F.min("_c").alias("_best"))
         .select("repo", F.col("_best._lic").alias("repo_license"))
     )
+
+
+# Line-comment / block-comment syntax per language for comment_stats.
+# (line_prefix_regex, block_open, block_close); None = no block form.
+COMMENT_SYNTAX = {
+    "python": (r"^#", '"""', '"""'),
+    "javascript": (r"^//", "/*", "*/"),
+    "java": (r"^//", "/*", "*/"),
+    "rust": (r"^//", "/*", "*/"),
+    "go": (r"^//", "/*", "*/"),
+    "c": (r"^//", "/*", "*/"),
+    "sql": (r"^--", "/*", "*/"),
+}
+
+
+def comment_stats(col, lang="python") -> Column:
+    """Comment-density signals per source file, as one codegen struct:
+    ``n_lines``, ``n_comment_lines`` (line comments + every line of a
+    block comment/docstring), ``comment_line_frac``.
+
+    The StarCoder curation input the plain :func:`code_signals` struct
+    lacks: files with near-zero comments (minified/generated) or
+    near-total comments (license-text blobs, commented-out code dumps)
+    are both quality signals (StarCoder §3 keeps files inside a
+    comment-ratio band).
+
+    Block comments need line-to-line STATE (a line inside ``/* ... */``
+    is a comment line with no marker of its own), carried by a single
+    ``F.aggregate`` fold over the split lines — a (in_block, count)
+    struct accumulator, still whole-stage codegen, zero Python, zero
+    shuffles.  Heuristics documented honestly: a ``/*`` or ``\"\"\"``
+    inside a string literal toggles the state (no lexer here), and a
+    line like ``code(); /* tail`` counts as code, opening a block from
+    the NEXT line (openers are recognized at line start only —
+    trailing-opener misattribution is one line per block either way).
+
+    ``lang`` is a name (str) or a per-row Column — a CASE chain over
+    :data:`COMMENT_SYNTAX`; unknown languages report zero comments."""
+
+    x = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    lines = F.transform(F.split(x, "\n"), F.trim)
+    n_lines = F.size(lines)
+
+    def _q(s: str) -> Column:
+        return F.lit(s)
+
+    def _for(line_pat: str, bopen, bclose) -> Column:
+        def step(acc, l):
+            in_block = acc["in_block"]
+            cnt = acc["cnt"]
+            opens = l.startswith(_q(bopen)) if bopen else F.lit(False)
+            # an opener line whose REMAINDER also closes (e.g. /* one */,
+            # or a one-line """docstring""") is self-contained
+            rest = F.substring(l, len(bopen) + 1, 1 << 30) if bopen else l
+            closes_rest = (
+                rest.contains(_q(bclose)) if bclose else F.lit(False)
+            )
+            closes = l.contains(_q(bclose)) if bclose else F.lit(False)
+            is_comment = in_block | opens | l.rlike(line_pat)
+            next_block = F.when(
+                in_block, ~closes
+            ).otherwise(opens & ~closes_rest)
+            return F.struct(
+                next_block.alias("in_block"),
+                (cnt + is_comment.cast("int")).alias("cnt"),
+            )
+
+        init = F.struct(
+            F.lit(False).alias("in_block"), F.lit(0).alias("cnt")
+        )
+        return F.aggregate(lines, init, step, lambda a: a["cnt"])
+
+    if isinstance(lang, str):
+        if lang not in COMMENT_SYNTAX:
+            raise ValueError(
+                f"no comment syntax for {lang!r}; known: "
+                f"{sorted(COMMENT_SYNTAX)}"
+            )
+        n_comment = _for(*COMMENT_SYNTAX[lang])
+    else:
+        n_comment = F.lit(0)
+        for name, syn in sorted(COMMENT_SYNTAX.items()):
+            n_comment = F.when(lang == name, _for(*syn)).otherwise(n_comment)
+    return F.struct(
+        n_lines.cast("long").alias("n_lines"),
+        n_comment.cast("long").alias("n_comment_lines"),
+        (n_comment.cast("double")
+         / F.greatest(n_lines, F.lit(1)).cast("double"))
+        .alias("comment_line_frac"),
+    )
+
+
+def repo_stats(
+    files: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    lang_col: str = "lang",
+    content_col: str = "content",
+    with_license: bool = True,
+) -> DataFrame:
+    """Per-repository census: ``(repo, n_files, total_chars, n_langs,
+    main_lang, main_lang_files[, repo_license])`` — the repo-granularity
+    view a corpus curator selects on (The Stack filters whole
+    repositories by license, size, and dominant language before any
+    per-file pass runs).
+
+    Scale shape: ONE scan feeds a (repo, lang) hash aggregation
+    (map-side combined — the Zipf mega repo collapses per map task);
+    repo totals and the dominant language are a second narrow
+    aggregation over that per-(repo, lang) frame (``max_by`` on file
+    count, ties broken by lang name for determinism); the optional
+    license join is :func:`repo_license`'s one-row-per-repo output,
+    which AQE broadcasts.  Content never shuffles — ``total_chars``
+    lengths are computed in the scan."""
+    per_lang = (
+        files.groupBy(F.col(repo_col).alias("repo"), F.col(lang_col).alias("_lang"))
+        .agg(
+            F.count(F.lit(1)).alias("_nf"),
+            F.sum(F.length(F.coalesce(F.col(content_col), F.lit(""))))
+            .alias("_chars"),
+        )
+    )
+    # dominant language via min_by over (-count, lang): higher file count
+    # wins, ties break to the lexicographically smallest lang name —
+    # deterministic under any partitioning
+    out = per_lang.groupBy("repo").agg(
+        F.sum("_nf").alias("n_files"),
+        F.sum("_chars").alias("total_chars"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.min_by(
+            F.struct(F.col("_lang").alias("l"), F.col("_nf").alias("n")),
+            # nulls sort FIRST inside an ordering struct, so a NULL lang
+            # would win every tie — coalesce it to U+FFFF in the ORDERING
+            # only: real languages win ties, a null-lang group still wins
+            # on strict majority (and is then reported as NULL honestly)
+            F.struct(
+                (-F.col("_nf")).alias("negn"),
+                F.coalesce(F.col("_lang"), F.lit("￿")).alias("l"),
+            ),
+        ).alias("_main"),
+    ).select(
+        "repo", "n_files", "total_chars", "n_langs",
+        F.col("_main.l").alias("main_lang"),
+        F.col("_main.n").alias("main_lang_files"),
+    )
+    if with_license:
+        lic = repo_license(
+            files, repo_col=repo_col, path_col=path_col,
+            content_col=content_col,
+        )
+        out = out.join(lic, "repo", "left")
+    return out
