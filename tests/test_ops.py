@@ -2670,3 +2670,60 @@ def test_repo_stats_census(spark):
     assert r2["repo_license"] is None
     assert r2["main_lang"] == "javascript" and r2["n_langs"] == 3  # null lang is a group
     assert r2["total_chars"] == len("fn main() {}\n") + len("let y;\n")
+
+
+def test_corpus_diff_duckdb_parity(spark):
+    """Snapshot diff vs an independent DuckDB formulation on the real
+    documents table with planted edits: drop every 7th doc, mutate every
+    5th survivor, add 20 new docs — summary counts and row-level statuses
+    both match."""
+    import duckdb
+
+    from validation_engine.dedup import corpus_diff
+
+    duck = duckdb.connect()
+    sf = "/root/testdata/sf0.01"
+    old = spark.read.parquet(f"{sf}/documents.parquet")
+    new = (
+        old.filter(F.col("doc_id") % 7 != 0)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.col("text"), F.lit(" EDITED"))).otherwise(
+                F.col("text")),
+        )
+        .unionByName(
+            old.limit(20).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                *[F.col(c) for c in old.columns if c != "doc_id"],
+            )
+        )
+    )
+    got = corpus_diff(old, new, "doc_id", "text").first()
+    ref = duck.execute("""
+        WITH o AS (SELECT doc_id, sha256(COALESCE(text,'')) d
+                   FROM read_parquet('{sf}/documents.parquet')),
+             n AS (SELECT CASE WHEN rn THEN doc_id + 1000000 ELSE doc_id END AS doc_id,
+                          sha256(COALESCE(CASE WHEN NOT rn AND doc_id % 5 = 0
+                                               THEN text || ' EDITED' ELSE text END,'')) d
+                   FROM (SELECT *, FALSE rn FROM read_parquet('{sf}/documents.parquet')
+                         WHERE doc_id % 7 <> 0
+                         UNION ALL
+                         SELECT * EXCLUDE(rn), TRUE rn FROM
+                           (SELECT *, TRUE rn FROM read_parquet('{sf}/documents.parquet')
+                            ORDER BY doc_id LIMIT 20)))
+        SELECT SUM(CASE WHEN o.doc_id IS NULL THEN 1 ELSE 0 END) n_added,
+               SUM(CASE WHEN n.doc_id IS NULL THEN 1 ELSE 0 END) n_removed,
+               SUM(CASE WHEN o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+                         AND o.d <> n.d THEN 1 ELSE 0 END) n_changed,
+               SUM(CASE WHEN o.d = n.d THEN 1 ELSE 0 END) n_unchanged
+        FROM o FULL OUTER JOIN n USING (doc_id)
+    """.replace("{sf}", sf)).fetchone()
+    assert (got["n_added"], got["n_removed"], got["n_changed"],
+            got["n_unchanged"]) == tuple(int(x) for x in ref)
+    # row-level statuses partition consistently with the summary
+    rows = corpus_diff(old, new, "doc_id", "text", row_level=True).collect()
+    from collections import Counter
+    c = Counter(r["status"] for r in rows)
+    assert c["added"] == got["n_added"] and c["removed"] == got["n_removed"]
+    assert c["changed"] == got["n_changed"]

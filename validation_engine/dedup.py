@@ -1737,3 +1737,50 @@ def fork_pairs(
         n_hashes=n_hashes, bands=bands,
         max_band_freq=max_band_freq, threshold=threshold,
     )
+
+
+def corpus_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    row_level: bool = False,
+) -> DataFrame:
+    """Release-over-release corpus diff by content digest: what changed
+    between two snapshots of the same corpus (The Stack v1 → v2 style
+    release audits, or validating an incremental ingest did what its
+    manifest claims).
+
+    Default: ONE summary row ``(n_added, n_removed, n_changed,
+    n_unchanged)``.  ``row_level=True``: one row per non-identical id —
+    ``(id, status ∈ {'added','removed','changed'})`` — for joining back
+    to either snapshot (unchanged rows are omitted: at 10^12 files the
+    interesting set is the delta, and emitting the unchanged majority
+    would make the result corpus-sized).
+
+    Scale shape: each side reduces map-side to ``(id, digest)`` — the
+    full-outer join shuffles two narrow digest streams and never moves
+    content; the summary aggregates map-side.  Ids are assumed unique
+    per snapshot (run :func:`exact_dedup` first if not — duplicate ids
+    would cross-join inside the outer join)."""
+    digest = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+    o = old_df.select(F.col(id_col).alias("_id"), digest.alias("_od"))
+    n = new_df.select(F.col(id_col).alias("_id"), digest.alias("_nd"))
+    joined = o.join(n, "_id", "full_outer")
+    status = (
+        F.when(F.col("_od").isNull(), F.lit("added"))
+        .when(F.col("_nd").isNull(), F.lit("removed"))
+        .when(F.col("_od") != F.col("_nd"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    if row_level:
+        return (
+            joined.select(F.col("_id").alias(id_col), status.alias("status"))
+            .filter(F.col("status") != "unchanged")
+        )
+    return joined.select(status.alias("_s")).groupBy().agg(
+        F.sum((F.col("_s") == "added").cast("long")).alias("n_added"),
+        F.sum((F.col("_s") == "removed").cast("long")).alias("n_removed"),
+        F.sum((F.col("_s") == "changed").cast("long")).alias("n_changed"),
+        F.sum((F.col("_s") == "unchanged").cast("long")).alias("n_unchanged"),
+    )
