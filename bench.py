@@ -333,7 +333,10 @@ def main() -> None:
     # repo-level fork detection (round-7): 20 planted forks (90% file
     # overlap, renamed repo) over the Zipf-skewed repo population; the
     # set-similarity join shuffles (repo, long) item hashes and 8-byte
-    # band keys only — file content never enters an exchange
+    # band keys only — file content never enters an exchange.  NOTE on
+    # input size: the 20 forked repos are the Zipf HEAD (~57% of all
+    # files), so fboth holds ~1.5x the base corpus — the recorded
+    # seconds are for that larger input
     from validation_engine.dedup import fork_pairs
 
     filesb = spark_codefiles(

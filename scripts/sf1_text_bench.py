@@ -239,8 +239,10 @@ def run_ops(spark, docs, n) -> dict:
     out["code_filter"] = {"sec": round(dt, 2), "rows_per_sec": round(n / dt, 1),
                           "n_kept": n_cq}
     # repo-level fork detection (late-round-7 anchor): repos scale with
-    # the corpus (~1000 files each), 10% of them forked at 90% file
-    # overlap.  Item hashing and signatures are map-side; the only
+    # the corpus (~1000 files each, uniform — so the fork copies add
+    # ~9% input rows; rows_per_sec divides by the SOURCE doc count n,
+    # consistent at both levels, so the 10x ratio is unaffected), 10%
+    # of them forked at 90% file overlap.  Item hashing and signatures are map-side; the only
     # corpus-wide exchanges carry (repo, long) pairs and 8-byte band
     # keys, and the intersection join reads candidate repos only — so
     # rows/s should hold (or improve) at 10×

@@ -2444,22 +2444,25 @@ def test_extract_imports_matrix(spark):
     rows = [
         (0, "python", "import os\nimport numpy.linalg\n"
             "from collections import OrderedDict\nimport os\n"
+            "import re, json, sys\n"
             "x = 'we import nothing here'\n"),
         (1, "javascript", "const fs = require('fs');\n"
             "import React from 'react';\nimport 'side-effect';\n"
             "export { x } from './util';\n"),
         (2, "rust", "use std::collections::HashMap;\npub use serde::de;\n"
             "extern crate rand;\n"),
-        (3, "java", "import java.util.List;\nimport static org.junit.Assert.assertTrue;\n"),
-        (4, "go", 'import "fmt"\nimport (\n\t"os"\n\tio "io/ioutil"\n)\n'),
+        (3, "java", "import java.util.List;\nimport java.util.*;\n"
+            "import static org.junit.Assert.assertTrue;\n"),
+        (4, "go", 'import "fmt"\nimport (\n\t"os"\n\tio "io/ioutil"\n)\n'
+            'func f() {\n\ts := []string{\n\t\t"hello world",\n\t}\n}\n'),
         (5, "markdown", "import looks like code but lang is unknown\n"),
         (6, "python", None),
     ]
     expect = {
-        0: ["collections", "numpy.linalg", "os"],
+        0: ["collections", "json", "numpy.linalg", "os", "re", "sys"],
         1: ["./util", "fs", "react", "side-effect"],
         2: ["rand", "serde", "std"],
-        3: ["java.util.List", "org.junit.Assert.assertTrue"],
+        3: ["java.util", "java.util.List", "org.junit.Assert.assertTrue"],
         4: ["fmt", "io/ioutil", "os"],
         5: [],
         6: [],
@@ -2727,3 +2730,12 @@ def test_corpus_diff_duckdb_parity(spark):
     c = Counter(r["status"] for r in rows)
     assert c["added"] == got["n_added"] and c["removed"] == got["n_removed"]
     assert c["changed"] == got["n_changed"]
+    # null-vs-empty is a CHANGE (sentinel digest), and empty snapshots
+    # report zeros, not NULL sums
+    a = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(1, None)], "doc_id long, text string")
+    assert corpus_diff(a, b, "doc_id", "text").first()["n_changed"] == 1
+    e = spark.createDataFrame([], "doc_id long, text string")
+    z = corpus_diff(e, e, "doc_id", "text").first()
+    assert tuple(z) == (0, 0, 0, 0)

@@ -1762,8 +1762,13 @@ def corpus_diff(
     full-outer join shuffles two narrow digest streams and never moves
     content; the summary aggregates map-side.  Ids are assumed unique
     per snapshot (run :func:`exact_dedup` first if not — duplicate ids
-    would cross-join inside the outer join)."""
-    digest = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+    would cross-join inside the outer join).  NULL text digests to a
+    sentinel distinct from every sha2 hex digest, so a release that
+    nulls out previously-empty content (or vice versa) reports
+    'changed', not 'unchanged'."""
+    digest = F.when(F.col(text_col).isNull(), F.lit("null")).otherwise(
+        F.sha2(F.col(text_col), 256)
+    )
     o = old_df.select(F.col(id_col).alias("_id"), digest.alias("_od"))
     n = new_df.select(F.col(id_col).alias("_id"), digest.alias("_nd"))
     joined = o.join(n, "_id", "full_outer")
@@ -1778,9 +1783,13 @@ def corpus_diff(
             joined.select(F.col("_id").alias(id_col), status.alias("status"))
             .filter(F.col("status") != "unchanged")
         )
+    # coalesce: a zero-row join (both snapshots empty) must report
+    # (0,0,0,0), not a row of NULL sums
     return joined.select(status.alias("_s")).groupBy().agg(
-        F.sum((F.col("_s") == "added").cast("long")).alias("n_added"),
-        F.sum((F.col("_s") == "removed").cast("long")).alias("n_removed"),
-        F.sum((F.col("_s") == "changed").cast("long")).alias("n_changed"),
-        F.sum((F.col("_s") == "unchanged").cast("long")).alias("n_unchanged"),
+        *[
+            F.coalesce(
+                F.sum((F.col("_s") == v).cast("long")), F.lit(0)
+            ).alias(f"n_{v}")
+            for v in ("added", "removed", "changed", "unchanged")
+        ]
     )

@@ -1704,6 +1704,12 @@ IMPORT_PATTERNS = {
     "python": (
         r"(?m)^[ \t]*import[ \t]+([A-Za-z_][\w.]*)",
         r"(?m)^[ \t]*from[ \t]+([A-Za-z_][\w.]*)[ \t]+import",
+        # comma forms: second and third module of `import a, b, c`
+        # (regex groups can't repeat, so each position needs a pattern;
+        # 4+-module lines lose the tail — noted in the docstring)
+        r"(?m)^[ \t]*import[ \t]+[\w.]+[ \t]*,[ \t]*([A-Za-z_][\w.]*)",
+        r"(?m)^[ \t]*import[ \t]+[\w.]+[ \t]*,[ \t]*[\w.]+[ \t]*,"
+        r"[ \t]*([A-Za-z_][\w.]*)",
     ),
     "javascript": (
         r"""require\([ \t]*['"]([^'"]+)['"][ \t]*\)""",
@@ -1714,10 +1720,17 @@ IMPORT_PATTERNS = {
         r"(?m)^[ \t]*(?:pub[ \t]+)?use[ \t]+([A-Za-z_][A-Za-z0-9_]*)",
         r"(?m)^[ \t]*extern[ \t]+crate[ \t]+([A-Za-z_][A-Za-z0-9_]*)",
     ),
-    "java": (r"(?m)^[ \t]*import[ \t]+(?:static[ \t]+)?([\w.]+)[ \t]*;",),
+    # lazy package group so `import java.util.*;` yields "java.util"
+    # (the wildcard is layout, not a module name)
+    "java": (
+        r"(?m)^[ \t]*import[ \t]+(?:static[ \t]+)?([\w.]+?)(?:\.\*)?[ \t]*;",
+    ),
     "go": (
         r'(?m)^[ \t]*import[ \t]+(?:[A-Za-z_.]+[ \t]+)?"([^"]+)"',
-        r'(?m)^[ \t]+(?:[A-Za-z_.]+[ \t]+)?"([^"]+)"',
+        # grouped-import block lines: restrict to import-path-shaped
+        # strings ANCHORED to line end — an indented slice/arg literal
+        # (`\t"hello world",` / trailing comma) must not enter the census
+        r'(?m)^[ \t]+(?:[A-Za-z_.]+[ \t]+)?"([A-Za-z0-9_\-./]+)"[ \t]*$',
     ),
 }
 
@@ -1732,9 +1745,14 @@ def extract_imports(col, lang="python") -> Column:
     the corpus ``lang`` column): a Column builds one CASE branch per
     entry in :data:`IMPORT_PATTERNS`, unknown languages yield an empty
     array.  Pure codegen (``regexp_extract_all`` + array intrinsics),
-    zero Python, zero shuffles; Go's grouped-import block is matched by
-    its indented quoted lines, so only the common single-level layouts
-    are recognized (a full parser is out of scope for a regex census)."""
+    zero Python, zero shuffles.  Known census limits (a full parser is
+    out of scope for a regex census): Python comma imports are covered
+    to THREE modules per line (`import a, b, c` — each position is its
+    own pattern, a 4th module is dropped); Java wildcard imports report
+    the package (`java.util.*` → `java.util`); Go grouped-import lines
+    are recognized by indented import-path-shaped strings anchored to
+    line end, so an indented bare string constant on its own line can
+    still false-positive (trailing commas/args are excluded)."""
     x = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
 
     def _for(pats) -> Column:
@@ -1856,10 +1874,12 @@ def comment_stats(col, lang="python") -> Column:
     ``F.aggregate`` fold over the split lines — a (in_block, count)
     struct accumulator, still whole-stage codegen, zero Python, zero
     shuffles.  Heuristics documented honestly: a ``/*`` or ``\"\"\"``
-    inside a string literal toggles the state (no lexer here), and a
-    line like ``code(); /* tail`` counts as code, opening a block from
-    the NEXT line (openers are recognized at line start only —
-    trailing-opener misattribution is one line per block either way).
+    at LINE START inside a string literal toggles the state (no lexer
+    here), and block openers are recognized at line start only — a
+    trailing opener like ``code(); /*`` is NOT seen, so that block's
+    entire body counts as code until its closing line.  Fine for a
+    density SIGNAL (trailing openers are rare and the bias is one-sided
+    toward under-counting); use a real lexer if exact counts matter.
 
     ``lang`` is a name (str) or a per-row Column — a CASE chain over
     :data:`COMMENT_SYNTAX`; unknown languages report zero comments."""
