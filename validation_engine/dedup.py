@@ -1665,16 +1665,25 @@ def set_minhash_pairs(
         .filter(F.col("ga") < F.col("gb"))
         .distinct()
     )
-    # intersection re-reads item hashes for CANDIDATE groups only: the
-    # semi-join prefilter keeps the per-pair join linear in the candidate
-    # groups' item counts, not the corpus's (most groups are never
-    # candidates; AQE broadcasts the candidate-group set at runtime)
+    # intersection re-reads item hashes for CANDIDATE groups only, and
+    # the prune happens BEFORE the de-duplicating exchange: deriving
+    # `sub` from `items` would recompute the corpus-wide distinct a
+    # second time (AQE replans defeat exchange reuse across branches —
+    # plan-verified), so `sub` re-derives from the SOURCE with the
+    # candidate-group semi-join first (cg is tiny, AQE broadcasts it —
+    # the join is map-side) and only then de-duplicates.  Corpus-wide
+    # exchange count stays at ONE (the signature path's distinct); the
+    # second scan's shuffle volume is candidate-proportional.
     cg = (
         cand.select(F.col("ga").alias("_g"))
         .union(cand.select(F.col("gb").alias("_g")))
         .distinct()
     )
-    sub = items.join(cg, "_g", "left_semi")
+    sub = (
+        df.select(F.col(group_col).alias("_g"), F.xxhash64(item).alias("_h"))
+        .join(cg, "_g", "left_semi")
+        .distinct()
+    )
     ia = sub.select(F.col("_g").alias("ga"), "_h")
     ib = sub.select(F.col("_g").alias("gb"), "_h")
     inter = (
