@@ -488,3 +488,48 @@ def test_span_dedup_keep_one_preserves_content(spark, doc_toks, min_len):
     for win, c in cnt.items():
         if c >= 2:
             assert occurs(win), (rows, min_len, win)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=3),
+        st.sets(st.integers(min_value=0, max_value=40), min_size=1,
+                max_size=25),
+        min_size=2, max_size=8,
+    ),
+    st.sampled_from([0.3, 0.6, 0.9]),
+)
+def test_set_minhash_pairs_property(spark, groups, threshold):
+    """For ANY group→set assignment: (a) every reported pair's jaccard /
+    n_common / sizes equal the exact Python set computation, (b) nothing
+    below the threshold is reported, (c) with 1-row bands (bands =
+    n_hashes = 32) every pair with exact jaccard ≥ 0.9 is found (miss
+    probability ≤ 0.1^32), including identical sets."""
+    from validation_engine.dedup import set_minhash_pairs
+
+    rows = [(g, int(v)) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "grp string, item long")
+    out = set_minhash_pairs(df, "grp", "item", n_hashes=32, bands=32,
+                            threshold=threshold).collect()
+    names = sorted(groups)
+    exact = {}
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            inter = len(groups[a] & groups[b])
+            union = len(groups[a] | groups[b])
+            exact[(a, b)] = (inter, union, inter / union)
+    seen = set()
+    for r in out:
+        k = (r["group_a"], r["group_b"])
+        assert k in exact and k not in seen
+        seen.add(k)
+        inter, union, j = exact[k]
+        assert r["n_common"] == inter
+        assert r["n_a"] == len(groups[k[0]])
+        assert r["n_b"] == len(groups[k[1]])
+        assert abs(r["jaccard"] - j) < 1e-5
+        assert r["jaccard"] >= threshold
+    for k, (inter, union, j) in exact.items():
+        if j >= 0.9 and j >= threshold:
+            assert k in seen, (k, j)
