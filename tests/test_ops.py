@@ -2739,3 +2739,39 @@ def test_corpus_diff_duckdb_parity(spark):
     e = spark.createDataFrame([], "doc_id long, text string")
     z = corpus_diff(e, e, "doc_id", "text").first()
     assert tuple(z) == (0, 0, 0, 0)
+
+
+def test_extract_imports_duckdb_parity(spark):
+    """Cross-engine pin for IMPORT_PATTERNS: DuckDB (RE2) running the
+    SAME patterns with the same concat→distinct→sort semantics matches
+    Spark (Java regex) file-for-file — guards exactly the constructs
+    where the engines could diverge (lazy quantifier in the Java
+    wildcard pattern, (?m) line anchors, the $-anchored Go pattern)."""
+    import duckdb
+
+    from validation_engine.text import IMPORT_PATTERNS, extract_imports
+
+    rows = [
+        (0, "python", "import os\nimport a.b, c.d, e\nfrom x.y import z\n"),
+        (1, "java", "import java.util.*;\nimport a.B;\n"
+            "import static o.j.A.t;\n"),
+        (2, "go", 'import "fmt"\nimport (\n\t"os"\n\tio "io/x"\n)\n'
+            '\ts := []string{\n\t\t"not an import",\n\t}\n'),
+        (3, "javascript", "const a = require('m1');\nimport B from 'm2';\n"
+            "export { c } from './m3';\n"),
+        (4, "rust", "use std::io;\npub use serde::x;\nextern crate rand;\n"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: r["m"] for r in df.select(
+        "doc_id", extract_imports("text", F.col("lang")).alias("m")).collect()}
+    con = duckdb.connect()
+    for i, lang, text in rows:
+        pats = IMPORT_PATTERNS[lang]
+        parts, params = [], []
+        for p in pats:
+            parts.append("regexp_extract_all(?, ?, 1)")
+            params += [text, p]
+        ref = con.execute(
+            f"SELECT list_sort(list_distinct({' || '.join(parts)}))", params
+        ).fetchone()[0]
+        assert got[i] == ref, (lang, got[i], ref)
