@@ -1493,7 +1493,11 @@ def oracle_sql() -> dict[str, str]:
     # independent formulation of ExactSubstr's duplicated-window coverage
     sql["span_dedup_stats"] = r"""
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      -- regex trim mirrors the engine: strip ALL whitespace, not just
+      -- ASCII spaces (trim() would leave a phantom '' token after a
+      -- leading tab/newline — round-7 ADVICE)
+      SELECT doc_id, regexp_split_to_array(
+               regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
       FROM documents
     ), w AS (
       SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+12], ' ') AS win
@@ -1728,7 +1732,8 @@ def oracle_sql() -> dict[str, str]:
         CASE WHEN spdx <> '' THEN lower(spdx)
           WHEN regexp_matches(nm, '(?i)apache license,? (version )?2\.0|(?i)licensed under the apache license') THEN 'apache-2.0'
           WHEN regexp_matches(nm, '(?i)mit license|(?i)permission is hereby granted, free of charge') THEN 'mit'
-          WHEN regexp_matches(nm, '(?i)gnu (lesser|library) general public license') THEN 'lgpl'
+          WHEN regexp_matches(nm, '(?i)gnu (lesser|library) general public license')
+               AND NOT regexp_matches(nm, '(?i)gnu (lesser|library) general public license instead') THEN 'lgpl'
           WHEN regexp_matches(nm, '(?i)gnu affero general public license') THEN 'agpl-3.0'
           WHEN regexp_matches(nm, '(?i)gnu general public license[\s\S]{0,200}version 3') THEN 'gpl-3.0'
           WHEN regexp_matches(nm, '(?i)gnu general public license[\s\S]{0,200}version 2') THEN 'gpl-2.0'

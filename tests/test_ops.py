@@ -2129,6 +2129,34 @@ def test_span_dedup_mark_matches_reference(spark):
     assert got == _span_dedup_reference(rows, 4)
 
 
+def test_span_dedup_leading_whitespace_aligns(spark):
+    """Docs differing only in leading tab/newline share their duplicate
+    spans at the SAME positions (round-7 ADVICE: F.trim strips only ASCII
+    spaces, so a leading tab minted a phantom '' token that shifted every
+    window and broke alignment), match the .strip()-based Python
+    reference, and cut mode rebuilds without a leading space."""
+    from validation_engine.dedup import span_dedup
+
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "\ta b c d e f g h"),
+        (3, "\n  a b c d e f g h\n"),
+        (4, "unrelated filler q r s t"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: ([(s["start"], s["end"]) for s in r["dup_spans"]],
+                      r["n_dup_tokens"], r["n_tokens"])
+        for r in span_dedup(df, "doc_id", "text", min_len=4).collect()
+    }
+    assert got == _span_dedup_reference(rows, 4)
+    assert got[1] == got[2] == got[3] == ([(0, 8)], 8, 8)
+    cut = {r["doc_id"]: r["text"]
+           for r in span_dedup(df, "doc_id", "text", min_len=4,
+                               mode="cut").collect()}
+    assert cut[2] == "" and not cut[3].startswith(" ")
+
+
 def test_span_dedup_cut_modes(spark):
     """cut removes every copy; cut_keep_one leaves exactly one intact
     survivor of a fully-duplicated document pair (document-ranked keeper
@@ -2360,6 +2388,69 @@ def test_license_detect_matrix(spark):
     assert got == expect
 
 
+GPL2_OFFICIAL_HEAD = """\
+                    GNU GENERAL PUBLIC LICENSE
+                       Version 2, June 1991
+
+ Copyright (C) 1989, 1991 Free Software Foundation, Inc.,
+ 51 Franklin Street, Fifth Floor, Boston, MA 02110-1301 USA
+ Everyone is permitted to copy and distribute verbatim copies
+ of this license document, but changing it is not allowed.
+
+                            Preamble
+
+  The licenses for most software are designed to take away your
+freedom to share and change it.  By contrast, the GNU General Public
+License is intended to guarantee your freedom to share and change free
+software--to make sure the software is free for all its users.  This
+General Public License applies to most of the Free Software
+Foundation's software and to any other program whose authors commit to
+using it.  (Some other Free Software Foundation software is covered by
+the GNU Lesser General Public License instead.)  You can apply it to
+your programs, too.
+
+  When we speak of free software, we are referring to freedom, not
+price.  Our General Public Licenses are designed to make sure that you
+have the freedom to distribute copies of free software (and charge for
+this service if you wish), that you receive source code or can get it
+if you want it, that you can change the software or use pieces of it
+in new free programs; and that you know you can do these things.
+"""
+
+
+def test_license_detect_gpl2_full_text(spark):
+    """The official GPL-2.0 license text labels 'gpl-2.0', not 'lgpl': its
+    preamble's '(Some other Free Software Foundation software is covered
+    by the GNU Lesser General Public License instead.)' sits inside the
+    4000-char header window and used to win via lgpl's precedence (round-7
+    ADVICE).  The negative pattern rejects LGPL mentions followed by
+    'instead' (GPL text talking ABOUT the LGPL); a genuine LGPL grant and
+    the GPL-2 how-to-apply appendix phrasing are pinned alongside."""
+    from validation_engine.text import license_detect
+
+    appendix = (
+        "# GNU General Public License as published by the Free\n"
+        "# Software Foundation; version 2 of the License.\n"
+        "# This General Public License does not permit incorporating your\n"
+        "# program into proprietary programs.  If this is what you want to\n"
+        "# do, use the GNU Library General Public License instead of this\n"
+        "# License.\ncode"
+    )
+    rows = [
+        (0, GPL2_OFFICIAL_HEAD),
+        # GPL-2 grant whose appendix mentions the Library GPL "instead"
+        (1, appendix),
+        # genuine LGPL grant is unaffected by the negative
+        (2, "// This library is free software; you can redistribute it\n"
+            "// under the terms of the GNU Lesser General Public License\n"
+            "// as published by the Free Software Foundation.\ncode"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lic"] for r in
+           df.select("doc_id", license_detect("text").alias("lic")).collect()}
+    assert got == {0: "gpl-2.0", 1: "gpl-2.0", 2: "lgpl"}
+
+
 def test_license_filter_gate(spark):
     """Default gate keeps exactly the permissive families, drops copyleft
     AND unknown; allow_unknown=True readmits only the unknowns."""
@@ -2535,6 +2626,28 @@ def test_set_minhash_pairs_exact_jaccard(spark):
         assert abs(r["jaccard"] - inter / union) < 1e-6
         assert r["jaccard"] >= 0.5 and ga < gb
     assert not any("c" in k for k in out)
+
+
+def test_set_minhash_threshold_on_unrounded_jaccard(spark):
+    """The threshold compares the UNROUNDED ratio (round-7 ADVICE: rounding
+    to 6 dp first re-admitted pairs up to 5e-7 below the threshold).
+    Exact jaccard 2/3 = 0.666666… rounds to 0.666667, so a 0.666667
+    threshold must EXCLUDE the pair even though the rounded column equals
+    the threshold; one ulp lower includes it with the rounded value."""
+    from validation_engine.dedup import set_minhash_pairs
+
+    rows = [("A", 1), ("A", 2), ("A", 3), ("B", 1), ("B", 2)]
+    df = spark.createDataFrame(rows, "grp string, item long")
+    base = set_minhash_pairs(df, "grp", "item", n_hashes=32, bands=32,
+                             threshold=0.0).collect()
+    assert [(r["group_a"], r["group_b"]) for r in base] == [("A", "B")]
+    assert base[0]["jaccard"] == 0.666667          # rounded REPORT only
+    hi = set_minhash_pairs(df, "grp", "item", n_hashes=32, bands=32,
+                           threshold=0.666667).collect()
+    assert hi == []
+    lo = set_minhash_pairs(df, "grp", "item", n_hashes=32, bands=32,
+                           threshold=0.666666).collect()
+    assert len(lo) == 1 and lo[0]["jaccard"] == 0.666667
 
 
 def test_fork_pairs_detects_fork(spark, corpus):
@@ -2757,6 +2870,10 @@ def test_extract_imports_duckdb_parity(spark):
             "import static o.j.A.t;\n"),
         (2, "go", 'import "fmt"\nimport (\n\t"os"\n\tio "io/x"\n)\n'
             '\ts := []string{\n\t\t"not an import",\n\t}\n'),
+        # CRLF Go file: Java regex lets $ match before \r\n, RE2 only
+        # before \n — the grouped pattern consumes \r explicitly so both
+        # engines extract the block imports (round-7 ADVICE)
+        (5, "go", 'import (\r\n\t"os"\r\n\tio "io/x"\r\n)\r\n'),
         (3, "javascript", "const a = require('m1');\nimport B from 'm2';\n"
             "export { c } from './m3';\n"),
         (4, "rust", "use std::io;\npub use serde::x;\nextern crate rand;\n"),
@@ -2775,3 +2892,6 @@ def test_extract_imports_duckdb_parity(spark):
             f"SELECT list_sort(list_distinct({' || '.join(parts)}))", params
         ).fetchone()[0]
         assert got[i] == ref, (lang, got[i], ref)
+    # parity alone could be vacuous (both engines agreeing on []): the
+    # CRLF grouped block must actually be censused
+    assert got[5] == ["io/x", "os"]

@@ -539,7 +539,12 @@ def span_dedup(
         raise ValueError("mode must be 'mark', 'cut' or 'cut_keep_one'")
     L = int(min_len)
     text = F.coalesce(F.col(text_col), F.lit(""))
-    toks = F.split(F.trim(text), r"\s+")
+    # full-whitespace trim: F.trim strips only ASCII spaces, so a leading
+    # tab/newline yielded a phantom '' token that shifted every window
+    # position (duplicate regions in docs differing only in leading
+    # whitespace stopped aligning) and cut modes rebuilt with a leading
+    # space (round-7 ADVICE).  The DuckDB oracle mirrors this regex trim.
+    toks = F.split(F.regexp_replace(text, r"^\s+|\s+$", ""), r"\s+")
     n = F.size(toks)
     empty_longs = F.expr("cast(array() as array<bigint>)")
 
@@ -1699,20 +1704,19 @@ def set_minhash_pairs(
         .join(sizes.withColumnsRenamed({"_g": "ga", "_n": "n_a"}), "ga")
         .join(sizes.withColumnsRenamed({"_g": "gb", "_n": "n_b"}), "gb")
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                6,
-            ),
-        )
-        .select(
-            F.col("ga").alias("group_a"),
-            F.col("gb").alias("group_b"),
-            "n_a", "n_b", "n_common", "jaccard",
+            "_jx",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         )
     )
-    return out.filter(F.col("jaccard") >= float(threshold))
+    # threshold the UNROUNDED ratio (rounding first re-admitted pairs up
+    # to 5e-7 below it — round-7 ADVICE); round only the reported column
+    return out.filter(F.col("_jx") >= float(threshold)).select(
+        F.col("ga").alias("group_a"),
+        F.col("gb").alias("group_b"),
+        "n_a", "n_b", "n_common",
+        F.round(F.col("_jx"), 6).alias("jaccard"),
+    )
 
 
 def fork_pairs(

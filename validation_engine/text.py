@@ -246,13 +246,26 @@ def code_filter(
 # their license texts contain the substring "General Public License" too;
 # BSD-3 (with the "neither the name" endorsement clause) before BSD-2.
 # Every pattern is RE2-compatible ([\s\S] not DOTALL, no backrefs), so a
-# DuckDB regexp_matches twin reproduces the labels exactly.
+# DuckDB regexp_matches twin reproduces the labels exactly.  An entry may
+# carry a third element — a NEGATIVE pattern: the family only labels when
+# the positive matches AND the negative does not (RE2 has no lookbehind,
+# so context exclusion must be a second whole-header test; the DuckDB twin
+# mirrors it as `AND NOT regexp_matches`).  The lgpl negative exists
+# because the official GPL-2 preamble says "(Some other Free Software
+# Foundation software is covered by the GNU Lesser General Public License
+# instead.)" and the GPL-2/GPL-3 how-to-apply appendices say "use the GNU
+# Lesser/Library General Public License instead of this License" — an
+# LGPL MENTION followed by "instead" is GPL text talking ABOUT the LGPL,
+# never an LGPL grant, and without the exclusion the full official GPL-2
+# text (whose preamble sits inside the 4000-char header window) labeled
+# 'lgpl'.
 LICENSE_PATTERNS = (
     ("apache-2.0", r"(?i)apache license,? (version )?2\.0"
                    r"|(?i)licensed under the apache license"),
     ("mit", r"(?i)mit license"
             r"|(?i)permission is hereby granted, free of charge"),
-    ("lgpl", r"(?i)gnu (lesser|library) general public license"),
+    ("lgpl", r"(?i)gnu (lesser|library) general public license",
+     r"(?i)gnu (lesser|library) general public license instead"),
     ("agpl-3.0", r"(?i)gnu affero general public license"),
     ("gpl-3.0", r"(?i)gnu general public license[\s\S]{0,200}version 3"),
     ("gpl-2.0", r"(?i)gnu general public license[\s\S]{0,200}version 2"),
@@ -309,8 +322,12 @@ def license_detect(col, header_chars: int = 4000) -> Column:
     )
     norm = F.regexp_replace(norm, r"[ \t]{2,}", " ")
     fam = F.lit(None).cast("string")
-    for name, pat in reversed(LICENSE_PATTERNS):
-        fam = F.when(norm.rlike(pat), F.lit(name)).otherwise(fam)
+    for entry in reversed(LICENSE_PATTERNS):
+        name, pat = entry[0], entry[1]
+        hit = norm.rlike(pat)
+        if len(entry) > 2:
+            hit = hit & ~norm.rlike(entry[2])
+        fam = F.when(hit, F.lit(name)).otherwise(fam)
     return F.when(spdx != "", F.lower(spdx)).otherwise(fam)
 
 
@@ -1729,8 +1746,12 @@ IMPORT_PATTERNS = {
         r'(?m)^[ \t]*import[ \t]+(?:[A-Za-z_.]+[ \t]+)?"([^"]+)"',
         # grouped-import block lines: restrict to import-path-shaped
         # strings ANCHORED to line end — an indented slice/arg literal
-        # (`\t"hello world",` / trailing comma) must not enter the census
-        r'(?m)^[ \t]+(?:[A-Za-z_.]+[ \t]+)?"([A-Za-z0-9_\-./]+)"[ \t]*$',
+        # (`\t"hello world",` / trailing comma) must not enter the census.
+        # [ \t\r]*$ not [ \t]*$: Java regex lets $ match before \r\n but
+        # RE2 only before \n, so on CRLF files a bare-$ pattern matched in
+        # Spark and not in the DuckDB twin (round-7 ADVICE) — consuming
+        # the \r explicitly keeps both engines identical
+        r'(?m)^[ \t]+(?:[A-Za-z_.]+[ \t]+)?"([A-Za-z0-9_\-./]+)"[ \t\r]*$',
     ),
 }
 
