@@ -102,30 +102,32 @@ def exact_duplicates(
 
 
 def exact_dedup(
-    df: DataFrame, id_col: str, text_col: str, strategy: str = "window"
+    df: DataFrame, id_col: str, text_col: str, strategy: str = "agg"
 ) -> DataFrame:
     """Keep one representative (min id) per identical content.
 
-    ``strategy='window'`` (default): ONE scan, ONE shuffle — ``min(id) over
-    (partition by digest)``, then keep the row carrying the min.  The
-    shuffle carries full rows, but so does the alternative below (its
-    semi-join probe side also shuffles full rows) — and it pays a second
-    scan and a second shuffle of (digest, id) pairs on top, so the window
-    formulation strictly dominates.  Measured at sf0.1 (best of 3):
-    window 0.52 s vs agg 0.91 s; the keeper aggregate is NOT broadcastable
-    at scale (one (digest, id) row per distinct document), so the join
-    never becomes shuffle-free.  ``strategy='agg'`` is kept for two cases:
-    sources where a second scan is cheaper than sorting within digest
-    partitions (re-reading a pruned columnar scan beats sorting multi-MB
-    rows), and ADVERSARIALLY SKEWED corpora — the window co-locates a
-    mega-dup digest's full-text row flood on one task (the round-6/7
-    straggler class; see :func:`exact_duplicates`' ladder), while 'agg'
-    is skew-free by construction: the keeper aggregate map-side-combines
-    the flood to one row per map task, and the semi-join key
-    ``(digest, id)`` is UNIQUE per left row, so no join partition can
-    skew.  Rule of thumb: 'window' for cleaned/benign corpora (one scan,
-    fastest), 'agg' for raw web crawls where empty/boilerplate mega
-    groups are expected."""
+    ``strategy='agg'`` (default — skew-safe): the keeper table is a
+    ``groupBy(digest).agg(min(id))`` whose partial aggregation
+    map-side-combines a mega-dup digest's flood to ONE row per map task,
+    and the semi-join key ``(digest, id)`` is UNIQUE per left row, so no
+    join partition can skew — safe by construction on the adversarial
+    input this operator exists for (a raw crawl where one digest covers
+    10^8 empty/boilerplate docs).  It pays a second scan and a second
+    shuffle of (digest, id) pairs over the alternative below.
+
+    ``strategy='window'`` (opt-in fast path for CLEANED/benign corpora):
+    ONE scan, ONE shuffle — ``min(id) over (partition by digest)``, then
+    keep the row carrying the min.  Measured at sf0.1 (best of 3):
+    window 0.52 s vs agg 0.91 s — but the window co-locates a mega-dup
+    digest's full-text row flood on one task (the round-6/7 straggler
+    class; see :func:`exact_duplicates`' ladder — AQE can split a skewed
+    JOIN partition, never a window), so it is NOT the default: a default
+    should survive the input the operator is for, and a benign-corpus
+    user opts into the documented one-scan saving.  (The keeper aggregate
+    is not broadcastable at scale — one (digest, id) row per distinct
+    document — so 'agg' never becomes shuffle-free; the round-8 planted
+    mega-key A/B in ``BENCH/skew_r8.json`` pins the straggler gap.)
+    ``url_dedup`` made the same call in round 7 for the same input class."""
     with_d = df.withColumn("_digest", F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256))
     if strategy == "window":
         from pyspark.sql import Window
@@ -1459,10 +1461,12 @@ def semantic_duplicates(
     (rounded to 6 dp).  :func:`semantic_dedup` anti-joins this back for
     the survivor view.
 
-    Semantics are DETERMINISTIC and partitioning-invariant GIVEN THE
-    CENTROIDS (pass ``centroids`` to pin end-to-end — the default
-    driver-trained k-means samples the input, and the sample depends on
-    partitioning): within a
+    Semantics are DETERMINISTIC and partitioning-invariant END-TO-END by
+    default (round 8): the default driver-trained k-means selects its
+    training sample by smallest ``xxhash64(id, seed)`` — a pure function
+    of (ids, seed), like every other sampling operator here — so reruns,
+    resumes, and differently-partitioned inputs train identical centroids
+    (pass ``centroids`` to pin an external clustering instead).  Within a
     cluster, documents are processed in ascending ``id_col`` order and a
     document is kept iff its max cosine against all previously-KEPT
     documents is < ``threshold``; the kept set is therefore pairwise
@@ -1489,12 +1493,11 @@ def semantic_duplicates(
     cluster sizes are data-dependent, so monitor the `_cell` histogram
     (:func:`validation_engine.stats.group_sizes` shapes) when tuning.
 
-    ``centroids``: pass a precomputed ``(k, dim)`` array to pin the
-    clustering (exact reproducibility across differently-partitioned
-    inputs — driver-side k-means samples the input, so a different
-    partitioning may select a different training sample); otherwise
+    ``centroids``: pass a precomputed ``(k, dim)`` array to pin an
+    external clustering; otherwise
     :func:`validation_engine.similarity.ivf_build` trains on a bounded
-    sample with ``seed``.
+    DETERMINISTIC sample (smallest ``xxhash64(id, seed)`` rows, hash
+    ties by id) with ``seed``.
     """
     import numpy as np
     import pandas as pd
@@ -1530,7 +1533,8 @@ def semantic_duplicates(
         if vecs.first() is None:
             return df.sparkSession.createDataFrame([], out_schema)
         centroids = ivf_build(
-            vecs, vec_col=vec_col, n_centroids=n_clusters, sample_cap=sample_cap, seed=seed
+            vecs, vec_col=vec_col, n_centroids=n_clusters,
+            sample_cap=sample_cap, seed=seed, order_col=id_col,
         )
     assigned = ivf_assign(vecs, centroids, vec_col=vec_col)
     tau = float(threshold)

@@ -157,15 +157,36 @@ def ivf_build(
     n_centroids: int = 16,
     sample_cap: int = 20_000,
     seed: int = 42,
+    order_col: str = None,
 ) -> np.ndarray:
     """Train IVF centroids on a driver-side sample (numpy k-means).
 
     At 10^12 scale you train on a bounded uniform sample regardless of corpus
     size; the centroid table is tiny and rides the closure.
-    """
-    n = df.count()
-    frac = min(1.0, sample_cap / max(n, 1))
-    rows = df.sample(fraction=frac, seed=seed).select(vec_col).collect()
+
+    ``order_col``: name of a stable unique key.  When given, the training
+    sample is the ``sample_cap`` rows with the SMALLEST ``xxhash64(key,
+    seed)`` (hash ties broken by the key) — a deterministic uniform
+    sample-without-replacement, collected in hash order, so the trained
+    centroids are a pure function of (data, seed): invariant to
+    partitioning, cluster size, and resume (a distributed top-k, not a
+    full sort).  Without it, ``df.sample`` draws per-partition — cheaper
+    by one ordering pass but the sample (hence the centroids) depends on
+    the physical partitioning; callers with a key should pass it
+    (:func:`validation_engine.dedup.semantic_duplicates` does, round-7
+    VERDICT task 5)."""
+    if order_col is not None:
+        h = F.xxhash64(F.col(order_col), F.lit(int(seed)))
+        rows = (
+            df.select(F.col(vec_col), h.alias("_ivf_h"), F.col(order_col))
+            .orderBy("_ivf_h", order_col)
+            .limit(int(sample_cap))
+            .collect()
+        )
+    else:
+        n = df.count()
+        frac = min(1.0, sample_cap / max(n, 1))
+        rows = df.sample(fraction=frac, seed=seed).select(vec_col).collect()
     sample = np.asarray([r[0] for r in rows], dtype=float)
     return _kmeans(sample, n_centroids, seed=seed)
 

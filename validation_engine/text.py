@@ -1618,14 +1618,14 @@ def url_dedup(
     The canonical form is computed map-side and the row carries its
     ORIGINAL url; keeper selection delegates to
     :func:`validation_engine.dedup.exact_dedup` on the canonical string,
-    inheriting both strategies.  The DEFAULT here is ``'agg'`` — the
-    skew-free form — deliberately inverted from ``exact_dedup``'s own
-    default: crawl frontiers are exactly the workload where mega
-    duplicate groups are EXPECTED (a popular URL recrawled 10^6 times
-    collapses onto one canonical form, and the window strategy would
-    co-locate every such row on one task; 'agg' map-side-combines the
-    keeper and semi-joins on the row-unique (digest, id) key, so no
-    partition can skew).  Pass ``strategy='window'`` for pre-deduped or
+    inheriting both strategies.  The default is ``'agg'`` — the skew-free
+    form, and since round 8 also ``exact_dedup``'s own default: crawl
+    frontiers are exactly the workload where mega duplicate groups are
+    EXPECTED (a popular URL recrawled 10^6 times collapses onto one
+    canonical form, and the window strategy would co-locate every such
+    row on one task; 'agg' map-side-combines the keeper and semi-joins on
+    the row-unique (digest, id) key, so no partition can skew).  Pass
+    ``strategy='window'`` for pre-deduped or
     benign URL sets where the one-scan fast path wins.  At 10^12-URL
     scale the shuffle carries (sha2(canonical), row) — the canonical
     string itself is never the join key."""
