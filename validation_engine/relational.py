@@ -27,6 +27,7 @@ def asof_join(
     value_cols: Optional[Sequence[str]] = None,
     direction: str = "backward",
     suffix: str = "_asof",
+    bucket_width: Optional[float] = None,
 ) -> DataFrame:
     """For every left row, attach the right row's ``value_cols`` from the
     nearest ``right_ts`` at-or-before (``backward``) / at-or-after
@@ -42,6 +43,30 @@ def asof_join(
     otherwise not guaranteed, so without the tie-break results could vary
     between runs.  Map-typed value columns are not orderable and are skipped
     from the tie-break (ties among them remain unspecified).
+
+    ``bucket_width`` (round-8 skew knob): the default single
+    sort-window partitions by the ``on`` keys alone, so ONE heavy-tailed
+    telemetry key (10^9 sensor readings for one device) sorts its entire
+    history on one task — the same unbounded-window straggler class the
+    dedup ladders eliminate, and AQE cannot split a window.  Passing a
+    coarse time-bucket width (seconds for timestamp columns — the bucket
+    is ``floor(ts / W)`` on the double-cast timestamp) re-plans as three
+    bounded steps with IDENTICAL results (pinned vs the unbucketed form):
+
+    1. within each ``(key, bucket)`` the same sort-window runs, bounded by
+       that bucket's rows — plus a per-bucket FINAL carry (last non-null
+       per value column over the whole bucket);
+    2. the per-bucket finals aggregate to one row per ``(key, bucket)``
+       and a window over THAT stream (≤ time-range/W rows per key,
+       data-independent) chains the carry across buckets;
+    3. an equi-join on ``(key, bucket)`` — which AQE CAN skew-split —
+       brings the carry-in back, and each row's value is
+       ``coalesce(within-bucket fill, carry-in)``.
+
+    Choose ``W`` so one key's densest bucket fits a task (e.g. 1 Hz
+    telemetry, W=3600 ⇒ ≤3.6k rows per window partition).  Left unset,
+    the one-shuffle fast path is kept: correct for benign key histograms
+    and cheaper by one aggregation and one join.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -87,13 +112,65 @@ def asof_join(
     ]
     order = [F.col("_ats").asc(), F.col("_aside").asc(), *tie] if direction == "backward" \
         else [F.col("_ats").desc(), F.col("_aside").asc(), *tie]
-    w = Window.partitionBy(*on).orderBy(*order).rowsBetween(
+    if bucket_width is None:
+        w = Window.partitionBy(*on).orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        filled = both.withColumns(
+            {o: F.last(o, ignorenulls=True).over(w) for o in out_vals}
+        )
+        return filled.filter(F.col("_aside") == 1).drop("_ats", "_aside")
+
+    if float(bucket_width) <= 0:
+        raise ValueError("bucket_width must be > 0")
+    # bucket ordering is a coarsening of the ts ordering (floor is
+    # monotone; NULL ts buckets to NULL, which sorts exactly where a NULL
+    # ts sorts), so within-bucket-fill + cross-bucket carry == the global
+    # last-non-null, column for column
+    bb = both.withColumn(
+        "_abkt", F.floor(F.col("_ats").cast("double") / float(bucket_width))
+    )
+    w_run = Window.partitionBy(*on, "_abkt").orderBy(*order).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    filled = both.withColumns(
-        {o: F.last(o, ignorenulls=True).over(w) for o in out_vals}
+    w_all = Window.partitionBy(*on, "_abkt").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    return filled.filter(F.col("_aside") == 1).drop("_ats", "_aside")
+    filled = bb.withColumns(
+        {o: F.last(o, ignorenulls=True).over(w_run) for o in out_vals}
+        | {f"_bf_{o}": F.last(o, ignorenulls=True).over(w_all)
+           for o in out_vals}
+    )
+    # one row per (key, bucket): _bf_* is constant within the partition
+    # (F.first, not max — map-typed value columns are not orderable)
+    summaries = filled.groupBy(*on, "_abkt").agg(
+        *[F.first(f"_bf_{o}").alias(f"_bf_{o}") for o in out_vals]
+    )
+    border = (F.col("_abkt").asc() if direction == "backward"
+              else F.col("_abkt").desc())
+    w_carry = Window.partitionBy(*on).orderBy(border).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carries = summaries.select(
+        *[F.col(k).alias(f"_ck_{k}") for k in on],
+        F.col("_abkt").alias("_ck_bkt"),
+        *[F.last(f"_bf_{o}", ignorenulls=True).over(w_carry)
+          .alias(f"_carry_{o}") for o in out_vals],
+    )
+    # null-safe equi-join (NULL keys / NULL-ts buckets are groups like any
+    # other, as in the window formulation) — AQE can skew-split this
+    cond = F.col("_abkt").eqNullSafe(F.col("_ck_bkt"))
+    for k in on:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"_ck_{k}"))
+    joined = filled.join(carries, cond, "left")
+    out = joined.withColumns(
+        {o: F.coalesce(F.col(o), F.col(f"_carry_{o}")) for o in out_vals}
+    )
+    drop = (["_ats", "_aside", "_abkt", "_ck_bkt"]
+            + [f"_ck_{k}" for k in on]
+            + [f"_bf_{o}" for o in out_vals]
+            + [f"_carry_{o}" for o in out_vals])
+    return out.filter(F.col("_aside") == 1).drop(*drop)
 
 
 def range_join(
