@@ -297,10 +297,11 @@ def q3_top_orders(spark, sf):
     )
 
 
-def q5_revenue_by_nation(spark, sf):
+def _q5_revenue_by_nation_retired(spark, sf):
     """TPC-H Q5 shape: 5-way join.  nation/region are FIXED-size (25/5
     rows at any SF) and keep the broadcast hint; customer scales with SF
-    and is left to AQE."""
+    and is left to AQE.  Retired round 8 (multi-table join+agg shape
+    subsumed by q3_top_orders + referential_counts) → cap_per_key."""
     region = _t(spark, sf, "region")
     nation = _t(spark, sf, "nation")
     cust = _t(spark, sf, "customer")
@@ -414,8 +415,10 @@ def q_decontaminate_documents(spark, sf):
     return decontaminate(corpus, "doc_id", "text", bench, "bench_text", n=13)
 
 
-def q_events_pivot(spark, sf):
-    """Pivot: per-user event-type count matrix (user_id < 30)."""
+def _q_events_pivot_retired(spark, sf):
+    """Pivot: per-user event-type count matrix (user_id < 30).  Retired
+    round 8 (conditional-agg pivot shape subsumed by cube_lineitem +
+    timeseries_rollup_events' grouping sets) → set_minhash_pairs."""
     ev = _t(spark, sf, "events").filter(F.col("user_id") < 30)
     types = ["click", "view", "signup", "purchase", "error"]
     return (
@@ -429,9 +432,11 @@ def q_events_pivot(spark, sf):
     )
 
 
-def q_funnel_signup_purchase(spark, sf):
+def _q_funnel_signup_purchase_retired(spark, sf):
     """Event-sequence funnel: users whose first signup precedes a purchase
-    (min-timestamp comparison — the scalable funnel formulation)."""
+    (min-timestamp comparison — the scalable funnel formulation).  Retired
+    round 8 (conditional min-agg shape subsumed by sessionize_events +
+    window_event_ranks) → corpus_diff."""
     ev = _t(spark, sf, "events")
     per_user = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
@@ -447,6 +452,65 @@ def q_funnel_signup_purchase(spark, sf):
                 1,
             )
         ).alias("n_converted"),
+    )
+
+
+def q_set_minhash_pairs(spark, sf):
+    """Set-similarity join (the repo/fork-dedup primitive, round-8
+    promotion): groups = doc_id % 8, items = token 3-gram shingles; the
+    md5 hash family makes item keys, MinHash signatures (16 hashes, 16
+    single-row bands), band keys, and the LSH candidate set reproducible
+    character-for-character in DuckDB, and the exact intersection join
+    gives exact n_common/jaccard per candidate pair.  threshold=0.06
+    exercises the UNROUNDED-ratio filter (pairs here span 0.053–0.081)."""
+    from validation_engine.dedup import set_minhash_pairs, token_shingles
+
+    docs = _t(spark, sf, "documents")
+    items = docs.select(
+        F.concat(F.lit("g"), (F.col("doc_id") % 8).cast("string")).alias("grp"),
+        F.explode(token_shingles(F.col("text"), 3)).alias("shingle"),
+    )
+    return set_minhash_pairs(
+        items, "grp", "shingle", n_hashes=16, bands=16,
+        threshold=0.06, hash_family="md5",
+    ).orderBy("group_a", "group_b")
+
+
+def q_corpus_diff(spark, sf):
+    """Release-over-release snapshot diff (round-8 promotion): old = docs
+    with doc_id % 10 != 0, new = docs with doc_id % 10 != 1 where every
+    doc_id % 7 == 0 text gained a ' v2' suffix — so the row-level delta
+    has planted added/removed/changed rows and omits the unchanged
+    majority.  The engine compares sha2 digests; the oracle compares the
+    texts themselves (IS DISTINCT FROM) — independent formulations."""
+    from validation_engine.dedup import corpus_diff
+
+    docs = _t(spark, sf, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 10 != 1).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return corpus_diff(old, new, "doc_id", "text", row_level=True).orderBy(
+        "doc_id"
+    )
+
+
+def q_cap_per_key(spark, sf):
+    """Per-key quota (round-8 promotion): at most 40 documents per lang,
+    selected by the deterministic md5 rank (first 16 hex chars of
+    md5(doc_id || '|' || seed), ties by doc_id) through the skew-bounded
+    bucketed-histogram strategy; the oracle is a plain row_number window
+    over the same rank — the two formulations must agree row for row."""
+    from validation_engine.text import cap_per_key
+
+    docs = _t(spark, sf, "documents")
+    return (
+        cap_per_key(docs, "lang", "doc_id", 40, seed=5, hash_family="md5")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
     )
 
 
@@ -1225,6 +1289,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     quantity_percentiles; kept as _q6_filtered_revenue_retired) →
     license_documents, putting license detection + the permissive gate
     under a full labels+booleans oracle.
+    Round 8 rotated the gate onto the round-7 operators it had not yet
+    seen (VERDICT r7 task #2), swapping three redundant rows:
+    events_pivot (conditional-agg pivot, subsumed by cube_lineitem +
+    timeseries_rollup_events) → set_minhash_pairs (the fork-dedup
+    set-similarity join under a full md5-LSH + exact-intersection
+    oracle), funnel_signup_purchase (conditional min-agg, subsumed by
+    sessionize_events + window_event_ranks) → corpus_diff (digest diff
+    vs an IS-DISTINCT-FROM text-compare oracle), and
+    q5_revenue_by_nation (a third multi-join TPC-H shape, subsumed by
+    q3_top_orders + referential_counts) → cap_per_key (bucketed-histogram
+    quota vs a row_number-window oracle over the same md5 rank).  All
+    three retired functions kept as ``_q*_retired``.
     """
     return {
         "element_report_documents": q_element_report_documents,
@@ -1240,14 +1316,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_histogram_top": q_token_histogram_top,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
-        "q5_revenue_by_nation": q5_revenue_by_nation,
+        "cap_per_key": q_cap_per_key,
         "cross_dedup": q_cross_dedup,
         "wasserstein_drift_by_source": q_wasserstein_drift_by_source,
         "span_dedup_stats": q_span_dedup_stats,
         "extract_text": q_extract_text,
         "decontaminate_documents": q_decontaminate_documents,
-        "events_pivot": q_events_pivot,
-        "funnel_signup_purchase": q_funnel_signup_purchase,
+        "set_minhash_pairs": q_set_minhash_pairs,
+        "corpus_diff": q_corpus_diff,
         "inverted_index_sample": q_inverted_index_sample,
         "sql_api_order_stats": q_sql_api_order_stats,
         "cube_lineitem": q_cube_lineitem,
@@ -1425,16 +1501,16 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY revenue DESC, o.o_orderkey ASC LIMIT 10
     """
 
-    sql["q5_revenue_by_nation"] = """
-    SELECT n.n_name,
-      CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
-      COUNT(*) AS n_lineitems
-    FROM lineitem l
-    JOIN orders o ON l.l_orderkey = o.o_orderkey
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    GROUP BY n.n_name
+    # round-8 promotion: per-key quota — a plain row_number window over
+    # the SAME md5 rank the engine's bucketed-histogram strategy uses
+    # (rank = first 16 hex chars of md5(doc_id || '|5'), ties by doc_id)
+    sql["cap_per_key"] = """
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source, row_number() OVER (
+        PARTITION BY lang
+        ORDER BY substr(md5(doc_id || '|5'), 1, 16), doc_id) AS rn
+      FROM documents) WHERE rn <= 40
+    ORDER BY doc_id
     """
 
     _rev = ("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
@@ -1603,26 +1679,78 @@ def oracle_sql() -> dict[str, str]:
     WHERE COALESCE(h.ng, 0) + COALESCE(s.ns, 0) >= 1
     """
 
-    sql["events_pivot"] = """
-    SELECT user_id,
-           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
-           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
-           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
-           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
-           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
-    FROM events WHERE user_id < 30 GROUP BY user_id
+    # round-8 promotion: set-similarity join — DuckDB reproduces the md5
+    # hash family end to end (item keys, 16 minhash mins over hex strings,
+    # 16 single-row band keys, the LSH candidate self-join) and computes
+    # the exact intersection on candidate pairs; threshold on the
+    # UNROUNDED ratio, round(…, 6) only in the report
+    _smh_mins = ",\n             ".join(
+        f"min(substr(md5('{i}|' || h), 1, 16)) AS m{i}" for i in range(16)
+    )
+    _smh_bands = "\n      UNION ALL ".join(
+        f"SELECT g, md5('{i}|' || m{i}) AS bkey FROM sigs" for i in range(16)
+    )
+    sql["set_minhash_pairs"] = rf"""
+    WITH toks AS (
+      SELECT 'g' || CAST(doc_id % 8 AS VARCHAR) AS g,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT g, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_transform(generate_series(1, len(t) - 2),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+              END AS ss
+      FROM toks
+    ), items AS (
+      SELECT DISTINCT g, substr(md5(s), 1, 16) AS h
+      FROM (SELECT g, unnest(ss) AS s FROM sh)
+    ), sigs AS (
+      SELECT g, count(*) AS n,
+             {_smh_mins}
+      FROM items GROUP BY g
+    ), banded AS (
+      {_smh_bands}
+    ), cand AS (
+      SELECT DISTINCT a.g AS ga, b.g AS gb
+      FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.g < b.g
+    ), inter AS (
+      SELECT c.ga, c.gb, count(*) AS n_common
+      FROM cand c
+      JOIN items ia ON ia.g = c.ga
+      JOIN items ib ON ib.g = c.gb AND ib.h = ia.h
+      GROUP BY c.ga, c.gb
+    )
+    SELECT c.ga AS group_a, c.gb AS group_b, sa.n AS n_a, sb.n AS n_b,
+           COALESCE(i.n_common, 0) AS n_common,
+           round(COALESCE(i.n_common, 0)::DOUBLE
+                 / (sa.n + sb.n - COALESCE(i.n_common, 0)), 6) AS jaccard
+    FROM cand c
+    JOIN sigs sa ON sa.g = c.ga
+    JOIN sigs sb ON sb.g = c.gb
+    LEFT JOIN inter i ON i.ga = c.ga AND i.gb = c.gb
+    WHERE COALESCE(i.n_common, 0)::DOUBLE
+          / (sa.n + sb.n - COALESCE(i.n_common, 0)) >= 0.06
+    ORDER BY group_a, group_b
     """
 
-    sql["funnel_signup_purchase"] = """
-    SELECT CAST(SUM(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signed_up,
-           CAST(SUM(CASE WHEN first_signup IS NOT NULL AND first_purchase IS NOT NULL
-                          AND first_purchase > first_signup THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
-    FROM (
-      SELECT user_id,
-             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
-             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
-      FROM events GROUP BY user_id
+    # round-8 promotion: snapshot diff — the engine compares sha2 digests,
+    # this twin compares the texts themselves (independent formulation)
+    sql["corpus_diff"] = """
+    WITH old AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+    ), new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 10 <> 1
     )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+          OR o.text IS DISTINCT FROM n.text
+    ORDER BY doc_id
     """
 
     sql["inverted_index_sample"] = r"""

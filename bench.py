@@ -553,7 +553,7 @@ def main() -> None:
     # representative engine queries on the driver testdata
     qs = entrymod.queries()
     for name in (
-        "q1_pricing_summary", "q3_top_orders", "q5_revenue_by_nation",
+        "q1_pricing_summary", "q3_top_orders", "cap_per_key",
         "uniqueness_lineitem", "timeseries_rollup_events", "window_event_ranks",
         "token_histogram_top", "minhash_lsh_pairs", "langid_by_lang",
         "chi2_drift_by_source", "simhash_documents", "decontaminate_documents",

@@ -519,6 +519,39 @@ def test_cap_per_key_bucket_matches_window_and_oracle(spark, capkey_df):
             assert out.columns == capkey_df.columns
 
 
+def test_cap_per_key_md5_family_matches_duckdb(spark, capkey_df):
+    """The md5 hash family (round-8, for the driver oracle): bucket ==
+    window == a DuckDB row_number window over the same rank string,
+    including the hex-prefix bucket boundary; bucket_bits must be
+    nibble-aligned for md5."""
+    import duckdb
+
+    from validation_engine.text import cap_per_key
+
+    pdf = capkey_df.toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    ref = {
+        x[0]
+        for x in con.execute("""
+          SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (
+              PARTITION BY domain
+              ORDER BY substr(md5(doc_id || '|7'), 1, 16), doc_id) rn
+            FROM t) WHERE rn <= 25""").fetchall()
+    }
+    for strat, bits in (("bucket", 12), ("bucket", 4), ("window", 12)):
+        out = cap_per_key(capkey_df, "domain", "doc_id", 25, seed=7,
+                          strategy=strat, bucket_bits=bits,
+                          hash_family="md5")
+        assert {r["doc_id"] for r in out.collect()} == ref, (strat, bits)
+    with pytest.raises(ValueError):
+        cap_per_key(capkey_df, "domain", "doc_id", 5, hash_family="md5",
+                    bucket_bits=10)
+    with pytest.raises(ValueError):
+        cap_per_key(capkey_df, "domain", "doc_id", 5, hash_family="sha9")
+
+
 def test_cap_per_key_counts_partitioning_and_seed(spark, capkey_df):
     from validation_engine.text import cap_per_key
 
@@ -2700,18 +2733,25 @@ def test_set_minhash_pairs_exact_jaccard(spark):
     }
     rows = [(g, int(v)) for g, vs in sets.items() for v in vs]
     df = spark.createDataFrame(rows, "grp string, item long")
-    out = {(r["group_a"], r["group_b"]): r for r in
-           set_minhash_pairs(df, "grp", "item", n_hashes=32, bands=32,
-                             threshold=0.5).collect()}
-    assert ("a1", "a2") in out and ("b1", "b2") in out
-    for (ga, gb), r in out.items():
-        inter = len(sets[ga] & sets[gb])
-        union = len(sets[ga] | sets[gb])
-        assert r["n_common"] == inter
-        assert r["n_a"] == len(sets[ga]) and r["n_b"] == len(sets[gb])
-        assert abs(r["jaccard"] - inter / union) < 1e-6
-        assert r["jaccard"] >= 0.5 and ga < gb
-    assert not any("c" in k for k in out)
+    # both hash families: candidate sets may differ, but every reported
+    # pair must carry the exact set stats, and the planted near-identical
+    # families must be found under either
+    for fam in ("xxhash64", "md5"):
+        out = {(r["group_a"], r["group_b"]): r for r in
+               set_minhash_pairs(df, "grp", "item", n_hashes=32, bands=32,
+                                 threshold=0.5, hash_family=fam).collect()}
+        assert ("a1", "a2") in out and ("b1", "b2") in out, fam
+        for (ga, gb), r in out.items():
+            inter = len(sets[ga] & sets[gb])
+            union = len(sets[ga] | sets[gb])
+            assert r["n_common"] == inter
+            assert r["n_a"] == len(sets[ga]) and r["n_b"] == len(sets[gb])
+            assert abs(r["jaccard"] - inter / union) < 1e-6
+            assert r["jaccard"] >= 0.5 and ga < gb
+        assert not any("c" in k for k in out)
+    import pytest
+    with pytest.raises(ValueError):
+        set_minhash_pairs(df, "grp", "item", hash_family="fnv")
 
 
 def test_set_minhash_threshold_on_unrounded_jaccard(spark):

@@ -1614,6 +1614,7 @@ def set_minhash_pairs(
     bands: int = 8,
     max_band_freq: Optional[int] = None,
     threshold: float = 0.0,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-identical GROUPS by Jaccard over their ITEM SETS:
     ``(group_a, group_b, n_a, n_b, n_common, jaccard)`` with
@@ -1641,30 +1642,63 @@ def set_minhash_pairs(
 
     With ``bands = n_hashes`` (1 row/band) recall approaches the
     single-MinHash collision probability = Jaccard itself; the default
-    8 bands x 4 rows targets the ``jaccard >= ~0.7`` fork regime."""
+    8 bands x 4 rows targets the ``jaccard >= ~0.7`` fork regime.
+
+    ``hash_family``: ``'xxhash64'`` (default — JVM intrinsics end to end,
+    the scale path) or ``'md5'``, where the item key is the first 16 hex
+    chars of ``md5(item)``, signature mins are
+    ``min(substr(md5(i || '|' || key), 1, 16))`` over lexicographic hex
+    strings, and the band key is ``md5(band || '|' || sig-slice joined by
+    '|')`` — every step reproducible character-for-character in a SQL
+    engine with ``md5()``, which is what the driver's DuckDB oracle runs
+    (the convention :func:`minhash_signature` and
+    :func:`validation_engine.text.mix_corpora` established).  Candidate
+    sets differ between families (different bands collide), so pick one
+    per pipeline; n_a/n_b/n_common/jaccard are exact under both."""
     rows = n_hashes // bands
     if rows * bands != n_hashes:
         raise ValueError("bands must divide n_hashes")
+    if hash_family not in ("xxhash64", "md5"):
+        raise ValueError("hash_family must be 'xxhash64' or 'md5'")
     item = F.col(item_col) if isinstance(item_col, str) else item_col
+    if hash_family == "md5":
+        ihash = F.substring(F.md5(item.cast("string")), 1, 16)
+    else:
+        ihash = F.xxhash64(item)
     items = (
-        df.select(F.col(group_col).alias("_g"), F.xxhash64(item).alias("_h"))
+        df.select(F.col(group_col).alias("_g"), ihash.alias("_h"))
         .distinct()
     )
-    sigs = items.groupBy("_g").agg(
-        F.count(F.lit(1)).alias("_n"),
-        *[
+    if hash_family == "md5":
+        sig_i = [
+            F.min(
+                F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("_h"))), 1, 16)
+            ).alias(f"_m{i}")
+            for i in range(n_hashes)
+        ]
+    else:
+        sig_i = [
             F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"_m{i}")
             for i in range(n_hashes)
-        ],
-    )
+        ]
+    sigs = items.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"), *sig_i)
     sig_arr = F.array(*[F.col(f"_m{i}") for i in range(n_hashes)])
+    if hash_family == "md5":
+        band_key = lambda b: F.md5(  # noqa: E731
+            F.concat_ws(
+                "|",
+                b.cast("string"),
+                F.array_join(F.slice(sig_arr, b * rows + 1, rows), "|"),
+            )
+        )
+    else:
+        band_key = lambda b: F.xxhash64(  # noqa: E731
+            b, F.slice(sig_arr, b * rows + 1, rows)
+        )
     banded = sigs.select(
         "_g",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(b, F.slice(sig_arr, b * rows + 1, rows)),
-            )
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
         ).alias("bkey"),
     )
     buckets = _bucket_groups(banded, "bkey", "_g", max_band_freq)
@@ -1689,7 +1723,7 @@ def set_minhash_pairs(
         .distinct()
     )
     sub = (
-        df.select(F.col(group_col).alias("_g"), F.xxhash64(item).alias("_h"))
+        df.select(F.col(group_col).alias("_g"), ihash.alias("_h"))
         .join(cg, "_g", "left_semi")
         .distinct()
     )

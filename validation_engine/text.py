@@ -451,6 +451,7 @@ def cap_per_key(
     seed: int = 42,
     strategy: str = "bucket",
     bucket_bits: int = 12,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Keep AT MOST ``n`` rows per key, deterministically — the
     per-domain / per-source quota pass of a crawl pipeline (cap documents
@@ -486,14 +487,34 @@ def cap_per_key(
     The worst straggler task therefore holds ~``max_key_count / 2^bucket_bits``
     rows instead of ``max_key_count`` (4096 buckets ⇒ a 10^9-row domain
     windows 244k narrow rows, not 10^9); raise ``bucket_bits`` to shrink
-    the boundary further at the cost of a wider histogram."""
+    the boundary further at the cost of a wider histogram.
+
+    ``hash_family``: ``'xxhash64'`` (default, the scale path — one JVM
+    intrinsic per row) or ``'md5'``, where the rank is the first 16 hex
+    chars of ``md5(id || '|' || seed)`` compared lexicographically and the
+    bucket is the rank's first ``bucket_bits/4`` hex chars (so
+    ``bucket_bits`` must be a multiple of 4) — reproducible
+    character-for-character in any SQL engine with ``md5()``, which is
+    what the driver's DuckDB oracle runs (same convention as
+    :func:`mix_corpora`)."""
     if n < 1:
         raise ValueError("n must be >= 1")
     if not 1 <= bucket_bits <= 30:
         raise ValueError("bucket_bits must be in [1, 30]")
     from pyspark.sql import Window
 
-    ov = F.xxhash64(F.col(id_col), F.lit(int(seed)))
+    if hash_family == "xxhash64":
+        ov = F.xxhash64(F.col(id_col), F.lit(int(seed)))
+    elif hash_family == "md5":
+        ov = F.substring(
+            F.md5(F.concat_ws("|", F.col(id_col).cast("string"),
+                              F.lit(str(int(seed))))),
+            1, 16,
+        )
+        if bucket_bits % 4 != 0:
+            raise ValueError("md5 hash_family needs bucket_bits % 4 == 0")
+    else:
+        raise ValueError("hash_family must be 'xxhash64' or 'md5'")
     if strategy == "window":
         w = Window.partitionBy(key_col).orderBy(ov.asc(), F.col(id_col).asc())
         return (
@@ -503,9 +524,14 @@ def cap_per_key(
         )
     if strategy != "bucket":
         raise ValueError("strategy must be 'bucket' or 'window'")
-    d = df.withColumn("_cap_ov", ov).withColumn(
-        "_cap_b", F.shiftright(F.col("_cap_ov"), 64 - bucket_bits).cast("int")
-    )
+    if hash_family == "md5":
+        # hex-prefix bucket: lexicographically order-consistent with the
+        # string rank, exactly as the arithmetic shift is with the long
+        bkt, btype = F.substring(F.col("_cap_ov"), 1, bucket_bits // 4), "string"
+    else:
+        bkt = F.shiftright(F.col("_cap_ov"), 64 - bucket_bits).cast("int")
+        btype = "int"
+    d = df.withColumn("_cap_ov", ov).withColumn("_cap_b", bkt)
     counts = d.groupBy(key_col, "_cap_b").agg(F.count(F.lit(1)).alias("_c"))
     hist = counts.groupBy(key_col).agg(
         F.sort_array(
@@ -516,14 +542,14 @@ def cap_per_key(
         F.col("_h"),
         F.struct(
             F.lit(0).cast("long").alias("cum"),
-            F.lit(None).cast("int").alias("cut"),
+            F.lit(None).cast(btype).alias("cut"),
             F.lit(0).cast("long").alias("rem"),
         ),
         lambda acc, x: F.when(acc["cut"].isNotNull(), acc).otherwise(
             F.struct(
                 (acc["cum"] + x["c"]).alias("cum"),
                 F.when(acc["cum"] + x["c"] >= n, x["b"])
-                .otherwise(F.lit(None).cast("int"))
+                .otherwise(F.lit(None).cast(btype))
                 .alias("cut"),
                 F.when(acc["cum"] + x["c"] >= n, F.lit(n).cast("long") - acc["cum"])
                 .otherwise(F.lit(0).cast("long"))
