@@ -40,9 +40,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # every timed query runs on a FRESH plan per attempt (new lineage —
 # re-collecting the same DataFrame would reuse shuffle outputs and report
-# ~0) and the best CLEAN attempt is recorded
-ATTEMPTS = int(os.environ.get("BENCH_ATTEMPTS", "2"))
-MAX_EXTRA = int(os.environ.get("BENCH_MAX_EXTRA_ATTEMPTS", "3"))
+# ~0) and the best CLEAN attempt is recorded.
+# Round-8 defaults: 1 mandatory attempt (was 2) + up to 4 retries.  A
+# verified-clean first attempt (foreign/steal gates below) is accepted
+# outright — halving the suite's wall time on a quiet host, which widens
+# the odds the WHOLE run fits inside a quiet window (round 7's driver
+# record went contended because the full 69 s suite straddled neighbor
+# load; the committed clean re-run matched round 6 exactly).  A noisy
+# attempt still retries as before.
+ATTEMPTS = int(os.environ.get("BENCH_ATTEMPTS", "1"))
+MAX_EXTRA = int(os.environ.get("BENCH_MAX_EXTRA_ATTEMPTS", "4"))
 FOREIGN_CLEAN_CORES = float(os.environ.get("BENCH_FOREIGN_CLEAN_CORES", "2.0"))
 # hypervisor steal scales with the vCPU count: 1 stolen core of 32 inflates
 # wall ~3% — tolerable; the same core of 4 is a 25% hit

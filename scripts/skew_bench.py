@@ -138,8 +138,12 @@ def completed_stage_ids(app_id):
 def worst_stage_skew(app_id, new_ids):
     """The straggler signal: among the job's substantial stages (max task
     ≥ 150 ms — tiny result stages are ratio noise), the one with the worst
-    max/median task-duration ratio."""
+    max/median task-duration ratio, PLUS the absolute worst task across
+    all the job's stages (round-8 addition: when AQE coalesces a skewed
+    stage down to ONE task, max == median and the ratio reads 1.0 — the
+    5-second straggler only shows in the absolute number)."""
     worst = None
+    worst_task = 0.0
     for sid in new_ids:
         try:
             q = _rest(
@@ -149,6 +153,7 @@ def worst_stage_skew(app_id, new_ids):
             med, mx = q["executorRunTime"]
         except Exception:
             continue
+        worst_task = max(worst_task, mx)
         if mx < 150:
             continue
         ratio = mx / max(med, 1.0)
@@ -161,6 +166,7 @@ def worst_stage_skew(app_id, new_ids):
         "max_task_ms": round(mx, 1),
         "median_task_ms": round(med, 1),
         "max_over_median": round(ratio, 2),
+        "worst_task_ms": round(worst_task, 1),
     }
 
 

@@ -1,0 +1,278 @@
+"""Round-8 adversarial skew benches (round-7 VERDICT tasks #1, #4, #6).
+
+Reuses the round-7 harness (:mod:`skew_bench`): every measured job pulls
+per-stage task-duration quantiles from the Spark UI REST API and reports
+the worst substantial stage's max/median task ratio — the straggler
+signal itself, not just wall clock.  Four planted-adversary rows:
+
+* ``exact_dedup``: 50 % of the corpus byte-identical.  A/B of the new
+  round-8 DEFAULT (``strategy='agg'``: map-side-combined keeper +
+  semi-join on a row-unique key) vs the old default (``'window'``:
+  ``min(id) over (partition by digest)``, which co-locates the mega
+  digest's full-text rows on one task).
+* ``span_dedup``: 50 % of documents embed the SAME 50-token block inside
+  unique context, so ONE window hash covers half the corpus — the
+  dup-hash join key a naive plan would straggle on; the shipped plan's
+  only all-to-all is a map-side-combined hash count and the join is
+  AQE-splittable.
+* ``set_minhash_pairs``: a mega template family — half the repos share
+  one identical file set, so one band key holds thousands of groups;
+  ``max_band_freq`` drops it inside the salted ladder before any list
+  aggregation.
+* ``asof_join``: one device carries 97 % of the right-side telemetry.
+  A/B default (per-key window — the hot key's whole history sorts on one
+  task) vs ``bucket_width`` (per-(key, bucket) windows + carry chain +
+  AQE-splittable equi-join), results asserted identical.
+
+Usage: [SKEW_ROWS=2000000] [ATTEMPTS=2] python scripts/skew_bench_r8.py
+Writes BENCH/skew_r8.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+sys.path.insert(0, HERE)
+
+import pyspark.sql.functions as F  # noqa: E402
+
+import skew_bench as sb  # noqa: E402  (the round-7 harness)
+from validation_engine.session import get_spark  # noqa: E402
+
+ROWS = int(os.environ.get("SKEW_ROWS", "2000000"))
+
+SHARED_BLOCK = " ".join(f"boiler{i}" for i in range(50))
+
+
+def exact_corpus(spark):
+    """50 % byte-identical docs (one mega digest)."""
+    gate = F.pmod(F.xxhash64("id"), F.lit(1000)) < 500
+    return (
+        spark.range(ROWS)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "id",
+            F.when(gate, F.lit(sb.BOILER))
+            .otherwise(
+                F.concat_ws(
+                    " ",
+                    F.lit("unique doc"),
+                    F.col("id").cast("string"),
+                    (F.col("id") % 977).cast("string"),
+                )
+            )
+            .alias("text"),
+        )
+        .persist()
+    )
+
+
+def span_corpus(spark):
+    """50 % of docs embed the same 50-token block in unique context: one
+    window hash covers half the corpus (docs sized so each carrier doc
+    contributes exactly one duplicated window)."""
+    gate = F.pmod(F.xxhash64("id"), F.lit(1000)) < 500
+    uniq = F.concat_ws(
+        " ",
+        F.lit("prefix"),
+        F.col("id").cast("string"),
+        (F.col("id") % 7919).cast("string"),
+    )
+    return (
+        spark.range(ROWS // 10)  # span dedup is per-token work: 200k docs
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "id",
+            F.when(gate, F.concat_ws(" ", uniq, F.lit(SHARED_BLOCK)))
+            .otherwise(
+                F.concat_ws(
+                    " ",
+                    uniq,
+                    *[
+                        ((F.col("id") + i) % 104729).cast("string")
+                        for i in range(50)
+                    ],
+                )
+            )
+            .alias("text"),
+        )
+        .persist()
+    )
+
+
+def fork_corpus(spark):
+    """File rows for repo-level set similarity: half the repos are
+    byte-identical 20-file template clones (one band key holds them ALL —
+    the mega bucket ``max_band_freq`` must drop inside the ladder, before
+    any list aggregation), 30 repos form a genuine small fork family (the
+    pairs the run must still REPORT), the rest are unique 20-file repos."""
+    n_repos = ROWS // 100  # 20k repos x 20 files = 400k file rows
+    files = spark.range(n_repos * 20).select(
+        (F.col("id") / 20).cast("long").alias("repo_id"),
+        (F.col("id") % 20).alias("f"),
+    )
+    tmpl = F.pmod(F.xxhash64("repo_id"), F.lit(1000)) < 500
+    fam = (~tmpl) & (F.pmod(F.xxhash64("repo_id", F.lit(3)), F.lit(1000)) < 3)
+    return (
+        files.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.concat(F.lit("r"), F.col("repo_id").cast("string")).alias("repo"),
+            F.when(
+                tmpl, F.concat(F.lit("template_file_"), F.col("f").cast("string"))
+            )
+            .when(
+                fam, F.concat(F.lit("family_file_"), F.col("f").cast("string"))
+            )
+            .otherwise(
+                F.concat_ws(
+                    "_",
+                    F.lit("file"),
+                    F.col("repo_id").cast("string"),
+                    F.col("f").cast("string"),
+                )
+            )
+            .alias("item"),
+        )
+        .persist()
+    )
+
+
+def asof_frames(spark):
+    """Telemetry with one hot device: 97 % of right-side readings belong
+    to device 'hot'; probes spread across devices."""
+    n_dev = 64
+    right = (
+        spark.range(ROWS)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.when(
+                F.pmod(F.xxhash64("id"), F.lit(1000)) < 970, F.lit("hot")
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("dev"), F.pmod("id", F.lit(n_dev)).cast("string")
+                )
+            )
+            .alias("device"),
+            (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10_000_000)))
+            .cast("double")
+            .alias("rts"),
+            (F.col("id") % 1000).cast("double").alias("reading"),
+        )
+        .persist()
+    )
+    left = (
+        spark.range(ROWS // 20)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.concat(
+                F.lit("dev"), F.pmod("id", F.lit(n_dev)).cast("string")
+            ).alias("device"),
+            (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(10_000_000)))
+            .cast("double")
+            .alias("lts"),
+        )
+        .withColumn(
+            "device",
+            F.when(F.pmod(F.xxhash64("device"), F.lit(4)) == 0, F.lit("hot"))
+            .otherwise(F.col("device")),
+        )
+        .persist()
+    )
+    return left, right
+
+
+def main():
+    spark = get_spark(
+        "skew-bench-r8",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": str(sb.UI_PORT),
+        },
+    )
+    from validation_engine.dedup import exact_dedup, set_minhash_pairs, span_dedup
+    from validation_engine.relational import asof_join
+
+    results = {"rows": ROWS, "attempts": sb.ATTEMPTS}
+
+    docs = exact_corpus(spark)
+    docs.count()
+    sb.measure(
+        spark, "exact_dedup_agg_default",
+        lambda: exact_dedup(docs, "id", "text"), results,
+    )
+    sb.measure(
+        spark, "exact_dedup_window_old_default",
+        lambda: exact_dedup(docs, "id", "text", strategy="window"), results,
+    )
+    docs.unpersist()
+
+    sdocs = span_corpus(spark)
+    sdocs.count()
+    # the trailing filter DEPENDS on n_dup_tokens, so count() cannot
+    # column-prune the span pipeline away (a bare .count() would — the
+    # one-row-aggregate and column-pruning rules both short-circuit it)
+    sb.measure(
+        spark, "span_dedup_mega_hash",
+        lambda: span_dedup(sdocs, "id", "text", min_len=50, mode="mark")
+        .filter(F.col("n_dup_tokens") > 0),
+        results,
+    )
+    sdocs.unpersist()
+
+    forks = fork_corpus(spark)
+    forks.count()
+    sb.measure(
+        spark, "set_minhash_mega_family",
+        lambda: set_minhash_pairs(
+            forks, "repo", "item", n_hashes=16, bands=4,
+            max_band_freq=50, threshold=0.7,
+        ),
+        results,
+    )
+    forks.unpersist()
+
+    left, right = asof_frames(spark)
+    left.count(), right.count()
+    # count() alone would prune the fill windows (row count is decided by
+    # the _aside filter); the isNotNull filter forces the carried value
+    matched = lambda df: df.filter(  # noqa: E731
+        F.col("reading_asof").isNotNull()
+    )
+    sb.measure(
+        spark, "asof_hot_key_bucketed",
+        lambda: matched(asof_join(
+            left, right, ["device"], "lts", "rts",
+            bucket_width=20_000.0,  # ~500 buckets over the ts range
+        )),
+        results,
+    )
+    sb.measure(
+        spark, "asof_hot_key_window_default",
+        lambda: matched(asof_join(left, right, ["device"], "lts", "rts")),
+        results,
+    )
+    # identical results across the two plans (checksum over the output)
+    chk = lambda df: df.agg(  # noqa: E731
+        F.sum(F.hash("device", "lts", "reading_asof")).alias("c")
+    ).first()["c"]
+    a = chk(asof_join(left, right, ["device"], "lts", "rts"))
+    b = chk(asof_join(left, right, ["device"], "lts", "rts", bucket_width=20_000.0))
+    results["asof_outputs_identical"] = bool(a == b)
+    assert a == b, (a, b)
+
+    os.makedirs("BENCH", exist_ok=True)
+    out = os.path.join("BENCH", os.environ.get("SKEW_OUT", "skew_r8.json"))
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", out)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
