@@ -1,0 +1,158 @@
+"""Cross-run incremental validation (`Workflow.run_incremental`).
+
+The daily 100 TB shape: the corpus table grows (and occasionally edits or
+retracts rows) between validation runs; only the changed rows should be
+re-scanned, and the merged outputs must be INDISTINGUISHABLE from a full
+fresh run over the new snapshot.  The reference memoizes whole luigi
+targets (`task.py:612-628`); this is that memoization at row granularity,
+so these tests have no reference twin — the oracle is the engine's own
+full run on the same snapshot.
+"""
+
+import hashlib
+
+import pytest
+
+from validation_engine import (
+    CheckpointManager,
+    ElementStage,
+    SetStage,
+    Workflow,
+    non_empty,
+)
+from validation_engine.checks import lang_matches_extension
+
+KEYS = ["repo", "path", "commit"]
+
+
+def _resha(pdf):
+    pdf = pdf.copy()
+    pdf["content_sha256"] = [
+        hashlib.sha256(c.encode()).hexdigest() for c in pdf["content"]
+    ]
+    return pdf
+
+
+def _snapshots(spark, corpus):
+    """v1 = 600 unique-keyed files; v2 = v1 with 50 rows retracted, 40 rows
+    edited (content + fingerprint change), 120 new rows appended."""
+    base = (
+        corpus["files"]
+        .dropDuplicates(KEYS)
+        .orderBy(*KEYS)
+        .limit(720)
+        .toPandas()
+    )
+    v1 = base.iloc[:600].reset_index(drop=True)
+    appended = base.iloc[600:].reset_index(drop=True)
+
+    v2 = v1.iloc[50:].reset_index(drop=True)  # retract the first 50
+    edited_idx = v2.index[:40]
+    v2.loc[edited_idx, "content"] = [
+        f"edited {i} -- new body" for i in edited_idx
+    ]
+    import pandas as pd
+
+    v2 = _resha(pd.concat([v2, appended], ignore_index=True))
+    return spark.createDataFrame(v1), spark.createDataFrame(v2)
+
+
+def _stages():
+    # a 2-stage chain so the delta run exercises upstream-report joins too
+    up = ElementStage("chk", checks=[non_empty("content")])
+    down = ElementStage(
+        "lang", checks=[lang_matches_extension("lang", "path")],
+        inputs={"chk": {}},
+    )
+    return [up, down]
+
+
+def _summary_key(s):
+    return (s["stage"], s["partition"], s["n_total"], s["n_valid"],
+            s["n_warning"])
+
+
+def test_run_incremental_matches_full_run(spark, corpus, tmp_path):
+    v1, v2 = _snapshots(spark, corpus)
+
+    # base run: full validation of v1, coverage committed alongside
+    ckpt1 = CheckpointManager(str(tmp_path / "run1"))
+    Workflow(_stages(), checkpoint=ckpt1, run_id="base").run(spark, v1)
+    ckpt1.commit_coverage(spark, v1, ["content_sha256"], KEYS)
+
+    # incremental run over v2 against run1's coverage
+    ckpt2 = CheckpointManager(str(tmp_path / "run2"))
+    wf2 = Workflow(_stages(), checkpoint=ckpt2, run_id="inc")
+    inc = wf2.run_incremental(
+        spark, v2, prev=ckpt1, fingerprint_cols=["content_sha256"]
+    )
+
+    # the delta run judged ONLY the 40 edited + 120 appended rows
+    delta_total = sum(
+        s["n_total"] for s in inc.delta.summaries if s["stage"] == "chk"
+    )
+    assert delta_total == 160
+
+    # merged outputs are indistinguishable from a full fresh run on v2
+    full = Workflow(_stages()).run(spark, v2)
+    for name in ("chk", "lang"):
+        assert sorted(map(tuple, inc.reports[name].collect())) == sorted(
+            map(tuple, full.reports[name].collect())
+        )
+        assert sorted(map(tuple, inc.violations[name].collect())) == sorted(
+            map(tuple, full.violations[name].collect())
+        )
+    assert sorted(map(_summary_key, inc.summaries)) == sorted(
+        map(_summary_key, full.summaries)
+    )
+
+    # increments chain: run2 committed v2's coverage, and a no-change
+    # snapshot yields an EMPTY delta with identical merged outputs
+    ckpt3 = CheckpointManager(str(tmp_path / "run3"))
+    wf3 = Workflow(_stages(), checkpoint=ckpt3, run_id="inc2")
+    inc2 = wf3.run_incremental(
+        spark, v2, prev=ckpt2, fingerprint_cols=["content_sha256"]
+    )
+    assert sum(s["n_total"] for s in inc2.delta.summaries) == 0
+    assert sorted(map(_summary_key, inc2.summaries)) == sorted(
+        map(_summary_key, full.summaries)
+    )
+
+
+def test_run_incremental_guards(spark, corpus, tmp_path):
+    v1, v2 = _snapshots(spark, corpus)
+    ckpt1 = CheckpointManager(str(tmp_path / "run1"))
+
+    # prior run incomplete → refuse
+    wf = Workflow(_stages())
+    with pytest.raises(ValueError, match="incomplete"):
+        wf.run_incremental(spark, v2, prev=ckpt1,
+                           fingerprint_cols=["content_sha256"])
+
+    Workflow(_stages(), checkpoint=ckpt1).run(spark, v1)
+
+    # complete but no committed coverage → refuse (crash-safety marker)
+    with pytest.raises(FileNotFoundError, match="coverage"):
+        wf.run_incremental(spark, v2, prev=ckpt1,
+                           fingerprint_cols=["content_sha256"])
+
+    ckpt1.commit_coverage(spark, v1, ["content_sha256"], KEYS)
+
+    # set-level stages cannot carry row verdicts
+    def set_fn(frame, keys):
+        return frame
+
+    wf_set = Workflow([SetStage("s", set_fn)])
+    with pytest.raises(ValueError, match="set-level"):
+        wf_set.run_incremental(spark, v2, prev=ckpt1,
+                               fingerprint_cols=["content_sha256"])
+
+    # custom transform_index changes the key space
+    class Shifted(ElementStage):
+        def transform_index(self, df):
+            return df
+
+    wf_ti = Workflow([Shifted("t", checks=[non_empty("content")])])
+    with pytest.raises(ValueError, match="transform_index"):
+        wf_ti.run_incremental(spark, v2, prev=ckpt1,
+                              fingerprint_cols=["content_sha256"])

@@ -384,6 +384,60 @@ class CheckpointManager:
         m["run_id"] = run_id
         self._write_manifest(stage, m)
 
+    # -- coverage (incremental-run support) --------------------------------
+    def _coverage_dir(self) -> str:
+        if self._remote:
+            return f"{self.root.rstrip('/')}/coverage"
+        return os.path.join(self.root, "coverage")
+
+    def commit_coverage(
+        self, spark: SparkSession, dataset: DataFrame, fingerprint_cols, keys
+    ) -> None:
+        """Record WHICH dataset rows this run validated: one narrow row of
+        ``keys + fingerprint_cols`` per element, written run-level (not
+        per-stage — every element stage covers the same key set).
+
+        This is the durable input :meth:`Workflow.run_incremental` diffs the
+        next snapshot against, so a daily re-validation of a grown corpus
+        scans only new/changed rows.  The write is a column-pruned pass over
+        the dataset plan — at 10^12-file scale the payload column never
+        moves, only keys + the fingerprint (`content_sha256`-style) do.
+
+        Staged-then-rename is unnecessary: coverage is written AFTER the
+        stage manifests flip (the run is already complete), and a crash
+        before it finishes simply leaves the root unusable as an incremental
+        base — `read_coverage` requires the `_COVERED` marker written last.
+        """
+        d = self._coverage_dir()
+        cols = list(keys) + [c for c in fingerprint_cols if c not in keys]
+        self._delete_dir(d)
+        dataset.select(*cols).write.mode("overwrite").parquet(d)
+        if self._remote:
+            fs, hpath, _ = self._hadoop_fs(f"{d}/_COVERED")
+            fs.create(hpath, True).close()
+        else:
+            with open(os.path.join(d, "_COVERED"), "w") as f:
+                f.write("")
+
+    def has_coverage(self) -> bool:
+        d = self._coverage_dir()
+        marker = (
+            f"{d}/_COVERED" if self._remote else os.path.join(d, "_COVERED")
+        )
+        if self._remote:
+            fs, hpath, _ = self._hadoop_fs(marker)
+            return bool(fs.exists(hpath))
+        return os.path.exists(marker)
+
+    def read_coverage(self, spark: SparkSession) -> DataFrame:
+        if not self.has_coverage():
+            raise FileNotFoundError(
+                f"no committed coverage under {self.root!r} — the prior run "
+                "must call commit_coverage (or Workflow.run_incremental with "
+                "a checkpoint) to be usable as an incremental base"
+            )
+        return spark.read.parquet(self._coverage_dir())
+
     # -- readers ----------------------------------------------------------
     def read_report(self, spark: SparkSession, stage: str) -> DataFrame:
         df = spark.read.parquet(os.path.join(self._stage_dir(stage), "report"))

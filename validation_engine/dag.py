@@ -50,6 +50,9 @@ class RunResult:
     violations: dict  # stage name -> DataFrame
     summaries: list  # summary row dicts across stages
     dropped_inconsistent: dict = field(default_factory=dict)
+    #: set by run_incremental: the inner RunResult over the delta rows only
+    #: (its summaries prove how little of the snapshot was actually scanned)
+    delta: "Optional[RunResult]" = None
 
 
 class Workflow:
@@ -452,6 +455,262 @@ class Workflow:
             violations=violations,
             summaries=summaries,
             dropped_inconsistent=dropped_all,
+        )
+
+    # ------------------------------------------------------------------
+    def run_incremental(
+        self,
+        spark: SparkSession,
+        dataset: DataFrame,
+        prev: CheckpointManager,
+        fingerprint_cols: Sequence[str] = ("content_sha256",),
+    ) -> RunResult:
+        """Validate a GROWN/CHANGED snapshot against a prior completed run,
+        scanning only the rows the prior run has not already judged.
+
+        The daily shape of the north rule at 10^12 files: the corpus table
+        gains (and occasionally edits or retracts) rows between runs, and a
+        full re-validation would re-read ~100 TB to re-derive verdicts that
+        cannot have changed.  A row's verdict is a pure function of its own
+        columns (element stages only — enforced below), so a prior verdict
+        carries forward as long as the row's key AND fingerprint are
+        unchanged.  The reference has no analogue (luigi memoizes whole
+        targets, `task.py:612-628` — all-or-nothing); this is that
+        memoization pushed down to row granularity.
+
+        Mechanics (all joins key/fingerprint-narrow — the payload column
+        never crosses an exchange):
+
+        1. ``delta``: snapshot rows anti-joined against the prior run's
+           committed coverage on ``keys + fingerprint_cols`` — new keys and
+           changed fingerprints survive, carried rows drop out map-side
+           after the sort-merge (AQE-planned; both sides are narrow).
+        2. The normal :meth:`run` executes on the delta only (with this
+           workflow's own checkpoint/resume semantics intact).
+        3. Per stage, the merged report = prior report rows whose element is
+           still present-and-unchanged (left_semi on keys against the
+           carried coverage) ∪ the fresh delta report.  Retracted and
+           superseded rows fall out of the semi-join.  Violations merge the
+           same way.
+        4. Summaries merge ARITHMETICALLY: prior per-partition counts, minus
+           the retired rows' contribution (one narrow aggregation over the
+           prior report restricted to retired keys), plus the delta run's
+           counts — the carried majority is never re-aggregated.
+
+        ``fingerprint_cols`` must cover every dataset column any stage reads
+        (the per-row invariant column — ``content_sha256`` for the reference
+        corpus — or a composite).  A changed column outside the fingerprint
+        would carry a stale verdict; that contract is the caller's.
+
+        Requires every stage to be element-level with the default
+        ``transform_index`` (a set-level verdict depends on rows outside the
+        delta; a custom index changes the key space) — raises otherwise.
+        If this workflow has a checkpoint, the new snapshot's coverage is
+        committed there, so increments chain run-over-run.
+        """
+        from .stage import SetStage
+
+        for s in self.stages.values():
+            if isinstance(s, SetStage):
+                raise ValueError(
+                    f"[{s.name}] set-level stages cannot run incrementally: "
+                    "their verdict depends on the whole set, not each row"
+                )
+            if type(s).transform_index is not Stage.transform_index:
+                raise ValueError(
+                    f"[{s.name}] custom transform_index changes the key "
+                    "space — incremental coverage cannot be carried"
+                )
+        for name in self.stages:
+            if not prev.is_complete(name):
+                raise ValueError(
+                    f"prior run is incomplete for stage '{name}' — only a "
+                    "fully committed run can serve as an incremental base"
+                )
+
+        keys = list(self.keys)
+        fps = [c for c in fingerprint_cols if c not in keys]
+        on = keys + fps
+        prev_cov = prev.read_coverage(spark).select(*on)
+        new_cov = dataset.select(*on)
+
+        # 1-2. delta rows → full normal run.  With a checkpoint, the delta
+        # run commits under <root>/delta (its own resume domain) and the
+        # MERGED view is then committed under <root>/stages through the
+        # audited commit_stage protocol — so this root is itself a complete
+        # base for the NEXT increment (copy-on-write of the narrow verdict
+        # table; the payload column is only ever read for the delta).
+        delta_ds = dataset.join(prev_cov, on=on, how="left_anti")
+        ck = self.checkpoint
+        delta_ck = None
+        if ck is not None:
+            import os as _os
+
+            delta_ck = CheckpointManager(
+                _os.path.join(ck.root, "delta")
+                if not getattr(ck, "_remote", False)
+                else f"{ck.root.rstrip('/')}/delta",
+                n_chunks=ck.n_chunks,
+            )
+        try:
+            self.checkpoint = delta_ck
+            inner = self.run(spark, delta_ds)
+        finally:
+            self.checkpoint = ck
+
+        # carried key set (narrow; Spark re-derives the plan per stage but
+        # each instance is a two-narrow-stream join, AQE-planned)
+        carried_keys = prev_cov.join(new_cov, on=on, how="left_semi").select(*keys)
+
+        reports, violations, summaries = {}, {}, []
+        metric_keys = ("n_total", "n_valid", "n_warning")
+        if ck is not None:
+            # raw stored reports keep the per-row `_viol` tag (read_report
+            # strips it) so the merged commit's lineage metrics count real
+            # violation rows, not zeros
+            def _raw_report(mgr, stage_name):
+                d = mgr._stage_dir(stage_name)
+                p = (
+                    f"{d.rstrip('/')}/report"
+                    if getattr(mgr, "_remote", False)
+                    else __import__("os").path.join(d, "report")
+                )
+                return spark.read.parquet(p).drop("chunk")
+
+            # -- durable merge: carried(+_vpart) ∪ delta(+_vpart) recommitted
+            for name in self._topo_order():
+                carried_rep = _raw_report(prev, name).join(
+                    carried_keys, on=keys, how="left_semi"
+                )
+                merged_rep = carried_rep.unionByName(
+                    _raw_report(delta_ck, name)
+                )
+                carried_viol = prev.read_violations(spark, name).join(
+                    carried_keys, on=keys, how="left_semi"
+                )
+                merged_viol = carried_viol.unionByName(
+                    delta_ck.read_violations(spark, name),
+                    allowMissingColumns=True,
+                )
+                # the deriver contract is "violations from the staged report";
+                # here they are already derived — the closure returns the
+                # precomputed union (carries _vpart, so chunk placement and
+                # the idempotent-overwrite retry semantics hold)
+                report, viols = ck.commit_stage(
+                    spark, name, merged_rep,
+                    deriver=lambda _rep, mv=merged_viol: mv,
+                    run_id=self.run_id,
+                )
+                per_part = ck.stage_metrics(name)
+                totals = {
+                    k: sum(p[k] for p in per_part.values())
+                    for k in (
+                        "n_total", "n_valid", "n_warning", "null_valid",
+                        "valid_but_1", "invalid_but_0", "warning_no_comment",
+                    )
+                }
+                R.enforce_consistency(totals, stage=name)
+                stage_summaries = [
+                    {
+                        "stage": name,
+                        "partition": part,
+                        "n_total": p["n_total"],
+                        "n_valid": p["n_valid"],
+                        "n_warning": p["n_warning"],
+                        "stats": (
+                            {"n_violation_rows": float(p["n_violation_rows"])}
+                            if "n_violation_rows" in p
+                            else None
+                        ),
+                    }
+                    for part, p in sorted(per_part.items())
+                ]
+                ck.commit_summary(spark, name, stage_summaries,
+                                  run_id=self.run_id)
+                summaries.extend(stage_summaries)
+                reports[name] = report.drop("_vpart", "_viol")
+                violations[name] = viols.drop("_vpart")
+            ck.commit_coverage(spark, dataset, fps, keys)
+        else:
+            # -- ephemeral merge: read-time view, summaries by ARITHMETIC
+            # (prior − retired + delta) so the carried majority is never
+            # re-aggregated
+            retired_keys = prev_cov.join(
+                new_cov, on=on, how="left_anti"
+            ).select(*keys)
+            prev_summary = {}  # (stage, partition) -> counts
+            for name in self.stages:
+                for r in prev.read_summary(spark, name).collect():
+                    prev_summary[(name, r["partition"])] = {
+                        k: r[k] for k in metric_keys
+                    }
+            delta_summary = {
+                (s["stage"], s["partition"]): s for s in inner.summaries
+            }
+            for name in self._topo_order():
+                prev_rep = prev.read_report(spark, name)
+                carried_rep = prev_rep.join(carried_keys, on=keys,
+                                            how="left_semi")
+                reports[name] = carried_rep.drop("_vpart").unionByName(
+                    inner.reports[name]
+                )
+                carried_viol = prev.read_violations(spark, name).join(
+                    carried_keys, on=keys, how="left_semi"
+                )
+                violations[name] = carried_viol.drop("_vpart").unionByName(
+                    inner.violations[name], allowMissingColumns=True
+                )
+                retired = (
+                    prev_rep.join(retired_keys, on=keys, how="left_semi")
+                    .groupBy("_vpart")
+                    .agg(
+                        F.count(F.lit(1)).alias("n_total"),
+                        F.count(F.when(F.col("is_valid"), 1)).alias("n_valid"),
+                        F.count(F.when(F.col("ret_code") > 1, 1)).alias(
+                            "n_warning"
+                        ),
+                    )
+                    .collect()
+                )
+                retired_by_part = {
+                    r["_vpart"]: {k: r[k] for k in metric_keys}
+                    for r in retired
+                }
+                parts = (
+                    {p for (st, p) in prev_summary if st == name}
+                    | {p for (st, p) in delta_summary if st == name}
+                )
+                for part in sorted(parts):
+                    counts = {
+                        k: prev_summary.get((name, part), {}).get(k, 0)
+                        - retired_by_part.get(part, {}).get(k, 0)
+                        + delta_summary.get((name, part), {}).get(k, 0)
+                        for k in metric_keys
+                    }
+                    if counts["n_total"] == 0:
+                        continue  # partition fully retired
+                    if (counts["n_valid"] < 0
+                            or counts["n_total"] < counts["n_valid"]):
+                        raise R.ValidationError(
+                            f"[{name}] merged summary counts are inconsistent "
+                            f"for partition {part!r}: {counts} — the prior "
+                            "coverage does not match its committed reports"
+                        )
+                    summaries.append(
+                        {
+                            "stage": name,
+                            "partition": part,
+                            "stats": None,
+                            **counts,
+                        }
+                    )
+
+        return RunResult(
+            reports=reports,
+            violations=violations,
+            summaries=summaries,
+            dropped_inconsistent=dict(inner.dropped_inconsistent),
+            delta=inner,
         )
 
     # ------------------------------------------------------------------
