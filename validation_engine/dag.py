@@ -540,7 +540,16 @@ class Workflow:
         # audited commit_stage protocol — so this root is itself a complete
         # base for the NEXT increment (copy-on-write of the narrow verdict
         # table; the payload column is only ever read for the delta).
-        delta_ds = dataset.join(prev_cov, on=on, how="left_anti")
+        # delta derivation in TWO steps so the payload column never enters
+        # the anti-join's exchange: (a) narrow anti-join finds the delta's
+        # keys+fingerprints (both streams are a few dozen bytes/row); (b) the
+        # dataset semi-joins against that key set — for the common daily case
+        # (delta ≪ corpus) AQE plans (b) as a broadcast hash semi join, so
+        # the 100 TB payload side is map-side filtered and never shuffles.
+        # A one-step `dataset ANTI prev_cov` would sort-merge-exchange every
+        # payload byte just to drop 99% of the rows.
+        delta_keys = new_cov.join(prev_cov, on=on, how="left_anti")
+        delta_ds = dataset.join(delta_keys, on=on, how="left_semi")
         ck = self.checkpoint
         delta_ck = None
         if ck is not None:
