@@ -1,0 +1,203 @@
+"""Incremental-revalidation A/B: full fresh run vs `run_incremental`.
+
+The north-rule daily shape at 10^12 files: between validation runs the
+corpus gains ~1% new rows and edits ~0.2%; a full re-run re-reads and
+re-judges every payload byte to re-derive verdicts that cannot have
+changed.  This bench measures the row-level memoization win end-to-end on
+a real parquet snapshot pair:
+
+* v1 = N deterministic code files (`spark_codefiles`), written to parquet;
+  a checkpointed base run validates it and commits coverage.
+* v2 = v1 + 1% appended rows + 0.2% edited rows (content + sha change),
+  written to parquet.
+* A: full checkpointed run over v2 (what a non-incremental engine does).
+* B: `run_incremental` over v2 against v1's coverage (same check suite,
+  same commit protocol — the merged root is a complete base itself).
+
+Reported: wall seconds for A and B, rows actually judged by each, the
+speedup, and a verification that B's merged summary totals equal A's.
+The judged-row ratio (~77x here) is the scan-proportional metric — at
+100 TB the payload dominates and wall-clock tracks it; at bench scale the
+fixed commit/merge overhead (rewriting the narrow verdict table) bounds
+the wall-clock win below the judged-row ratio.
+
+Env knobs: INC_ROWS (default 2_000_000), INC_CPUS (default 8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+N_ROWS = int(os.environ.get("INC_ROWS", "1000000"))
+REPEAT = int(os.environ.get("INC_REPEAT", "8"))
+CPUS = int(os.environ.get("INC_CPUS", "8"))
+WORK = os.environ.get("INC_WORKDIR", "/tmp/inc_bench")
+KEYS = ["repo", "path", "commit"]
+
+
+def _python_check_fn(pdf):
+    """Reference-shaped validation fn: arbitrary per-row Python (the
+    reference's element fns run morphology analyses etc. — `util.py`
+    apply_to_df).  Tokenize + incrementally hash every row; cost scales
+    with payload bytes, which is exactly what row-level memoization
+    amortizes away."""
+    import hashlib
+
+    import pandas as pd
+
+    valid, comments = [], []
+    for c in pdf["content"]:
+        toks = c.split()
+        h = hashlib.sha256()
+        for t in toks:
+            h.update(t.encode())
+        ok = bool(toks) and h.hexdigest() != ""
+        valid.append(ok)
+        comments.append(None if ok else "empty content")
+    return pd.DataFrame(
+        {"is_valid": valid, "comment": comments}, index=pdf.index
+    )
+
+
+def _stages(suite):
+    from validation_engine import (
+        ElementStage, PandasElementStage, lang_matches_extension, non_empty,
+        sha256_equals,
+    )
+
+    if suite == "python":
+        return [PandasElementStage("checks", _python_check_fn)]
+    return [
+        ElementStage(
+            "checks",
+            checks=[non_empty("content"), lang_matches_extension(),
+                    sha256_equals()],
+        )
+    ]
+
+
+def _workflow(ck, suite):
+    from validation_engine import CheckpointManager, Workflow
+
+    return Workflow(_stages(suite),
+                    checkpoint=CheckpointManager(ck, n_chunks=4))
+
+
+def main():
+    from validation_engine.datagen import spark_codefiles
+    from validation_engine.session import get_spark
+
+    shutil.rmtree(WORK, ignore_errors=True)
+    os.makedirs(WORK)
+    spark = get_spark(
+        "inc-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS * 2
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Every generated column is a pure function of (id, seed), so
+    # spark_codefiles(N) is exactly the first N rows of
+    # spark_codefiles(N + delta): v2 = written-v1 (with ~0.2% of rows
+    # edited: new content + sha) ∪ the appended tail (keys anti-joined
+    # against v1 so the pair is exact by construction).
+    n_delta = N_ROWS // 100
+
+    def _gen(n):
+        # inflate the ~300 B generated contents to a realistic code-file
+        # size (REPEAT× → ~2.5 KB at the default 8) and recompute the sha;
+        # still a pure function of (id, seed)
+        df = spark_codefiles(spark, n, n_dup=0)
+        if REPEAT > 1:
+            df = df.withColumn(
+                "content",
+                F.concat_ws(" ", F.array_repeat(F.col("content"), REPEAT)),
+            ).withColumn("content_sha256", F.sha2(F.col("content"), 256))
+        return df
+
+    _gen(N_ROWS).write.mode("overwrite").parquet(f"{WORK}/v1")
+    v1_df = spark.read.parquet(f"{WORK}/v1")
+    appended = _gen(N_ROWS + n_delta).join(
+        v1_df.select(*KEYS), on=KEYS, how="left_anti"
+    )
+    edit = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(500)) == 0
+    v2 = (
+        v1_df.withColumn(
+            "content",
+            F.when(edit, F.concat(F.col("content"), F.lit(" [edited]")))
+            .otherwise(F.col("content")),
+        )
+        .withColumn("content_sha256", F.sha2(F.col("content"), 256))
+        .unionByName(appended)
+    )
+    v2.write.mode("overwrite").parquet(f"{WORK}/v2")
+    v2_df = spark.read.parquet(f"{WORK}/v2")
+    n_v2 = v2_df.count()
+
+    from validation_engine import CheckpointManager
+
+    suites = os.environ.get("INC_SUITES", "exprs,python").split(",")
+    out = {
+        "job": "daily revalidation of a grown+edited snapshot "
+               "(full fresh run vs run_incremental)",
+        "n_rows_v2": n_v2,
+        "content_repeat": REPEAT,
+        "cpus": CPUS,
+        "suites": {},
+    }
+    for suite in suites:
+        # base run over v1 + coverage
+        t0 = time.time()
+        _workflow(f"{WORK}/{suite}/ck_v1", suite).run(spark, v1_df)
+        ck1 = CheckpointManager(f"{WORK}/{suite}/ck_v1", n_chunks=4)
+        ck1.commit_coverage(spark, v1_df, ["content_sha256"], KEYS)
+        t_base = time.time() - t0
+
+        # A: full fresh run over v2
+        t0 = time.time()
+        full = _workflow(f"{WORK}/{suite}/ck_full_v2", suite).run(spark, v2_df)
+        t_full = time.time() - t0
+        full_totals = {
+            k: sum(s[k] for s in full.summaries)
+            for k in ("n_total", "n_valid", "n_warning")
+        }
+
+        # B: incremental run over v2 against v1's coverage
+        t0 = time.time()
+        wf = _workflow(f"{WORK}/{suite}/ck_inc_v2", suite)
+        inc = wf.run_incremental(
+            spark, v2_df, prev=ck1, fingerprint_cols=["content_sha256"]
+        )
+        t_inc = time.time() - t0
+        inc_totals = {
+            k: sum(s[k] for s in inc.summaries)
+            for k in ("n_total", "n_valid", "n_warning")
+        }
+        delta_judged = sum(s["n_total"] for s in inc.delta.summaries)
+
+        out["suites"][suite] = {
+            "checks": "JVM column exprs (non_empty+lang+sha256)"
+            if suite == "exprs"
+            else "arbitrary per-row Python (reference element-fn shape)",
+            "delta_rows_judged": delta_judged,
+            "judged_row_ratio": round(n_v2 / max(delta_judged, 1), 1),
+            "sec_base_v1": round(t_base, 2),
+            "sec_full_v2": round(t_full, 2),
+            "sec_incremental_v2": round(t_inc, 2),
+            "speedup": round(t_full / t_inc, 2),
+            "merged_equals_full": inc_totals == full_totals,
+            "totals": full_totals,
+        }
+    print(json.dumps(out))
+    spark.stop()
+    shutil.rmtree(WORK, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -119,6 +119,27 @@ def test_run_incremental_matches_full_run(spark, corpus, tmp_path):
     )
 
 
+def test_fingerprint_cols_auto_coverage(spark, corpus, tmp_path):
+    """Workflow-level fingerprint_cols: a checkpointed run() commits
+    coverage itself, run_incremental resolves the columns from the
+    workflow, and the inner delta sub-root never holds partial coverage."""
+    v1, v2 = _snapshots(spark, corpus)
+    ck1 = CheckpointManager(str(tmp_path / "r1"))
+    Workflow(_stages(), checkpoint=ck1,
+             fingerprint_cols=["content_sha256"]).run(spark, v1)
+    assert ck1.has_coverage()
+
+    ck2 = CheckpointManager(str(tmp_path / "r2"))
+    wf2 = Workflow(_stages(), checkpoint=ck2,
+                   fingerprint_cols=["content_sha256"])
+    inc = wf2.run_incremental(spark, v2, prev=ck1)
+    assert sum(
+        s["n_total"] for s in inc.delta.summaries if s["stage"] == "chk"
+    ) == 160
+    assert ck2.has_coverage()
+    assert not CheckpointManager(str(tmp_path / "r2" / "delta")).has_coverage()
+
+
 def test_run_incremental_guards(spark, corpus, tmp_path):
     v1, v2 = _snapshots(spark, corpus)
     ckpt1 = CheckpointManager(str(tmp_path / "run1"))

@@ -79,6 +79,7 @@ class Workflow:
         strict_duplicates: bool = True,
         input_schema=None,
         repartition: Optional[int] = None,
+        fingerprint_cols: Optional[Sequence[str]] = None,
     ):
         self.stages = {s.name: s for s in stages}
         if len(self.stages) != len(stages):
@@ -95,6 +96,14 @@ class Workflow:
         #: (e.g. ≈2-4× total cores; at corpus scale prefer the source table's
         #: own partitioning + spark.sql.files.maxPartitionBytes)
         self.repartition = repartition
+        #: per-row content-invariant columns (e.g. ``["content_sha256"]``).
+        #: When set and the workflow has a checkpoint, :meth:`run` commits a
+        #: keys+fingerprint coverage table after the last stage, making the
+        #: run directly usable as a :meth:`run_incremental` base with no
+        #: separate ``commit_coverage`` call.
+        self.fingerprint_cols = (
+            list(fingerprint_cols) if fingerprint_cols is not None else None
+        )
         self._check_input_mappings()
 
     # ------------------------------------------------------------------
@@ -450,6 +459,14 @@ class Workflow:
         for p in persisted:
             p.unpersist()
 
+        # declared fingerprint → commit run-level coverage (idempotent
+        # overwrite; one column-pruned pass over the dataset) so this run is
+        # directly usable as an incremental base
+        if self.checkpoint is not None and self.fingerprint_cols:
+            self.checkpoint.commit_coverage(
+                spark, dataset, self.fingerprint_cols, self.keys
+            )
+
         return RunResult(
             reports=reports,
             violations=violations,
@@ -463,7 +480,7 @@ class Workflow:
         spark: SparkSession,
         dataset: DataFrame,
         prev: CheckpointManager,
-        fingerprint_cols: Sequence[str] = ("content_sha256",),
+        fingerprint_cols: Optional[Sequence[str]] = None,
     ) -> RunResult:
         """Validate a GROWN/CHANGED snapshot against a prior completed run,
         scanning only the rows the prior run has not already judged.
@@ -478,29 +495,36 @@ class Workflow:
         targets, `task.py:612-628` — all-or-nothing); this is that
         memoization pushed down to row granularity.
 
-        Mechanics (all joins key/fingerprint-narrow — the payload column
-        never crosses an exchange):
+        Mechanics (ONE corpus-wide narrow shuffle total — the payload column
+        never crosses any exchange):
 
-        1. ``delta``: snapshot rows anti-joined against the prior run's
-           committed coverage on ``keys + fingerprint_cols`` — new keys and
-           changed fingerprints survive, carried rows drop out map-side
-           after the sort-merge (AQE-planned; both sides are narrow).
-        2. The normal :meth:`run` executes on the delta only (with this
-           workflow's own checkpoint/resume semantics intact).
-        3. Per stage, the merged report = prior report rows whose element is
-           still present-and-unchanged (left_semi on keys against the
-           carried coverage) ∪ the fresh delta report.  Retracted and
-           superseded rows fall out of the semi-join.  Violations merge the
-           same way.
+        1. ``diff``: a full-outer join of the snapshot's and the prior
+           coverage's ``keys + fingerprint_cols`` streams, reduced to the
+           mismatched rows — split into ``delta`` (new keys + changed
+           fingerprints: rows to judge) and ``retired`` (retracted keys +
+           the old fingerprint of every edited key: verdicts that must not
+           carry).  Both sets are daily-delta sized and cached, so every
+           later join against them is a map-side broadcast.
+        2. The dataset is broadcast-semi-joined to the delta keys (payload
+           scanned once, map-side filtered, cached) and the normal
+           :meth:`run` executes on it (with this workflow's own
+           checkpoint/resume semantics intact).
+        3. Per stage, the merged report = prior report rows ANTI-joined
+           against ``retired`` (broadcast — equivalent to keeping the
+           present-and-unchanged rows, since prior report keys are unique)
+           ∪ the fresh delta report.  Violations merge the same way.
         4. Summaries merge ARITHMETICALLY: prior per-partition counts, minus
-           the retired rows' contribution (one narrow aggregation over the
-           prior report restricted to retired keys), plus the delta run's
-           counts — the carried majority is never re-aggregated.
+           the retired rows' contribution (one broadcast-semi aggregation
+           over the prior report), plus the delta run's counts — the
+           carried majority is never re-aggregated.
 
         ``fingerprint_cols`` must cover every dataset column any stage reads
         (the per-row invariant column — ``content_sha256`` for the reference
         corpus — or a composite).  A changed column outside the fingerprint
-        would carry a stale verdict; that contract is the caller's.
+        would carry a stale verdict; that contract is the caller's.  Left
+        ``None`` it falls back to the workflow's ``fingerprint_cols`` (which
+        also makes plain checkpointed :meth:`run` calls commit coverage
+        automatically), then to ``("content_sha256",)``.
 
         Requires every stage to be element-level with the default
         ``transform_index`` (a set-level verdict depends on rows outside the
@@ -529,6 +553,8 @@ class Workflow:
                 )
 
         keys = list(self.keys)
+        if fingerprint_cols is None:
+            fingerprint_cols = self.fingerprint_cols or ("content_sha256",)
         fps = [c for c in fingerprint_cols if c not in keys]
         on = keys + fps
         prev_cov = prev.read_coverage(spark).select(*on)
@@ -540,16 +566,37 @@ class Workflow:
         # audited commit_stage protocol — so this root is itself a complete
         # base for the NEXT increment (copy-on-write of the narrow verdict
         # table; the payload column is only ever read for the delta).
-        # delta derivation in TWO steps so the payload column never enters
-        # the anti-join's exchange: (a) narrow anti-join finds the delta's
-        # keys+fingerprints (both streams are a few dozen bytes/row); (b) the
-        # dataset semi-joins against that key set — for the common daily case
-        # (delta ≪ corpus) AQE plans (b) as a broadcast hash semi join, so
-        # the 100 TB payload side is map-side filtered and never shuffles.
-        # A one-step `dataset ANTI prev_cov` would sort-merge-exchange every
-        # payload byte just to drop 99% of the rows.
-        delta_keys = new_cov.join(prev_cov, on=on, how="left_anti")
-        delta_ds = dataset.join(delta_keys, on=on, how="left_semi")
+        # ONE corpus-wide narrow shuffle computes BOTH sides of the diff: a
+        # full-outer join of the two coverage streams (a few dozen bytes per
+        # row — the payload never enters this exchange), reduced immediately
+        # to the mismatched rows, which are daily-delta sized.  From it:
+        # ``delta`` (new side only → rows to judge) and ``retired`` (prev
+        # side only → rows whose old verdict must not carry: retracted keys
+        # and the OLD fingerprint of every edited key).  Persisting the tiny
+        # diff and materializing it with a count gives the caches real size
+        # statistics, so every join below against these sets auto-broadcasts
+        # (an unmaterialized cache has none, and the planner would
+        # conservatively sort-merge — shuffling the payload).  Oversized
+        # deltas degrade to SMJ automatically via autoBroadcastJoinThreshold.
+        diff = (
+            new_cov.withColumn("_in_new", F.lit(True))
+            .join(
+                prev_cov.withColumn("_in_prev", F.lit(True)),
+                on=on,
+                how="full_outer",
+            )
+            .filter(F.col("_in_new").isNull() | F.col("_in_prev").isNull())
+            .persist()
+        )
+        delta_keys = diff.filter(F.col("_in_prev").isNull()).select(*on)
+        retired_keys = diff.filter(F.col("_in_new").isNull()).select(*keys)
+        n_delta = delta_keys.count()
+        logger.info("incremental delta: %d new/changed rows", n_delta)
+        # The delta ROWS are persisted too, so the payload column is read
+        # from the corpus exactly once no matter how many actions the inner
+        # run fires — at most delta-sized (memory-and-disk), ~1% of the
+        # corpus in the daily shape.
+        delta_ds = dataset.join(delta_keys, on=on, how="left_semi").persist()
         ck = self.checkpoint
         delta_ck = None
         if ck is not None:
@@ -561,16 +608,23 @@ class Workflow:
                 else f"{ck.root.rstrip('/')}/delta",
                 n_chunks=ck.n_chunks,
             )
+        # the inner run must not auto-commit delta-only coverage under the
+        # sub-root (it would read as a complete-but-partial incremental base)
+        fp_save = self.fingerprint_cols
         try:
             self.checkpoint = delta_ck
+            self.fingerprint_cols = None
             inner = self.run(spark, delta_ds)
         finally:
             self.checkpoint = ck
+            self.fingerprint_cols = fp_save
 
-        # carried key set (narrow; Spark re-derives the plan per stage but
-        # each instance is a two-narrow-stream join, AQE-planned)
-        carried_keys = prev_cov.join(new_cov, on=on, how="left_semi").select(*keys)
-
+        # Carried = prev ∖ retired.  The merge filters the prior reports by
+        # ANTI-join against the TINY retired set (broadcast, map-side) —
+        # never by semi-join against the corpus-sized carried set, which
+        # would re-shuffle the whole narrow verdict table per stage.  The
+        # two are equivalent because prev-report keys are unique and ⊆ the
+        # prior coverage keys.
         reports, violations, summaries = {}, {}, []
         metric_keys = ("n_total", "n_valid", "n_warning")
         if ck is not None:
@@ -589,13 +643,13 @@ class Workflow:
             # -- durable merge: carried(+_vpart) ∪ delta(+_vpart) recommitted
             for name in self._topo_order():
                 carried_rep = _raw_report(prev, name).join(
-                    carried_keys, on=keys, how="left_semi"
+                    retired_keys, on=keys, how="left_anti"
                 )
                 merged_rep = carried_rep.unionByName(
                     _raw_report(delta_ck, name)
                 )
                 carried_viol = prev.read_violations(spark, name).join(
-                    carried_keys, on=keys, how="left_semi"
+                    retired_keys, on=keys, how="left_anti"
                 )
                 merged_viol = carried_viol.unionByName(
                     delta_ck.read_violations(spark, name),
@@ -644,9 +698,6 @@ class Workflow:
             # -- ephemeral merge: read-time view, summaries by ARITHMETIC
             # (prior − retired + delta) so the carried majority is never
             # re-aggregated
-            retired_keys = prev_cov.join(
-                new_cov, on=on, how="left_anti"
-            ).select(*keys)
             prev_summary = {}  # (stage, partition) -> counts
             for name in self.stages:
                 for r in prev.read_summary(spark, name).collect():
@@ -658,13 +709,13 @@ class Workflow:
             }
             for name in self._topo_order():
                 prev_rep = prev.read_report(spark, name)
-                carried_rep = prev_rep.join(carried_keys, on=keys,
-                                            how="left_semi")
+                carried_rep = prev_rep.join(retired_keys, on=keys,
+                                            how="left_anti")
                 reports[name] = carried_rep.drop("_vpart").unionByName(
                     inner.reports[name]
                 )
                 carried_viol = prev.read_violations(spark, name).join(
-                    carried_keys, on=keys, how="left_semi"
+                    retired_keys, on=keys, how="left_anti"
                 )
                 violations[name] = carried_viol.drop("_vpart").unionByName(
                     inner.violations[name], allowMissingColumns=True
@@ -713,6 +764,11 @@ class Workflow:
                             **counts,
                         }
                     )
+
+        # release the helper caches: every checkpointed-path consumer has
+        # executed; ephemeral-path frames stay valid and recompute if re-run
+        diff.unpersist()
+        delta_ds.unpersist()
 
         return RunResult(
             reports=reports,
