@@ -67,6 +67,30 @@ def _python_check_fn(pdf):
     )
 
 
+def _model_check_fn(pdf):
+    """Model-gated validation at quality-classifier cost (sub-ms/row —
+    a transformer-lite scorer's throughput class): per-row feature hash →
+    small deterministic MLP forward pass.  This is the check shape where
+    row-level memoization dominates: compute scales with rows judged, so
+    the 99% carried rows are pure savings."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(0)
+    W = rng.standard_normal((384, 384)) * 0.04
+    valid = []
+    for c in pdf["content"]:
+        d = hashlib.sha256(c.encode()).digest()
+        v = np.frombuffer((d * 12)[:384], dtype=np.uint8).astype(np.float64)
+        v = (v - 128.0) / 128.0
+        for _ in range(4):
+            v = np.tanh(W @ v)
+        valid.append(bool(v.sum() > -384.0))
+    return pd.DataFrame({"is_valid": valid}, index=pdf.index)
+
+
 def _stages(suite):
     from validation_engine import (
         ElementStage, PandasElementStage, lang_matches_extension, non_empty,
@@ -75,6 +99,8 @@ def _stages(suite):
 
     if suite == "python":
         return [PandasElementStage("checks", _python_check_fn)]
+    if suite == "model":
+        return [PandasElementStage("checks", _model_check_fn)]
     return [
         ElementStage(
             "checks",
@@ -181,10 +207,13 @@ def main():
         }
         delta_judged = sum(s["n_total"] for s in inc.delta.summaries)
 
+        labels = {
+            "exprs": "JVM column exprs (non_empty+lang+sha256)",
+            "python": "arbitrary per-row Python (reference element-fn shape)",
+            "model": "model-gated validation (sub-ms/row MLP scorer)",
+        }
         out["suites"][suite] = {
-            "checks": "JVM column exprs (non_empty+lang+sha256)"
-            if suite == "exprs"
-            else "arbitrary per-row Python (reference element-fn shape)",
+            "checks": labels.get(suite, suite),
             "delta_rows_judged": delta_judged,
             "judged_row_ratio": round(n_v2 / max(delta_judged, 1), 1),
             "sec_base_v1": round(t_base, 2),

@@ -602,11 +602,18 @@ class Workflow:
         if ck is not None:
             import os as _os
 
+            # chunked resume granularity matters when the delta itself is
+            # big (first backfills, churny snapshots); a small daily delta
+            # commits as one chunk — dropping the per-chunk staging /
+            # empty-dir / lineage jobs whose fixed latency dominates small
+            # increments.  The measured n_delta makes this exact, not a
+            # guess.
+            delta_chunks = ck.n_chunks if n_delta >= 1_000_000 else 1
             delta_ck = CheckpointManager(
                 _os.path.join(ck.root, "delta")
                 if not getattr(ck, "_remote", False)
                 else f"{ck.root.rstrip('/')}/delta",
-                n_chunks=ck.n_chunks,
+                n_chunks=delta_chunks,
             )
         # the inner run must not auto-commit delta-only coverage under the
         # sub-root (it would read as a complete-but-partial incremental base)
