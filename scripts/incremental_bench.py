@@ -16,12 +16,14 @@ a real parquet snapshot pair:
 
 Reported: wall seconds for A and B, rows actually judged by each, the
 speedup, and a verification that B's merged summary totals equal A's.
-The judged-row ratio (~77x here) is the scan-proportional metric — at
+The judged-row ratio (~84x here) is the scan-proportional metric — at
 100 TB the payload dominates and wall-clock tracks it; at bench scale the
 fixed commit/merge overhead (rewriting the narrow verdict table) bounds
 the wall-clock win below the judged-row ratio.
 
-Env knobs: INC_ROWS (default 2_000_000), INC_CPUS (default 8).
+Env knobs: INC_ROWS (default 1_000_000), INC_REPEAT (content
+inflation, default 8 => ~2.5 KB rows), INC_SUITES (exprs,python,model),
+INC_CPUS (default 8).
 """
 
 from __future__ import annotations

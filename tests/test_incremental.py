@@ -140,6 +140,97 @@ def test_fingerprint_cols_auto_coverage(spark, corpus, tmp_path):
     assert not CheckpointManager(str(tmp_path / "r2" / "delta")).has_coverage()
 
 
+def test_run_incremental_merge_plan_shape(spark, corpus, tmp_path):
+    """Plan pin for the incremental merge (the 100 TB contract): the carried
+    majority is filtered by a BROADCAST anti-join against the tiny retired
+    set — never a shuffle of the corpus-sized verdict table — and the
+    payload column never keys an exchange anywhere in the merged report's
+    lineage (the diff and the delta are persisted narrow sets, so the only
+    full-outer shuffle happened once, on keys+fingerprint)."""
+    import re
+
+    v1, v2 = _snapshots(spark, corpus)
+    ck1 = CheckpointManager(str(tmp_path / "r1"))
+    Workflow(_stages(), checkpoint=ck1).run(spark, v1)
+    ck1.commit_coverage(spark, v1, ["content_sha256"], KEYS)
+
+    inc = Workflow(_stages()).run_incremental(
+        spark, v2, prev=ck1, fingerprint_cols=["content_sha256"]
+    )
+    for name in ("chk", "lang"):
+        plan = inc.reports[name]._jdf.queryExecution().executedPlan() \
+            .toString()
+        # carried = prev report ∖ retired, via broadcast anti-join over the
+        # CACHED diff (InMemoryTableScan — the full-outer shuffle ran once)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "LeftAnti" in plan, plan
+        assert "InMemoryTableScan" in plan, plan
+        # the only sort-merge join anywhere in the lineage is the designed
+        # one-shot narrow full-outer diff (embedded in the cache node's
+        # recorded build plan); carried/delta merges never SMJ
+        for line in plan.splitlines():
+            if "SortMergeJoin" in line:
+                assert "FullOuter" in line, plan
+        # no exchange in the merge lineage is keyed by the payload column
+        # (content_sha256, the narrow fingerprint, is allowed — `content#N`
+        # is the payload column reference)
+        for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            assert not re.search(r"\bcontent#", ex), plan
+
+
+def test_run_incremental_set_stage_sink(spark, corpus, tmp_path):
+    """Set-level SINK stages are allowed: element stages stay incremental
+    (delta-only) while the set stage re-runs on the full snapshot — its
+    verdict genuinely depends on every row — and the merged result is
+    indistinguishable from a full fresh run."""
+    from pyspark.sql import functions as F
+
+    v1, v2 = _snapshots(spark, corpus)
+
+    def set_fn(frame, keys):
+        # whole-set verdict: valid iff content length <= 2x the set-wide
+        # mean — changes when the snapshot changes, so it MUST recompute
+        mean = frame.agg(F.avg(F.length("content"))).collect()[0][0]
+        return frame.withColumn(
+            "is_valid",
+            F.col("is_valid") & (F.length("content") <= F.lit(2.0 * mean)),
+        )
+
+    def stages():
+        return _stages() + [
+            SetStage("setg", set_fn, inputs={"chk": {}})
+        ]
+
+    ck1 = CheckpointManager(str(tmp_path / "r1"))
+    Workflow(stages(), checkpoint=ck1,
+             fingerprint_cols=["content_sha256"]).run(spark, v1)
+
+    ck2 = CheckpointManager(str(tmp_path / "r2"))
+    inc = Workflow(stages(), checkpoint=ck2,
+                   fingerprint_cols=["content_sha256"]).run_incremental(
+        spark, v2, prev=ck1
+    )
+    # element stages judged only the delta; the set stage saw the full set
+    assert sum(
+        s["n_total"] for s in inc.delta.summaries if s["stage"] == "chk"
+    ) == 160
+    assert "setg" not in {s["stage"] for s in inc.delta.summaries}
+    assert sum(
+        s["n_total"] for s in inc.summaries if s["stage"] == "setg"
+    ) == v2.count()
+
+    full = Workflow(stages()).run(spark, v2)
+    for name in ("chk", "lang", "setg"):
+        assert sorted(map(tuple, inc.reports[name].collect())) == sorted(
+            map(tuple, full.reports[name].collect())
+        ), name
+    assert sorted(map(_summary_key, inc.summaries)) == sorted(
+        map(_summary_key, full.summaries)
+    )
+    # the root chains: coverage committed after the set stage completed
+    assert ck2.has_coverage()
+
+
 def test_run_incremental_guards(spark, corpus, tmp_path):
     v1, v2 = _snapshots(spark, corpus)
     ckpt1 = CheckpointManager(str(tmp_path / "run1"))
@@ -159,13 +250,23 @@ def test_run_incremental_guards(spark, corpus, tmp_path):
 
     ckpt1.commit_coverage(spark, v1, ["content_sha256"], KEYS)
 
-    # set-level stages cannot carry row verdicts
+    # set-level stages need a checkpoint (they re-run on the full snapshot)
     def set_fn(frame, keys):
         return frame
 
     wf_set = Workflow([SetStage("s", set_fn)])
     with pytest.raises(ValueError, match="set-level"):
         wf_set.run_incremental(spark, v2, prev=ckpt1,
+                               fingerprint_cols=["content_sha256"])
+
+    # an element stage consuming a set stage would carry stale verdicts
+    wf_mix = Workflow(
+        [SetStage("s", set_fn),
+         ElementStage("e", checks=[non_empty("content")], inputs={"s": {}})],
+        checkpoint=CheckpointManager(str(tmp_path / "mix")),
+    )
+    with pytest.raises(ValueError, match="sinks"):
+        wf_mix.run_incremental(spark, v2, prev=ckpt1,
                                fingerprint_cols=["content_sha256"])
 
     # custom transform_index changes the key space

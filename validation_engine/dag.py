@@ -526,26 +526,48 @@ class Workflow:
         also makes plain checkpointed :meth:`run` calls commit coverage
         automatically), then to ``("content_sha256",)``.
 
-        Requires every stage to be element-level with the default
-        ``transform_index`` (a set-level verdict depends on rows outside the
-        delta; a custom index changes the key space) — raises otherwise.
-        If this workflow has a checkpoint, the new snapshot's coverage is
-        committed there, so increments chain run-over-run.
+        Element stages must use the default ``transform_index`` (a custom
+        index changes the key space, so coverage cannot be carried).
+        Set-level stages ARE allowed, but only as SINKS (no element stage
+        may consume their report — its carried verdicts would go stale when
+        the set verdict changes): their verdict depends on the whole set, so
+        each increment re-runs them on the FULL snapshot after the element
+        merge, through the normal checkpoint-resume path — which is why set
+        stages require this workflow to have a checkpoint.  If this workflow
+        has a checkpoint, the new snapshot's coverage is committed there (as
+        the LAST step), so increments chain run-over-run.
         """
         from .stage import SetStage
 
+        set_names = {
+            s.name for s in self.stages.values() if isinstance(s, SetStage)
+        }
+        elem_names = [n for n in self._topo_order() if n not in set_names]
+        if set_names and self.checkpoint is None:
+            raise ValueError(
+                "set-level stages re-run on the full snapshot each "
+                "increment, which requires a checkpoint (the merged element "
+                "reports must be durably committed for the resumed full run "
+                "to consume); give the workflow a CheckpointManager or drop "
+                f"the set stages {sorted(set_names)}"
+            )
         for s in self.stages.values():
-            if isinstance(s, SetStage):
-                raise ValueError(
-                    f"[{s.name}] set-level stages cannot run incrementally: "
-                    "their verdict depends on the whole set, not each row"
-                )
+            if s.name in set_names:
+                continue  # recomputed fully each increment; nothing carried
+            for up in s.inputs:
+                if _stage_name(up) in set_names:
+                    raise ValueError(
+                        f"[{s.name}] element stage consumes set-level stage "
+                        f"'{_stage_name(up)}' — its carried verdicts would "
+                        "go stale when the set verdict changes; incremental "
+                        "runs support set stages only as sinks"
+                    )
             if type(s).transform_index is not Stage.transform_index:
                 raise ValueError(
                     f"[{s.name}] custom transform_index changes the key "
                     "space — incremental coverage cannot be carried"
                 )
-        for name in self.stages:
+        for name in elem_names:
             if not prev.is_complete(name):
                 raise ValueError(
                     f"prior run is incomplete for stage '{name}' — only a "
@@ -615,16 +637,21 @@ class Workflow:
                 else f"{ck.root.rstrip('/')}/delta",
                 n_chunks=delta_chunks,
             )
-        # the inner run must not auto-commit delta-only coverage under the
-        # sub-root (it would read as a complete-but-partial incremental base)
-        fp_save = self.fingerprint_cols
-        try:
-            self.checkpoint = delta_ck
-            self.fingerprint_cols = None
-            inner = self.run(spark, delta_ds)
-        finally:
-            self.checkpoint = ck
-            self.fingerprint_cols = fp_save
+        # The delta runs through a sub-workflow of the ELEMENT stages only
+        # (set stages re-run on the full snapshot afterwards; slicing is
+        # clean because set stages are sinks).  It carries no
+        # fingerprint_cols on purpose: delta-only coverage under the
+        # sub-root would read as a complete-but-partial incremental base.
+        sub = Workflow(
+            [self.stages[n] for n in elem_names],
+            keys=self.keys,
+            partition_col=self.partition_col,
+            n_buckets=self.n_buckets,
+            checkpoint=delta_ck,
+            run_id=self.run_id,
+            strict_duplicates=self.strict_duplicates,
+        )
+        inner = sub.run(spark, delta_ds)
 
         # Carried = prev ∖ retired.  The merge filters the prior reports by
         # ANTI-join against the TINY retired set (broadcast, map-side) —
@@ -648,7 +675,7 @@ class Workflow:
                 return spark.read.parquet(p).drop("chunk")
 
             # -- durable merge: carried(+_vpart) ∪ delta(+_vpart) recommitted
-            for name in self._topo_order():
+            for name in elem_names:
                 carried_rep = _raw_report(prev, name).join(
                     retired_keys, on=keys, how="left_anti"
                 )
@@ -700,6 +727,31 @@ class Workflow:
                 summaries.extend(stage_summaries)
                 reports[name] = report.drop("_vpart", "_viol")
                 violations[name] = viols.drop("_vpart")
+            if set_names:
+                # Set stages re-run on the FULL snapshot through the normal
+                # run: it resumes past the just-committed element stages
+                # (consuming the merged reports durably) and judges the set
+                # stages fresh.  Coverage commits inside that run, AFTER the
+                # set stages — the root only reads as a usable incremental
+                # base once everything is durable.
+                fp_save = self.fingerprint_cols
+                try:
+                    self.fingerprint_cols = list(fingerprint_cols)
+                    final = self.run(spark, dataset)
+                finally:
+                    self.fingerprint_cols = fp_save
+                diff.unpersist()
+                delta_ds.unpersist()
+                return RunResult(
+                    reports=final.reports,
+                    violations=final.violations,
+                    summaries=final.summaries,
+                    dropped_inconsistent={
+                        **inner.dropped_inconsistent,
+                        **final.dropped_inconsistent,
+                    },
+                    delta=inner,
+                )
             ck.commit_coverage(spark, dataset, fps, keys)
         else:
             # -- ephemeral merge: read-time view, summaries by ARITHMETIC
@@ -714,7 +766,7 @@ class Workflow:
             delta_summary = {
                 (s["stage"], s["partition"]): s for s in inner.summaries
             }
-            for name in self._topo_order():
+            for name in elem_names:
                 prev_rep = prev.read_report(spark, name)
                 carried_rep = prev_rep.join(retired_keys, on=keys,
                                             how="left_anti")
@@ -772,10 +824,17 @@ class Workflow:
                         }
                     )
 
-        # release the helper caches: every checkpointed-path consumer has
-        # executed; ephemeral-path frames stay valid and recompute if re-run
-        diff.unpersist()
-        delta_ds.unpersist()
+        if ck is not None:
+            # checkpointed path: every consumer has executed (reports are
+            # durable parquet) — release the helper caches now
+            diff.unpersist()
+            delta_ds.unpersist()
+        # ephemeral path: the returned reports/violations are read-time
+        # views OVER the cached diff/delta — keep them persisted so the
+        # merge stays a broadcast anti-join against materialized
+        # (size-known) narrow sets instead of recomputing the corpus-wide
+        # full-outer diff per action; the caller owns the caches
+        # (`.unpersist()` via lineage or `spark.catalog.clearCache()`).
 
         return RunResult(
             reports=reports,
