@@ -12,6 +12,7 @@ full run on the same snapshot.
 import hashlib
 
 import pytest
+from pyspark.sql.functions import col as F_col
 
 from validation_engine import (
     CheckpointManager,
@@ -138,6 +139,92 @@ def test_fingerprint_cols_auto_coverage(spark, corpus, tmp_path):
     ) == 160
     assert ck2.has_coverage()
     assert not CheckpointManager(str(tmp_path / "r2" / "delta")).has_coverage()
+
+
+def test_run_incremental_null_fingerprints(spark, corpus, tmp_path):
+    """Fingerprint comparisons are NULL-SAFE (round-8 review): a real
+    corpus has NULL fingerprints (sha2 of NULL content is NULL).  Plain
+    equi-join semantics put an UNCHANGED null-sha row in both delta and
+    retired while the delta semi-join failed to pick it up — the row
+    silently vanished from every merged report, on every increment.
+    Pins: unchanged NULL carries; NULL→value edits retire + re-judge;
+    merged output cell-equal to a full fresh run."""
+    v1, v2 = _snapshots(spark, corpus)
+    p1, p2 = v1.toPandas(), v2.toPandas()
+
+    def _null_out(pdf, key):
+        m = (
+            (pdf["repo"] == key[0])
+            & (pdf["path"] == key[1])
+            & (pdf["commit"] == key[2])
+        )
+        assert m.any()
+        pdf.loc[m, "content"] = None
+        pdf.loc[m, "content_sha256"] = None
+
+    keyt = lambda r: (r["repo"], r["path"], r["commit"])  # noqa: E731
+    carried_key = keyt(p1.iloc[200])   # outside retract/edit windows
+    edited_key = keyt(p1.iloc[210])
+    _null_out(p1, carried_key)         # NULL in BOTH → must carry
+    _null_out(p2, carried_key)
+    _null_out(p1, edited_key)          # NULL → value → retire + re-judge
+    v1n, v2n = spark.createDataFrame(p1), spark.createDataFrame(p2)
+
+    ck1 = CheckpointManager(str(tmp_path / "r1"))
+    Workflow(_stages(), checkpoint=ck1).run(spark, v1n)
+    ck1.commit_coverage(spark, v1n, ["content_sha256"], KEYS)
+
+    inc = Workflow(_stages()).run_incremental(
+        spark, v2n, prev=ck1, fingerprint_cols=["content_sha256"]
+    )
+    # 120 appended + 40 edited + the NULL→value edit; NOT the carried NULL
+    assert sum(
+        s["n_total"] for s in inc.delta.summaries if s["stage"] == "chk"
+    ) == 161
+
+    full = Workflow(_stages()).run(spark, v2n)
+    for name in ("chk", "lang"):
+        assert sorted(
+            map(tuple, inc.reports[name].collect())
+        ) == sorted(map(tuple, full.reports[name].collect())), name
+    assert sorted(map(_summary_key, inc.summaries)) == sorted(
+        map(_summary_key, full.summaries)
+    )
+    # the carried NULL row is present exactly once, judged invalid
+    nullrep = inc.reports["chk"].filter(
+        (F_col("repo") == carried_key[0])
+        & (F_col("path") == carried_key[1])
+        & (F_col("commit") == carried_key[2])
+    ).collect()
+    assert len(nullrep) == 1 and not nullrep[0]["is_valid"]
+
+
+def test_run_incremental_rejects_completed_root(spark, corpus, tmp_path):
+    """A checkpoint root that already holds committed coverage is a
+    COMPLETED run: re-running an increment into it would resume past the
+    old stage commits (stale reports) and then overwrite coverage —
+    silent corruption of the incremental base (round-8 review).  Must
+    refuse up front; fresh roots chain as before."""
+    v1, v2 = _snapshots(spark, corpus)
+    ck1 = CheckpointManager(str(tmp_path / "r1"))
+    Workflow(_stages(), checkpoint=ck1,
+             fingerprint_cols=["content_sha256"]).run(spark, v1)
+    ck2 = CheckpointManager(str(tmp_path / "r2"))
+    Workflow(_stages(), checkpoint=ck2,
+             fingerprint_cols=["content_sha256"]).run_incremental(
+        spark, v2, prev=ck1
+    )
+    # chaining IN PLACE (the completed r2 as both prev and target)
+    with pytest.raises(ValueError, match="fresh root"):
+        Workflow(_stages(), checkpoint=ck2,
+                 fingerprint_cols=["content_sha256"]).run_incremental(
+            spark, v2, prev=ck2
+        )
+    # the declared fail-fast contract holds for run_incremental too
+    with pytest.raises(ValueError, match="schema"):
+        Workflow(_stages(), input_schema="repo int").run_incremental(
+            spark, v2, prev=ck2, fingerprint_cols=["content_sha256"]
+        )
 
 
 def test_run_incremental_merge_plan_shape(spark, corpus, tmp_path):

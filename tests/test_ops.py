@@ -545,6 +545,13 @@ def test_cap_per_key_md5_family_matches_duckdb(spark, capkey_df):
                           strategy=strat, bucket_bits=bits,
                           hash_family="md5")
         assert {r["doc_id"] for r in out.collect()} == ref, (strat, bits)
+    # nibble alignment only constrains the BUCKET strategy (round-8
+    # review): the window strategy never buckets, so md5 + odd bits is
+    # a valid call there
+    wout = cap_per_key(capkey_df, "domain", "doc_id", 25, seed=7,
+                       strategy="window", bucket_bits=10,
+                       hash_family="md5")
+    assert {r["doc_id"] for r in wout.collect()} == ref
     with pytest.raises(ValueError):
         cap_per_key(capkey_df, "domain", "doc_id", 5, hash_family="md5",
                     bucket_bits=10)
@@ -2774,6 +2781,25 @@ def test_set_minhash_threshold_on_unrounded_jaccard(spark):
     lo = set_minhash_pairs(df, "grp", "item", n_hashes=32, bands=32,
                            threshold=0.666666).collect()
     assert len(lo) == 1 and lo[0]["jaccard"] == 0.666667
+
+
+def test_set_minhash_null_items_absent_both_families(spark):
+    """NULL items are ABSENT, identically under both hash families
+    (round-8 review: xxhash64(NULL) was a real, joinable long while
+    md5(NULL) was an unjoinable NULL still counted in n_a/n_b — the same
+    input produced different jaccard per family)."""
+    from validation_engine.dedup import set_minhash_pairs
+
+    rows = [("A", 1), ("A", 2), ("A", 3), ("A", None),
+            ("B", 1), ("B", 2), ("B", None)]
+    df = spark.createDataFrame(rows, "grp string, item long")
+    for fam in ("xxhash64", "md5"):
+        out = set_minhash_pairs(df, "grp", "item", n_hashes=32, bands=32,
+                                threshold=0.0, hash_family=fam).collect()
+        assert len(out) == 1, fam
+        r = out[0]
+        assert (r["n_a"], r["n_b"], r["n_common"]) == (3, 2, 2), fam
+        assert r["jaccard"] == 0.666667, fam
 
 
 def test_fork_pairs_detects_fork(spark, corpus):

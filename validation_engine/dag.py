@@ -574,13 +574,43 @@ class Workflow:
                     "fully committed run can serve as an incremental base"
                 )
 
+        if self.input_schema is not None:
+            # same fail-fast contract as run(): driver-side, zero jobs
+            from .checks import enforce_schema
+
+            enforce_schema(dataset, self.input_schema)
+        if self.repartition:
+            dataset = dataset.repartition(self.repartition)
+        if self.checkpoint is not None and self.checkpoint.has_coverage():
+            raise ValueError(
+                f"checkpoint root '{self.checkpoint.root}' already holds "
+                "committed coverage from a completed run — re-running an "
+                "increment into it would resume past the old stage commits "
+                "(returning stale reports) and then overwrite coverage with "
+                "the new snapshot, silently corrupting the incremental "
+                "base.  Each increment needs a fresh root: pass the "
+                "PREVIOUS root as `prev` and point `checkpoint` somewhere "
+                "new.  (An INTERRUPTED increment has no coverage yet — "
+                "coverage commits last — so kill/resume into the same root "
+                "still works.)"
+            )
+
         keys = list(self.keys)
         if fingerprint_cols is None:
             fingerprint_cols = self.fingerprint_cols or ("content_sha256",)
         fps = [c for c in fingerprint_cols if c not in keys]
         on = keys + fps
-        prev_cov = prev.read_coverage(spark).select(*on)
-        new_cov = dataset.select(*on)
+        # Fingerprint comparisons are NULL-SAFE throughout (`<=>`): a real
+        # corpus has NULL fingerprints (sha2 of a NULL payload is NULL), and
+        # plain equi-join semantics would put such an unchanged row in BOTH
+        # delta and retired while the delta semi-join failed to pick it up —
+        # the row would silently vanish from every merged report.  Keys keep
+        # the engine-wide non-null contract.  `<=>` is still an equi-join
+        # predicate, so the broadcast-hash plan shape is unchanged.
+        prev_cov = prev.read_coverage(spark).select(
+            *[F.col(c).alias(f"_prev_{c}") for c in on]
+        ).withColumn("_in_prev", F.lit(True))
+        new_cov = dataset.select(*on).withColumn("_in_new", F.lit(True))
 
         # 1-2. delta rows → full normal run.  With a checkpoint, the delta
         # run commits under <root>/delta (its own resume domain) and the
@@ -601,24 +631,34 @@ class Workflow:
         # conservatively sort-merge — shuffling the payload).  Oversized
         # deltas degrade to SMJ automatically via autoBroadcastJoinThreshold.
         diff = (
-            new_cov.withColumn("_in_new", F.lit(True))
-            .join(
-                prev_cov.withColumn("_in_prev", F.lit(True)),
-                on=on,
+            new_cov.join(
+                prev_cov,
+                on=[
+                    new_cov[c].eqNullSafe(prev_cov[f"_prev_{c}"]) for c in on
+                ],
                 how="full_outer",
             )
             .filter(F.col("_in_new").isNull() | F.col("_in_prev").isNull())
             .persist()
         )
         delta_keys = diff.filter(F.col("_in_prev").isNull()).select(*on)
-        retired_keys = diff.filter(F.col("_in_new").isNull()).select(*keys)
+        retired_keys = diff.filter(F.col("_in_new").isNull()).select(
+            *[F.col(f"_prev_{k}").alias(k) for k in keys]
+        )
         n_delta = delta_keys.count()
         logger.info("incremental delta: %d new/changed rows", n_delta)
         # The delta ROWS are persisted too, so the payload column is read
         # from the corpus exactly once no matter how many actions the inner
         # run fires — at most delta-sized (memory-and-disk), ~1% of the
-        # corpus in the daily shape.
-        delta_ds = dataset.join(delta_keys, on=on, how="left_semi").persist()
+        # corpus in the daily shape.  (Renamed join columns: delta_keys
+        # shares lineage with `dataset`, and the null-safe condition needs
+        # unambiguous references.)
+        _dk = delta_keys.select(*[F.col(c).alias(f"_dk_{c}") for c in on])
+        delta_ds = dataset.join(
+            _dk,
+            on=[F.col(c).eqNullSafe(F.col(f"_dk_{c}")) for c in on],
+            how="left_semi",
+        ).persist()
         ck = self.checkpoint
         delta_ck = None
         if ck is not None:
@@ -670,7 +710,7 @@ class Workflow:
                 p = (
                     f"{d.rstrip('/')}/report"
                     if getattr(mgr, "_remote", False)
-                    else __import__("os").path.join(d, "report")
+                    else _os.path.join(d, "report")
                 )
                 return spark.read.parquet(p).drop("chunk")
 

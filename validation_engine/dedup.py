@@ -1654,7 +1654,9 @@ def set_minhash_pairs(
     (the convention :func:`minhash_signature` and
     :func:`validation_engine.text.mix_corpora` established).  Candidate
     sets differ between families (different bands collide), so pick one
-    per pipeline; n_a/n_b/n_common/jaccard are exact under both."""
+    per pipeline; n_a/n_b/n_common/jaccard are exact under both.  NULL
+    items are treated as ABSENT (a set has no NULL member — SQL
+    COUNT(DISTINCT)/equi-join semantics), identically in both families."""
     rows = n_hashes // bands
     if rows * bands != n_hashes:
         raise ValueError("bands must divide n_hashes")
@@ -1665,8 +1667,16 @@ def set_minhash_pairs(
         ihash = F.substring(F.md5(item.cast("string")), 1, 16)
     else:
         ihash = F.xxhash64(item)
+    # NULL items are absent — a set has no NULL member.  Without the
+    # filter the families diverged: xxhash64(NULL) is a real long
+    # (counted AND joinable in the intersection) while md5(NULL) is NULL
+    # (counted in n_a/n_b but never equi-joinable and skipped by min())
+    # — same input, different jaccard.  Dropping matches SQL set
+    # semantics (COUNT(DISTINCT) / equi-joins ignore NULLs) and the
+    # DuckDB oracle.
+    src = df.where(item.isNotNull())
     items = (
-        df.select(F.col(group_col).alias("_g"), ihash.alias("_h"))
+        src.select(F.col(group_col).alias("_g"), ihash.alias("_h"))
         .distinct()
     )
     if hash_family == "md5":
@@ -1723,7 +1733,7 @@ def set_minhash_pairs(
         .distinct()
     )
     sub = (
-        df.select(F.col(group_col).alias("_g"), ihash.alias("_h"))
+        src.select(F.col(group_col).alias("_g"), ihash.alias("_h"))
         .join(cg, "_g", "left_semi")
         .distinct()
     )

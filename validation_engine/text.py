@@ -511,8 +511,6 @@ def cap_per_key(
                               F.lit(str(int(seed))))),
             1, 16,
         )
-        if bucket_bits % 4 != 0:
-            raise ValueError("md5 hash_family needs bucket_bits % 4 == 0")
     else:
         raise ValueError("hash_family must be 'xxhash64' or 'md5'")
     if strategy == "window":
@@ -524,6 +522,10 @@ def cap_per_key(
         )
     if strategy != "bucket":
         raise ValueError("strategy must be 'bucket' or 'window'")
+    if hash_family == "md5" and bucket_bits % 4 != 0:
+        # only the bucket strategy slices hex prefixes; the window
+        # strategy never buckets, so it must not reject this combination
+        raise ValueError("md5 hash_family needs bucket_bits % 4 == 0")
     if hash_family == "md5":
         # hex-prefix bucket: lexicographically order-consistent with the
         # string rank, exactly as the arithmetic shift is with the long
