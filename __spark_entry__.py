@@ -1165,11 +1165,34 @@ def q_wasserstein_drift_by_source(spark, sf):
     return out.select("partition", "n", "w1_norm")
 
 
+def q_dedup_lines(spark, sf):
+    """Intra-document repeated-line removal through the real operator
+    (round-8 promotion into the driver oracle — previously pinned only by
+    the in-suite DuckDB parity test).  The synthetic documents are
+    single-line, so words stand in for lines (sep=' '), exercising the
+    full first-occurrence-wins + short-line-verbatim logic; the oracle
+    reproduces the REBUILT text byte-for-byte plus the dropped count."""
+    from validation_engine.text import dedup_lines
+
+    docs = _t(spark, sf, "documents")
+    out = dedup_lines(docs, "text", min_chars=2,
+                      sep_pattern=" ", join_sep=" ")
+    return out.select(
+        "doc_id",
+        F.col("text").alias("clean_text"),
+        "n_lines_dropped",
+    ).orderBy("doc_id")
+
+
 def q_js_divergence_drift_by_source(spark, sf):
     """Jensen–Shannon divergence per source vs the pooled length histogram —
     symmetric, bounded by ln 2, defined on zero-count buckets without
     smoothing.  Same scale shape as chi2: one tiny per-(partition, bucket)
-    aggregation, then pure expressions over n_partitions × n_buckets rows."""
+    aggregation, then pure expressions over n_partitions × n_buckets rows.
+    RETIRED from the 50-query gate in round 8 (→ dedup_lines): drift
+    coverage stays triple in the gate (KS + chi² + W1) and JSD keeps its
+    pytest (tests/test_ops.py js_divergence bounds + planted-drift
+    argmax)."""
     _ensure_pyfiles(spark)
     from validation_engine.drift import js_divergence_drift
 
@@ -1301,6 +1324,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q3_top_orders + referential_counts) → cap_per_key (bucketed-histogram
     quota vs a row_number-window oracle over the same md5 rank).  All
     three retired functions kept as ``_q*_retired``.
+    Late round 8 swapped js_divergence_drift_by_source (drift coverage
+    stays triple in the gate — KS + chi² + W1 share the histogram scale
+    shape; JSD keeps its bounds + planted-drift pytest) → dedup_lines,
+    putting the intra-document repeated-line removal under a byte-exact
+    rebuilt-text oracle (DuckDB index lambdas).
     """
     return {
         "element_report_documents": q_element_report_documents,
@@ -1331,7 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timeseries_rollup_events": q_timeseries_rollup_events,
         "license_documents": q_license_documents,
         "code_signals_documents": q_code_signals,
-        "js_divergence_drift_by_source": q_js_divergence_drift_by_source,
+        "dedup_lines": q_dedup_lines,
         "window_lag_rolling": q_window_lag_rolling,
         "asof_latest_event": q_asof_latest_event,
         "sessionize_events": q_sessionize_events,
@@ -1929,38 +1957,22 @@ def oracle_sql() -> dict[str, str]:
     FROM sig ORDER BY doc_id
     """
 
-    # Jensen–Shannon twin: pooled q from global bucket shares, per-partition
-    # p, m = (p+q)/2, x·ln(x/m) with the 0·ln0 = 0 convention — all ratios
-    # of integers, natural log in both engines
-    sql["js_divergence_drift_by_source"] = """
-    WITH h AS (
-      SELECT source AS partition,
-             LEAST(31, CAST(FLOOR(CAST(length(text) AS DOUBLE) / 600.0 * 32) AS INT)) AS bucket,
-             COUNT(*) AS n
-      FROM documents GROUP BY 1, 2
-    ), grid AS (
-      SELECT p.partition, b.bucket
-      FROM (SELECT DISTINCT partition FROM h) p
-      CROSS JOIN (SELECT UNNEST(generate_series(0, 31)) AS bucket) b
-    ), dense AS (
-      SELECT g.partition, g.bucket, COALESCE(h.n, 0) AS n
-      FROM grid g LEFT JOIN h ON g.partition = h.partition AND g.bucket = h.bucket
-    ), gb AS (
-      SELECT bucket, SUM(n) AS gn FROM dense GROUP BY bucket
-    ), tot AS (SELECT GREATEST(SUM(gn), 1) AS t FROM gb),
-    e AS (
-      SELECT d.partition, d.bucket,
-             SUM(d.n) OVER (PARTITION BY d.partition) AS pn,
-             d.n / GREATEST(SUM(d.n) OVER (PARTITION BY d.partition), 1) AS p,
-             g.gn / tot.t AS q
-      FROM dense d JOIN gb g ON d.bucket = g.bucket, tot
-    ), e2 AS (
-      SELECT partition, pn, p, q, (p + q) / 2 AS m FROM e
-    )
-    SELECT partition, CAST(MAX(pn) AS BIGINT) AS n,
-           FLOOR(SUM(0.5 * (CASE WHEN p > 0 THEN p * LN(p / m) ELSE 0 END)
-                   + 0.5 * (CASE WHEN q > 0 THEN q * LN(q / m) ELSE 0 END)) * 1e6 + 0.5) / 1e6 AS jsd
-    FROM e2 GROUP BY partition
+    # dedup_lines twin: DuckDB index lambdas — keep x where trimmed
+    # length < 2 (short lines verbatim) OR list_position = i (first
+    # occurrence wins; both the lambda index and list_position are
+    # 1-based).  Rebuilt text compared byte-for-byte.
+    sql["dedup_lines"] = """
+    SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE array_to_string(list_filter(ls, (x, i) ->
+                       length(trim(x)) < 2 OR list_position(ls, x) = i), ' ')
+           END AS clean_text,
+           CAST(CASE WHEN text IS NULL THEN 0
+                ELSE len(ls) - len(list_filter(ls, (x, i) ->
+                       length(trim(x)) < 2 OR list_position(ls, x) = i))
+                END AS INT) AS n_lines_dropped
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS ls FROM documents)
+    ORDER BY doc_id
     """
 
     sql["window_lag_rolling"] = """
