@@ -318,6 +318,85 @@ def test_run_incremental_set_stage_sink(spark, corpus, tmp_path):
     assert ck2.has_coverage()
 
 
+_SNAP_SCHEMA = (
+    "repo string, path string, commit string, content string, "
+    "content_sha256 string, lang string"
+)
+
+
+def _sha(c):
+    return hashlib.sha256(c.encode()).hexdigest() if c is not None else None
+
+
+def test_run_incremental_property(spark, tmp_path):
+    """Hypothesis: for ANY random mutation pattern (keep / edit / retract /
+    append, contents including NULL and empty), the incremental merge is
+    cell-equal to a full fresh run and judges EXACTLY the
+    new-or-changed-fingerprint rows (null-safe)."""
+    import uuid
+
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    contents = st.one_of(
+        st.none(), st.text(alphabet="xy z", min_size=0, max_size=8)
+    )
+    langs = st.sampled_from(["python", "rust", None])
+
+    @st.composite
+    def snapshot_pair(draw):
+        n1 = draw(st.integers(min_value=4, max_value=16))
+        v1 = [
+            ("r", f"p{i}", "c", (c := draw(contents)), _sha(c), draw(langs))
+            for i in range(n1)
+        ]
+        v2 = []
+        for row in v1:
+            op = draw(st.sampled_from(["keep", "keep", "edit", "retract"]))
+            if op == "keep":
+                v2.append(row)
+            elif op == "edit":
+                c = draw(contents)
+                v2.append(row[:3] + (c, _sha(c)) + row[5:])
+        for j in range(draw(st.integers(min_value=0, max_value=5))):
+            c = draw(contents)
+            v2.append(("r", f"q{j}", "c", c, _sha(c), draw(langs)))
+        return v1, v2
+
+    @given(snapshot_pair())
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    def prop(pair):
+        v1_rows, v2_rows = pair
+        v1 = spark.createDataFrame(v1_rows, _SNAP_SCHEMA)
+        v2 = spark.createDataFrame(v2_rows, _SNAP_SCHEMA)
+        root = tmp_path / f"prop-{uuid.uuid4().hex[:12]}"
+        ck1 = CheckpointManager(str(root / "r1"))
+        Workflow(_stages(), checkpoint=ck1,
+                 fingerprint_cols=["content_sha256"]).run(spark, v1)
+        inc = Workflow(_stages()).run_incremental(
+            spark, v2, prev=ck1, fingerprint_cols=["content_sha256"]
+        )
+        # judged exactly the new-or-changed rows, NULL fingerprints equal
+        prev_cov = {(r[0], r[1], r[2], r[4]) for r in v1_rows}
+        expected_delta = sum(
+            1 for r in v2_rows if (r[0], r[1], r[2], r[4]) not in prev_cov
+        )
+        judged = sum(
+            s["n_total"] for s in inc.delta.summaries if s["stage"] == "chk"
+        )
+        assert judged == expected_delta
+        full = Workflow(_stages()).run(spark, v2)
+        for name in ("chk", "lang"):
+            assert sorted(
+                map(tuple, inc.reports[name].collect())
+            ) == sorted(map(tuple, full.reports[name].collect())), name
+        assert sorted(map(_summary_key, inc.summaries)) == sorted(
+            map(_summary_key, full.summaries)
+        )
+
+    prop()
+
+
 def test_run_incremental_guards(spark, corpus, tmp_path):
     v1, v2 = _snapshots(spark, corpus)
     ckpt1 = CheckpointManager(str(tmp_path / "run1"))
