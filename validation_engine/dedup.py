@@ -106,42 +106,54 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep one representative (min id) per identical content.
 
-    ``strategy='agg'`` (default — skew-safe): the keeper table is a
+    ``strategy='agg'`` (default — skew-safe): the keeper-ID table is a
     ``groupBy(digest).agg(min(id))`` whose partial aggregation
     map-side-combines a mega-dup digest's flood to ONE row per map task,
-    and the semi-join key ``(digest, id)`` is UNIQUE per left row, so no
-    join partition can skew — safe by construction on the adversarial
-    input this operator exists for (a raw crawl where one digest covers
-    10^8 empty/boilerplate docs).  It pays a second scan and a second
-    shuffle of (digest, id) pairs over the alternative below.
+    projected down to the bare keeper ids; the corpus then semi-joins on
+    ``id_col`` ALONE.  Because keeper ids are row-unique, no join
+    partition can skew — safe by construction on the adversarial input
+    this operator exists for (a raw crawl where one digest covers 10^8
+    empty/boilerplate docs) — and the PAYLOAD branch never computes the
+    digest at all (the keeper branch reads only (text, id), pruned at
+    the scan), so the digest is hashed once, exactly like the window.
+    Requires ``id_col`` to be row-unique (keep-one-per-content is
+    ill-defined otherwise).
 
-    ``strategy='window'`` (opt-in fast path for CLEANED/benign corpora):
+    ``strategy='window'`` (opt-in for CLEANED/benign corpora):
     ONE scan, ONE shuffle — ``min(id) over (partition by digest)``, then
-    keep the row carrying the min.  Measured at sf0.1 (best of 3):
-    window 0.52 s vs agg 0.91 s — but the window co-locates a mega-dup
+    keep the row carrying the min.  The window co-locates a mega-dup
     digest's full-text row flood on one task (the round-6/7 straggler
     class; see :func:`exact_duplicates`' ladder — AQE can split a skewed
     JOIN partition, never a window), so it is NOT the default: a default
-    should survive the input the operator is for, and a benign-corpus
-    user opts into the documented one-scan saving.  (The keeper aggregate
-    is not broadcastable at scale — one (digest, id) row per distinct
-    document — so 'agg' never becomes shuffle-free; the round-8 planted
-    mega-key A/B in ``BENCH/skew_r8.json`` pins the straggler gap.)
+    should survive the input the operator is for.  The agg's extra cost
+    over the window is one narrow (digest, id) aggregation; its full-row
+    exchange is keyed by the unique id instead of the digest (interleaved
+    uniform-corpus A/B, 2M docs: agg 1.40 s vs window 0.88 s median —
+    ratio 1.6; the first agg form, which semi-joined on (digest, id) and
+    hashed the payload branch too, read ratio 2.5 in the same-shape
+    window).  The round-8 planted mega-key A/B
+    in ``BENCH/skew_r8.json`` pins the straggler gap.
     ``url_dedup`` made the same call in round 7 for the same input class."""
-    with_d = df.withColumn("_digest", F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256))
+    digest = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
     if strategy == "window":
         from pyspark.sql import Window
 
         w = Window.partitionBy("_digest")
         return (
-            with_d.withColumn("_keep", F.min(id_col).over(w))
+            df.withColumn("_digest", digest)
+            .withColumn("_keep", F.min(id_col).over(w))
             .filter(F.col(id_col) == F.col("_keep"))
             .drop("_digest", "_keep")
         )
     if strategy != "agg":
         raise ValueError("strategy must be 'agg' or 'window'")
-    keepers = with_d.groupBy("_digest").agg(F.min(id_col).alias(id_col))
-    return with_d.join(keepers, ["_digest", id_col], "left_semi").drop("_digest")
+    keeper_ids = (
+        df.select(digest.alias("_digest"), F.col(id_col))
+        .groupBy("_digest")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keeper_ids, [id_col], "left_semi")
 
 
 # ---------------------------------------------------------------------------
