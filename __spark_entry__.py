@@ -1184,7 +1184,7 @@ def q_dedup_lines(spark, sf):
     ).orderBy("doc_id")
 
 
-def q_js_divergence_drift_by_source(spark, sf):
+def _q_js_divergence_drift_by_source_retired(spark, sf):
     """Jensen–Shannon divergence per source vs the pooled length histogram —
     symmetric, bounded by ln 2, defined on zero-count buckets without
     smoothing.  Same scale shape as chi2: one tiny per-(partition, bucket)

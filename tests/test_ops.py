@@ -169,6 +169,18 @@ def test_exact_dedup_default_is_skew_safe(spark):
     with pytest.raises(ValueError):
         exact_dedup(df, "id", "text", strategy="nope")
 
+    # duplicate ids (round-8 review): both strategies must still agree —
+    # a bare id-only keeper semi-join silently kept (5, 'B') because 5
+    # was a keeper id for 'A'; the (xxhash64(text), id) pair join keeps
+    # pair semantics without hashing sha256 on the payload branch
+    dup = spark.createDataFrame(
+        [(5, "A"), (3, "B"), (5, "B")], ["id", "text"]
+    )
+    agg_rows = sorted(map(tuple, exact_dedup(dup, "id", "text").collect()))
+    win_rows = sorted(map(tuple, exact_dedup(
+        dup, "id", "text", strategy="window").collect()))
+    assert agg_rows == win_rows == [(3, "B"), (5, "A")]
+
 
 def test_minhash_lsh_finds_near_dups(spark):
     from validation_engine.dedup import minhash_lsh_candidates, jaccard_pairs
@@ -552,6 +564,12 @@ def test_cap_per_key_md5_family_matches_duckdb(spark, capkey_df):
                        strategy="window", bucket_bits=10,
                        hash_family="md5")
     assert {r["doc_id"] for r in wout.collect()} == ref
+    # ...and the [1,30] range check is also bucket-only
+    w32 = cap_per_key(capkey_df, "domain", "doc_id", 25, seed=7,
+                      strategy="window", bucket_bits=64, hash_family="md5")
+    assert {r["doc_id"] for r in w32.collect()} == ref
+    with pytest.raises(ValueError):
+        cap_per_key(capkey_df, "domain", "doc_id", 5, bucket_bits=64)
     with pytest.raises(ValueError):
         cap_per_key(capkey_df, "domain", "doc_id", 5, hash_family="md5",
                     bucket_bits=10)

@@ -579,8 +579,11 @@ class Workflow:
             from .checks import enforce_schema
 
             enforce_schema(dataset, self.input_schema)
-        if self.repartition:
-            dataset = dataset.repartition(self.repartition)
+        # NOTE: self.repartition is NOT applied to the corpus here — a
+        # round-robin exchange of the full payload below the delta
+        # semi-join would break the method's one-narrow-shuffle contract.
+        # The delta sub-workflow applies it to the (tiny) delta, and the
+        # set-stage full run applies it through run() as usual.
         if self.checkpoint is not None and self.checkpoint.has_coverage():
             raise ValueError(
                 f"checkpoint root '{self.checkpoint.root}' already holds "
@@ -690,6 +693,7 @@ class Workflow:
             checkpoint=delta_ck,
             run_id=self.run_id,
             strict_duplicates=self.strict_duplicates,
+            repartition=self.repartition,
         )
         inner = sub.run(spark, delta_ds)
 

@@ -106,18 +106,20 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep one representative (min id) per identical content.
 
-    ``strategy='agg'`` (default — skew-safe): the keeper-ID table is a
-    ``groupBy(digest).agg(min(id))`` whose partial aggregation
-    map-side-combines a mega-dup digest's flood to ONE row per map task,
-    projected down to the bare keeper ids; the corpus then semi-joins on
-    ``id_col`` ALONE.  Because keeper ids are row-unique, no join
-    partition can skew — safe by construction on the adversarial input
-    this operator exists for (a raw crawl where one digest covers 10^8
-    empty/boilerplate docs) — and the PAYLOAD branch never computes the
-    digest at all (the keeper branch reads only (text, id), pruned at
-    the scan), so the digest is hashed once, exactly like the window.
-    Requires ``id_col`` to be row-unique (keep-one-per-content is
-    ill-defined otherwise).
+    ``strategy='agg'`` (default — skew-safe): the keeper table is a
+    ``groupBy(sha256-digest).agg(min(id))`` whose partial aggregation
+    map-side-combines a mega-dup digest's flood to ONE row per map task;
+    the corpus then semi-joins on ``(xxhash64(text), id)``.  The cheap
+    64-bit hash is constant within a digest group, so the keeper
+    aggregation carries it out for free, and the PAYLOAD branch never
+    computes the sha256 digest at all (the keeper branch reads only
+    (text, id), pruned at the scan) — the expensive hash runs once,
+    exactly like the window.  The id half of the join key makes the
+    exchange skew-free (a key repeats only for byte-identical (id, text)
+    rows); the xxhash64 half preserves pair-join semantics under
+    duplicate ids — a non-keeper row survives only on a same-id 64-bit
+    collision (~2⁻⁶⁴ per candidate, vs silently keeping EVERY duplicate
+    id's content, which a bare id-only semi-join would).
 
     ``strategy='window'`` (opt-in for CLEANED/benign corpora):
     ONE scan, ONE shuffle — ``min(id) over (partition by digest)``, then
@@ -127,11 +129,12 @@ def exact_dedup(
     JOIN partition, never a window), so it is NOT the default: a default
     should survive the input the operator is for.  The agg's extra cost
     over the window is one narrow (digest, id) aggregation; its full-row
-    exchange is keyed by the unique id instead of the digest (interleaved
-    uniform-corpus A/B, 2M docs: agg 1.40 s vs window 0.88 s median —
-    ratio 1.6; the first agg form, which semi-joined on (digest, id) and
-    hashed the payload branch too, read ratio 2.5 in the same-shape
-    window).  The round-8 planted mega-key A/B
+    exchange is keyed by (xxhash64, id) instead of the digest
+    (interleaved uniform-corpus A/B, 2M docs: agg 1.16 s vs window
+    0.69 s median — ratio ~1.7; the round-7 agg form, which semi-joined
+    on the full (sha-digest, id) and hashed sha256 on the payload branch
+    too, read ratio 2.5 in the same-shape window).  The round-8 planted
+    mega-key A/B
     in ``BENCH/skew_r8.json`` pins the straggler gap.
     ``url_dedup`` made the same call in round 7 for the same input class."""
     digest = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
@@ -147,13 +150,18 @@ def exact_dedup(
         )
     if strategy != "agg":
         raise ValueError("strategy must be 'agg' or 'window'")
-    keeper_ids = (
-        df.select(digest.alias("_digest"), F.col(id_col))
+    cheap = F.xxhash64(F.coalesce(F.col(text_col), F.lit("")))
+    keepers = (
+        df.select(digest.alias("_digest"), cheap.alias("_xx"), F.col(id_col))
         .groupBy("_digest")
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
+        .agg(F.min(id_col).alias(id_col), F.min("_xx").alias("_xx"))
+        .select("_xx", id_col)
     )
-    return df.join(keeper_ids, [id_col], "left_semi")
+    return (
+        df.withColumn("_xx", cheap)
+        .join(keepers, ["_xx", id_col], "left_semi")
+        .drop("_xx")
+    )
 
 
 # ---------------------------------------------------------------------------

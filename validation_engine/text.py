@@ -499,8 +499,6 @@ def cap_per_key(
     :func:`mix_corpora`)."""
     if n < 1:
         raise ValueError("n must be >= 1")
-    if not 1 <= bucket_bits <= 30:
-        raise ValueError("bucket_bits must be in [1, 30]")
     from pyspark.sql import Window
 
     if hash_family == "xxhash64":
@@ -522,9 +520,12 @@ def cap_per_key(
         )
     if strategy != "bucket":
         raise ValueError("strategy must be 'bucket' or 'window'")
+    # bucket_bits constraints live behind the strategy dispatch: the
+    # window strategy never buckets, so it must not reject either the
+    # range or the md5 nibble alignment
+    if not 1 <= bucket_bits <= 30:
+        raise ValueError("bucket_bits must be in [1, 30]")
     if hash_family == "md5" and bucket_bits % 4 != 0:
-        # only the bucket strategy slices hex prefixes; the window
-        # strategy never buckets, so it must not reject this combination
         raise ValueError("md5 hash_family needs bucket_bits % 4 == 0")
     if hash_family == "md5":
         # hex-prefix bucket: lexicographically order-consistent with the
