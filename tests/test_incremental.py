@@ -397,6 +397,63 @@ def test_run_incremental_property(spark, tmp_path):
     prop()
 
 
+def test_run_incremental_interrupted_resume(spark, corpus, tmp_path):
+    """Coverage commits LAST, so a run killed after the merged stages
+    committed but before coverage is resumable INTO THE SAME ROOT: the
+    completed-root guard must not fire (no coverage yet), the resumed run
+    reuses the committed stage chunks, and the final outputs + coverage
+    are indistinguishable from an uninterrupted increment."""
+    import shutil
+
+    v1, v2 = _snapshots(spark, corpus)
+    ck1 = CheckpointManager(str(tmp_path / "r1"))
+    Workflow(_stages(), checkpoint=ck1,
+             fingerprint_cols=["content_sha256"]).run(spark, v1)
+
+    # simulate the kill: run a full increment, then strip ONLY the
+    # trailing coverage commit (everything before it is durable)
+    ck2 = CheckpointManager(str(tmp_path / "r2"))
+    Workflow(_stages(), checkpoint=ck2,
+             fingerprint_cols=["content_sha256"]).run_incremental(
+        spark, v2, prev=ck1
+    )
+    assert ck2.has_coverage()
+    shutil.rmtree(ck2._coverage_dir())
+    assert not ck2.has_coverage()
+
+    inc = Workflow(_stages(), checkpoint=ck2,
+                   fingerprint_cols=["content_sha256"]).run_incremental(
+        spark, v2, prev=ck1
+    )
+    assert ck2.has_coverage()
+    full = Workflow(_stages()).run(spark, v2)
+    for name in ("chk", "lang"):
+        assert sorted(
+            map(tuple, inc.reports[name].collect())
+        ) == sorted(map(tuple, full.reports[name].collect())), name
+    assert sorted(map(_summary_key, inc.summaries)) == sorted(
+        map(_summary_key, full.summaries)
+    )
+
+
+def test_run_incremental_gathered_report_composes(spark, corpus, tmp_path):
+    """gathered_report (the reference's gather_inputs=True surface) over an
+    INCREMENTAL RunResult equals the same call over a full fresh run."""
+    v1, v2 = _snapshots(spark, corpus)
+    ck1 = CheckpointManager(str(tmp_path / "r1"))
+    Workflow(_stages(), checkpoint=ck1).run(spark, v1)
+    ck1.commit_coverage(spark, v1, ["content_sha256"], KEYS)
+
+    wf = Workflow(_stages())
+    inc = wf.run_incremental(spark, v2, prev=ck1,
+                             fingerprint_cols=["content_sha256"])
+    full = Workflow(_stages()).run(spark, v2)
+    g_inc = wf.gathered_report(v2, inc).collect()
+    g_full = wf.gathered_report(v2, full).collect()
+    assert sorted(map(tuple, g_inc)) == sorted(map(tuple, g_full))
+    assert len(g_inc) == v2.count()
+
+
 def test_run_incremental_guards(spark, corpus, tmp_path):
     v1, v2 = _snapshots(spark, corpus)
     ckpt1 = CheckpointManager(str(tmp_path / "run1"))
