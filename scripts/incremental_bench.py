@@ -170,7 +170,7 @@ def main():
 
     from validation_engine import CheckpointManager
 
-    suites = os.environ.get("INC_SUITES", "exprs,python").split(",")
+    suites = [s for s in os.environ.get("INC_SUITES", "exprs,python").split(",") if s]
     out = {
         "job": "daily revalidation of a grown+edited snapshot "
                "(full fresh run vs run_incremental)",
@@ -225,6 +225,64 @@ def main():
             "merged_equals_full": inc_totals == full_totals,
             "totals": full_totals,
         }
+    # -- optional steady-state chain: INC_CHAIN=k runs k successive daily
+    # increments (each +1% appended, ~0.2% edited), every merged root
+    # serving as the NEXT increment's base — the claim a daily pipeline
+    # rests on.  Per-increment wall must stay flat (no cost accumulation)
+    # and the last merged state must equal a full fresh run.
+    chain_n = int(os.environ.get("INC_CHAIN", "0"))
+    if chain_n:
+        suite = os.environ.get("INC_CHAIN_SUITE", "model")
+        prev_ck = CheckpointManager(f"{WORK}/chain/ck_0", n_chunks=4)
+        _workflow(f"{WORK}/chain/ck_0", suite).run(spark, v1_df)
+        prev_ck.commit_coverage(spark, v1_df, ["content_sha256"], KEYS)
+        cur, total_rows, steps = v1_df, N_ROWS, []
+        inc = None
+        for step in range(1, chain_n + 1):
+            appended_k = _gen(total_rows + n_delta).join(
+                cur.select(*KEYS), on=KEYS, how="left_anti"
+            )
+            edit_k = F.pmod(
+                F.xxhash64("repo", "path", "commit", F.lit(step)),
+                F.lit(500),
+            ) == 0
+            nxt = (
+                cur.withColumn(
+                    "content",
+                    F.when(
+                        edit_k, F.concat(F.col("content"), F.lit(f" [e{step}]"))
+                    ).otherwise(F.col("content")),
+                )
+                .withColumn("content_sha256", F.sha2(F.col("content"), 256))
+                .unionByName(appended_k)
+            )
+            nxt.write.mode("overwrite").parquet(f"{WORK}/chain/v{step}")
+            nxt = spark.read.parquet(f"{WORK}/chain/v{step}")
+            t0 = time.time()
+            inc = _workflow(f"{WORK}/chain/ck_{step}", suite).run_incremental(
+                spark, nxt, prev=prev_ck, fingerprint_cols=["content_sha256"]
+            )
+            steps.append({
+                "step": step,
+                "sec": round(time.time() - t0, 2),
+                "delta_rows_judged": sum(
+                    s["n_total"] for s in inc.delta.summaries
+                ),
+                "n_rows": nxt.count(),
+            })
+            prev_ck = CheckpointManager(f"{WORK}/chain/ck_{step}", n_chunks=4)
+            cur, total_rows = nxt, total_rows + n_delta
+        full = _workflow(f"{WORK}/chain/ck_full", suite).run(spark, cur)
+        tot = lambda r: {  # noqa: E731
+            k: sum(s[k] for s in r.summaries)
+            for k in ("n_total", "n_valid", "n_warning")
+        }
+        out["chain"] = {
+            "suite": suite,
+            "increments": steps,
+            "final_merged_equals_full": tot(inc) == tot(full),
+        }
+
     print(json.dumps(out))
     spark.stop()
     shutil.rmtree(WORK, ignore_errors=True)
