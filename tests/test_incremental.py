@@ -397,6 +397,43 @@ def test_run_incremental_property(spark, tmp_path):
     prop()
 
 
+def test_run_incremental_pandas_stage_cell_equal(spark, corpus, tmp_path):
+    """The Arrow per-row-Python path (PandasElementStage — the check shape
+    the incremental bench shows winning) merges cell-equal to a full fresh
+    run, not just total-equal as the bench asserts."""
+    import pandas as pd
+
+    from validation_engine import PandasElementStage
+
+    def fn(pdf):
+        ok = pdf["content"].notna() & (pdf["content"].str.len() > 40)
+        return pd.DataFrame(
+            {"is_valid": ok,
+             "comment": [None if v else "short" for v in ok]},
+            index=pdf.index,
+        )
+
+    stages = lambda: [PandasElementStage("pychk", fn)]  # noqa: E731
+    v1, v2 = _snapshots(spark, corpus)
+    ck1 = CheckpointManager(str(tmp_path / "r1"))
+    Workflow(stages(), checkpoint=ck1).run(spark, v1)
+    ck1.commit_coverage(spark, v1, ["content_sha256"], KEYS)
+
+    inc = Workflow(stages()).run_incremental(
+        spark, v2, prev=ck1, fingerprint_cols=["content_sha256"]
+    )
+    full = Workflow(stages()).run(spark, v2)
+    assert sorted(map(tuple, inc.reports["pychk"].collect())) == sorted(
+        map(tuple, full.reports["pychk"].collect())
+    )
+    assert sorted(map(_summary_key, inc.summaries)) == sorted(
+        map(_summary_key, full.summaries)
+    )
+    # both verdicts present: some rows pass, some fail
+    vals = {r["is_valid"] for r in inc.reports["pychk"].collect()}
+    assert vals == {True, False}
+
+
 def test_run_incremental_interrupted_resume(spark, corpus, tmp_path):
     """Coverage commits LAST, so a run killed after the merged stages
     committed but before coverage is resumable INTO THE SAME ROOT: the
