@@ -1223,7 +1223,12 @@ def q_ivf_topk(spark, sf):
     # built once, probed many — steady-state IVF cost is the pruned probe,
     # not the k-means build or the partitioned write
     src = os.path.join(sf, "embeddings.parquet")
-    tag = hashlib.md5(f"{src}:{os.path.getmtime(src)}".encode()).hexdigest()[:10]
+    # v2: spherical k-means cells (round 8) — the tag must change when the
+    # assignment algorithm does, or a stale cached index built under the
+    # old metric would be probed with new-metric centroid ranking
+    tag = hashlib.md5(
+        f"{src}:{os.path.getmtime(src)}:ivf-v2".encode()
+    ).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"validation_engine_ivf_{tag}")
     cent_path = path + ".centroids.npy"
     if os.path.exists(os.path.join(path, "_SUCCESS")) and os.path.exists(cent_path):

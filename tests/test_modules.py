@@ -855,3 +855,100 @@ def test_decode_wav_pcm_fast_path(spark):
     assert abs(rows[1]["duration_ms"] - 1000) <= 5
     assert abs(rows[1]["rms"] - amp / 2 ** 0.5) < 0.01
     assert rows[2]["rms"] is None  # corrupt → null-feature row
+
+
+def test_media_decode_oserror_degrades_to_null_row(spark):
+    """PIL's UnidentifiedImageError subclasses OSError, NOT ValueError
+    (round-8 review) — a backend raising OSError on corrupt bytes must
+    yield a null-feature row, never fail the Arrow task."""
+    import numpy as np
+
+    from validation_engine.multimodal import (
+        DecodeBackend, audio_features, image_features,
+    )
+
+    class OSErrorBackend(DecodeBackend):
+        def decode_image(self, data):
+            raise OSError("cannot identify image file")
+
+        def decode_audio(self, data):
+            raise OSError("broken pipe")
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not-an-image"))], "media_id long, data binary"
+    )
+    img = image_features(df, "media_id", "data",
+                         backend=OSErrorBackend()).collect()
+    assert len(img) == 1 and img[0]["width"] is None
+    aud = audio_features(df, "media_id", "data",
+                         backend=OSErrorBackend()).collect()
+    assert len(aud) == 1 and aud[0]["rms"] is None
+
+    # a validly-decoded EMPTY data chunk → rms NULL (not NaN: NaN doubles
+    # evade the null-rate alarms)
+    class EmptyPcm(DecodeBackend):
+        def decode_audio(self, data):
+            return np.array([], dtype="float64"), 44100
+
+    aud = audio_features(df, "media_id", "data",
+                         backend=EmptyPcm()).collect()
+    assert aud[0]["duration_ms"] == 0 and aud[0]["rms"] is None
+
+
+def test_ivf_null_embedding_and_spherical_invariants(spark):
+    """Round-8 review: (1) NULL embeddings get a NULL cell instead of
+    crashing the Arrow batch, never enter the on-disk index, and ivf_topk
+    still equals brute force under exhaustive probes; (2) cells are
+    COSINE cells — assignment is invariant to vector magnitude and
+    trained centroids are unit-norm (spherical k-means), since the index
+    ranks by cosine."""
+    import numpy as np
+
+    from validation_engine.similarity import (
+        brute_force_topk, ivf_assign, ivf_build, ivf_topk,
+    )
+
+    rows = [(i, [float(np.cos(i)), float(np.sin(i)), 1.0, float(i % 5)])
+            for i in range(200)] + [(900, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_build(df, n_centroids=4, order_col="vec_id")
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
+
+    assigned = {r["vec_id"]: r["_cell"] for r in ivf_assign(df, cents).collect()}
+    assert assigned[900] is None
+    # magnitude invariance: 100x-scaled vectors land in the same cells
+    import pyspark.sql.functions as F
+    scaled = df.withColumn(
+        "embedding", F.transform("embedding", lambda x: x * 100.0)
+    )
+    assigned_scaled = {r["vec_id"]: r["_cell"]
+                       for r in ivf_assign(scaled, cents).collect()}
+    assert assigned == assigned_scaled
+
+    q = [1.0, 0.0, 1.0, 0.0]
+    exact = [r["vec_id"] for r in brute_force_topk(df, q, k=5).collect()]
+    approx = [r["vec_id"]
+              for r in ivf_topk(df, cents, q, k=5, n_probe=4).collect()]
+    assert approx == exact
+
+    import pytest
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        ivf_build(empty, n_centroids=4, order_col="vec_id")
+
+
+def test_stateful_dedup_rejects_both_timeout_modes(spark):
+    """Event-time and processing-time TTLs are mutually exclusive (one
+    GroupStateTimeout per query): silently dropping the processing-time
+    backstop a caller asked for would hide a no-eviction hazard."""
+    import pytest
+
+    from validation_engine.streaming import stateful_dedup
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .withColumnRenamed("timestamp", "ts")
+    )
+    with pytest.raises(ValueError, match="not both"):
+        stateful_dedup(stream, keys=["value"], event_time_col="ts",
+                       event_ttl_minutes=30, timeout_minutes=60)

@@ -355,10 +355,14 @@ def image_features(
 ) -> DataFrame:
     """Decode → feature-extract pipeline over binary image columns.
 
-    ``mapInPandas`` with byte-aware re-chunking: a single Arrow batch of
-    mixed-size blobs is split so no decode chunk exceeds ``max_batch_bytes``
-    of payload — the knob that matters at 100 TB, where one batch of 4K
-    videos would otherwise OOM an executor.
+    ``mapInPandas`` with byte-aware re-chunking of the OUTPUT: blobs decode
+    one at a time, and the accumulated feature rows are yielded whenever
+    the chunk's input payload passes ``max_batch_bytes`` — bounding the
+    per-yield buffer, not the input batch (the Arrow batch `pdf` is already
+    materialized when this function sees it; INPUT sizing at 100 TB comes
+    from ``spark.sql.execution.arrow.maxRecordsPerBatch`` and source split
+    bytes, which `validation_engine.session` sizes — round-8 review
+    honesty note).
     """
     backend = backend or FakeDecodeBackend()
 
@@ -386,10 +390,13 @@ def image_features(
                         rows.append(
                             (mid, sha, len(data), img.shape[1], img.shape[0], luma, emb.tolist())
                         )
-                    except (NotImplementedError, ValueError) as e:
-                        # codec missing OR corrupt/undecodable blob: a real
-                        # backend (ffmpeg/PIL) raises ValueError on bad
-                        # bytes — one poisoned row must degrade to a
+                    except (NotImplementedError, ValueError, OSError) as e:
+                        # codec missing OR corrupt/undecodable blob: real
+                        # backends raise ValueError OR OSError on bad bytes
+                        # (PIL's UnidentifiedImageError subclasses OSError,
+                        # NOT ValueError — round-8 review; ffmpeg pipe
+                        # failures are OSError too) — one poisoned row must
+                        # degrade to a
                         # null-feature row, not fail the Arrow task (and,
                         # after retries, the whole 100 TB job).  CAVEAT: a
                         # SYSTEMIC backend failure (ffmpeg build missing a
@@ -454,12 +461,17 @@ def audio_features(
                 try:
                     pcm, sr = backend.decode_audio(data)
                     pcm = np.asarray(pcm, dtype="float64")
+                    # a validly-decoded EMPTY data chunk has no RMS: emit
+                    # null, not NaN — NaN doubles evade the null-rate
+                    # alarms this engine exists to raise (round-8 review)
+                    rms = (
+                        float(np.sqrt((pcm**2).mean())) if pcm.size else None
+                    )
                     rows.append(
                         (mid, sha, len(data),
-                         int(len(pcm) * 1000 // sr),
-                         float(np.sqrt((pcm**2).mean())))
+                         int(len(pcm) * 1000 // sr), rms)
                     )
-                except (NotImplementedError, ValueError) as e:
+                except (NotImplementedError, ValueError, OSError) as e:
                     # codec missing OR corrupt blob → null-feature row
                     # (systemic-failure caveat: see image_features)
                     logger.warning("audio decode failed for id=%s: %s", mid, e)
@@ -496,7 +508,7 @@ def video_frame_sample(
                              + 0.114 * frame[..., 2]).mean()
                         )
                         rows.append((mid, i, luma))
-                except (NotImplementedError, ValueError) as e:
+                except (NotImplementedError, ValueError, OSError) as e:
                     # codec missing OR corrupt blob → sentinel frame row
                     # (systemic-failure caveat: see image_features)
                     logger.warning("video decode failed for id=%s: %s", mid, e)

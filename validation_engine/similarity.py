@@ -61,9 +61,18 @@ def brute_force_topk(
     a k-heap, the driver merges — O(k) memory, no global sort.
     """
     q = F.array(*[F.lit(float(x)) for x in query])
+    # the query norm is a driver-side constant: computing it per row via
+    # norm_expr over the literal array is a higher-order-function aggregate
+    # Catalyst does NOT constant-fold — ~dim multiply-adds wasted per row
+    # (round-8 review); a zero-norm query divides by zero → null cosine,
+    # same as the expression form
+    qn = float(np.sqrt(sum(float(x) * float(x) for x in query)))
     scored = df.select(
         F.col(id_col),
-        F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"),
+        F.round(
+            dot_expr(F.col(vec_col), q) / (norm_expr(F.col(vec_col)) * F.lit(qn)),
+            6,
+        ).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
@@ -133,7 +142,25 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 
 
+def _unit_rows(mat: np.ndarray) -> np.ndarray:
+    """Row-normalize to unit L2; zero rows stay zero (no NaN)."""
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    return mat / np.where(n == 0.0, 1.0, n)
+
+
 def _kmeans(sample: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 42):
+    """SPHERICAL k-means: the index ranks by COSINE, so cells must be
+    cosine-consistent — training rows and centroids live on the unit
+    sphere, where L2 argmin == cosine argmax.  Unnormalized L2 cells
+    degrade recall for varied-magnitude embeddings: the top-cosine
+    neighbor can sit in a Euclidean-far cell none of the probes visit
+    (round-8 review)."""
+    if len(sample) == 0:
+        raise ValueError(
+            "cannot train IVF centroids: the training sample is empty "
+            "(empty corpus, or every embedding NULL)"
+        )
+    sample = _unit_rows(np.atleast_2d(sample))
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
     cent = sample[idx].copy()
@@ -148,6 +175,7 @@ def _kmeans(sample: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 4
             pts = sample[assign == c]
             if len(pts):
                 cent[c] = pts.mean(axis=0)
+        cent = _unit_rows(cent)
     return cent
 
 
@@ -175,18 +203,19 @@ def ivf_build(
     the physical partitioning; callers with a key should pass it
     (:func:`validation_engine.dedup.semantic_duplicates` does, round-7
     VERDICT task 5)."""
+    src = df.where(F.col(vec_col).isNotNull())  # NULLs train nothing
     if order_col is not None:
         h = F.xxhash64(F.col(order_col), F.lit(int(seed)))
         rows = (
-            df.select(F.col(vec_col), h.alias("_ivf_h"), F.col(order_col))
+            src.select(F.col(vec_col), h.alias("_ivf_h"), F.col(order_col))
             .orderBy("_ivf_h", order_col)
             .limit(int(sample_cap))
             .collect()
         )
     else:
-        n = df.count()
+        n = src.count()
         frac = min(1.0, sample_cap / max(n, 1))
-        rows = df.sample(fraction=frac, seed=seed).select(vec_col).collect()
+        rows = src.sample(fraction=frac, seed=seed).select(vec_col).collect()
     sample = np.asarray([r[0] for r in rows], dtype=float)
     return _kmeans(sample, n_centroids, seed=seed)
 
@@ -195,17 +224,27 @@ def ivf_assign(
     df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
 ) -> DataFrame:
     """Add a ``_cell`` column = nearest centroid id, via one Arrow-batched
-    pandas UDF (matmul per batch — the vectorized path, no per-row Python)."""
+    pandas UDF (matmul per batch — the vectorized path, no per-row Python).
+
+    Rows are unit-normalized before assignment (cosine cells — see
+    :func:`_kmeans`); a NULL embedding gets a NULL ``_cell`` (unindexable —
+    probes never visit it, and :func:`ivf_write_index` drops it), matching
+    :func:`brute_force_topk`'s null tolerance instead of crashing the Arrow
+    batch (round-8 review)."""
     from pyspark.sql.functions import pandas_udf
 
-    cent = centroids.astype(float)
+    cent = _unit_rows(np.atleast_2d(centroids.astype(float)))
     cent_norm2 = (cent**2).sum(axis=1)
 
     @pandas_udf("int")
     def nearest(v: pd.Series) -> pd.Series:
-        mat = np.vstack(v.to_numpy())
-        d = -2.0 * (mat @ cent.T) + cent_norm2[None, :]
-        return pd.Series(d.argmin(axis=1).astype("int32"))
+        mask = v.notna()
+        out = pd.array([None] * len(v), dtype="Int32")
+        if mask.any():
+            mat = _unit_rows(np.vstack(v[mask].to_numpy()))
+            d = -2.0 * (mat @ cent.T) + cent_norm2[None, :]
+            out[np.asarray(mask)] = d.argmin(axis=1).astype("int32")
+        return pd.Series(out)
 
     return df.withColumn("_cell", nearest(F.col(vec_col)))
 
@@ -222,8 +261,9 @@ def ivf_topk(
     """IVF search: rank centroids by distance to the query, scan only the
     ``n_probe`` nearest cells, exact cosine inside.  With ``_cell`` as a
     partition/bucket column the non-probed cells are never read."""
-    qv = np.asarray(query, dtype=float)
-    d = ((centroids - qv[None, :]) ** 2).sum(axis=1)
+    qv = _unit_rows(np.asarray(query, dtype=float)[None, :])[0]
+    cent = _unit_rows(np.atleast_2d(np.asarray(centroids, dtype=float)))
+    d = ((cent - qv[None, :]) ** 2).sum(axis=1)
     probe = [int(c) for c in d.argsort()[:n_probe]]
     assigned = ivf_assign(df, centroids, vec_col)
     cand = assigned.filter(F.col("_cell").isin(probe))
@@ -249,7 +289,11 @@ def ivf_write_index(
     overhead swamps the pruning win).  Raise ``files_per_cell`` at scale so
     each cell's data splits across executors (cells × files_per_cell write
     tasks, bounded file sizes)."""
-    assigned = ivf_assign(df, centroids, vec_col)
+    # NULL-embedding rows have no cell — unindexable by definition (they
+    # would land in a __HIVE_DEFAULT_PARTITION__ dir no probe ever reads)
+    assigned = ivf_assign(df, centroids, vec_col).filter(
+        F.col("_cell").isNotNull()
+    )
     fpc = max(1, int(files_per_cell))
     n_parts = max(1, len(centroids) * fpc)
     # hash partitioning on _cell alone cannot SPLIT a cell across tasks, so
@@ -277,8 +321,9 @@ def ivf_topk_indexed(
     ``_cell IN (probe)`` predicate lands in the scan's PartitionFilters
     (verify with ``.explain``), so only ``n_probe`` of the cell directories
     are read; exact cosine ranks inside."""
-    qv = np.asarray(query, dtype=float)
-    d = ((centroids - qv[None, :]) ** 2).sum(axis=1)
+    qv = _unit_rows(np.asarray(query, dtype=float)[None, :])[0]
+    cent = _unit_rows(np.atleast_2d(np.asarray(centroids, dtype=float)))
+    d = ((cent - qv[None, :]) ** 2).sum(axis=1)
     probe = [int(c) for c in d.argsort()[:n_probe]]
     cand = spark.read.parquet(path).filter(F.col("_cell").isin(probe))
     return brute_force_topk(cand, query, k, id_col, vec_col)

@@ -101,9 +101,14 @@ def stateful_dedup(
       state bound holds no matter how fast history is replayed (the
       watermark advances with the data, not the clock).  A watermark
       (``event_watermark`` delay) is applied to ``event_time_col`` —
-      required by Spark for event-time timeouts.  The TTL slides: each
-      sighting of a key re-arms its eviction from that sighting's event
-      time.  Documented tradeoff of any TTL: an evicted key re-emits if it
+      required by Spark for event-time timeouts, and it carries Spark's
+      standard late-data semantics: a row whose event time is already
+      behind the watermark is DROPPED before this operator runs (never
+      emitted, even if its key is brand new) — size ``event_watermark``
+      to the stream's real out-of-orderness.  The TTL slides: each
+      sighting of a key re-arms its eviction from the key's LATEST seen
+      event time (out-of-order duplicates never pull the deadline in).
+      Documented tradeoff of any TTL: an evicted key re-emits if it
       reappears later.
 
     This is the Structured-Streaming analogue of the batch duplicate-key
@@ -115,6 +120,16 @@ def stateful_dedup(
     if event_time_col is not None:
         if not event_ttl_minutes:
             raise ValueError("event_time_col requires event_ttl_minutes > 0")
+        if timeout_minutes:
+            # the two modes are mutually exclusive (one GroupStateTimeout
+            # per query); silently dropping the processing-time backstop a
+            # caller explicitly asked for would hide a no-eviction hazard
+            # on a stalled stream (round-8 review)
+            raise ValueError(
+                "pass either event_time_col+event_ttl_minutes (event-time "
+                "TTL) or timeout_minutes (processing-time TTL), not both — "
+                "Spark supports one timeout mode per stateful operator"
+            )
         stream_df = stream_df.withWatermark(event_time_col, event_watermark)
         timeout = GroupStateTimeout.EventTimeTimeout
     elif timeout_minutes:
@@ -157,9 +172,17 @@ def stateful_dedup(
             if max_ts is not None and not pd.isna(max_ts):
                 # re-arm eviction at last-seen event time + TTL; a timeout
                 # timestamp at or below the current watermark is illegal (it
-                # would already have fired), so clamp just past it
+                # would already have fired), so clamp just past it.  Slide
+                # FORWARD only (max with the previously-armed deadline): an
+                # out-of-order duplicate with an EARLIER event time must not
+                # pull an armed deadline in — that is premature eviction →
+                # duplicate re-emission, the exact hazard the null-ts branch
+                # below documents (round-8 review)
                 ts = int(pd.Timestamp(max_ts).value // 1_000_000) + ttl_ms
-                state.setTimeoutTimestamp(max(ts, state.getCurrentWatermarkMs() + 1))
+                state.setTimeoutTimestamp(
+                    max(ts, state.oldTimeoutTimestamp,
+                        state.getCurrentWatermarkMs() + 1)
+                )
             else:
                 # every row in this batch had a NULL event time — no
                 # event-time anchor, but the TTL contract is SLIDING (each
