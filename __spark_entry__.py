@@ -800,28 +800,17 @@ def q_mix_corpora(spark, sf):
 
 
 def q_chi2_drift_by_source(spark, sf):
-    """Chi-square drift of text length across source partitions (no-UDF
-    variant): one corpus scan to the per-(partition, bucket) histogram, then
-    window sums over the tiny histogram derive global/partition/total counts
-    — a single action, no persist/collect/self-join."""
-    from pyspark.sql import Window
-
-    from validation_engine.drift import partition_histogram
+    """Chi-square drift of text length across source partitions — calls the
+    engine operator directly (densified grid: a bucket the pool populates
+    but a partition lacks contributes exp; dof = pooled buckets − 1 for
+    every partition).  The p-value column (a numpy pandas-UDF erfc) is
+    dropped — the DuckDB twin reproduces the pure-arithmetic statistic."""
+    from validation_engine.drift import chi_square_drift
 
     docs = _t(spark, sf, "documents")
-    hist = partition_histogram(docs, F.length("text"), "source", n_buckets=16)
-    gn = F.sum("n").over(Window.partitionBy("bucket"))
-    pn = F.sum("n").over(Window.partitionBy("partition"))
-    tot = F.sum("n").over(Window.partitionBy())
-    e = (
-        hist.withColumn("pn", pn)
-        .withColumn("exp", gn * F.col("pn") / tot.cast("double"))
-        .withColumn("term", F.pow(F.col("n") - F.col("exp"), 2) / F.col("exp"))
-    )
-    return e.groupBy("partition").agg(
-        F.max("pn").cast("bigint").alias("n"),
-        F.round(F.sum("term"), 4).alias("chi2"),
-        (F.count(F.lit(1)) - 1).cast("int").alias("dof"),
+    out = chi_square_drift(docs, F.length("text"), "source", n_buckets=16)
+    return out.select(
+        "partition", F.col("n").cast("bigint").alias("n"), "chi2", "dof"
     )
 
 
@@ -2216,26 +2205,35 @@ def oracle_sql() -> dict[str, str]:
           < '40000000'
     """
 
+    # densified like the engine: every (partition, pooled-bucket) pair
+    # participates — a partition missing a pooled bucket contributes
+    # (0 − exp)²/exp = exp, and dof is the pooled bucket count − 1
     sql["chi2_drift_by_source"] = """
     WITH bounds AS (
       SELECT CAST(MIN(length(text)) AS DOUBLE) AS lo, CAST(MAX(length(text)) AS DOUBLE) AS hi FROM documents
     ), hist AS (
       SELECT source AS partition,
-             CAST(least(15, floor((CAST(length(text) AS DOUBLE) - lo) / greatest(hi - lo, 1e-12) * 16)) AS INTEGER) AS bucket,
+             CAST(greatest(0, least(15, floor((CAST(length(text) AS DOUBLE) - lo) / greatest(hi - lo, 1e-12) * 16))) AS INTEGER) AS bucket,
              COUNT(*) AS n
       FROM documents, bounds GROUP BY 1, 2
     ), gh AS (
       SELECT bucket, SUM(n) AS gn FROM hist GROUP BY bucket
+    ), parts AS (
+      SELECT DISTINCT partition FROM hist
+    ), tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM hist
+    ), dense AS (
+      SELECT p.partition, g.bucket, g.gn, COALESCE(h.n, 0) AS n
+      FROM parts p CROSS JOIN gh g
+      LEFT JOIN hist h ON h.partition = p.partition AND h.bucket = g.bucket
     ), pn AS (
-      SELECT partition, SUM(n) AS pn FROM hist GROUP BY partition
-    ), tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM hist)
-    SELECT h.partition,
+      SELECT partition, SUM(n) AS pn FROM dense GROUP BY partition
+    )
+    SELECT d.partition,
            CAST(MAX(p.pn) AS BIGINT) AS n,
-           round(SUM(pow(h.n - (g.gn * p.pn / t.t), 2) / (g.gn * p.pn / t.t)), 4) AS chi2,
+           round(SUM(pow(d.n - (d.gn * p.pn / t.t), 2) / (d.gn * p.pn / t.t)), 6) AS chi2,
            CAST(COUNT(*) - 1 AS INTEGER) AS dof
-    FROM hist h JOIN gh g ON h.bucket = g.bucket
-                JOIN pn p ON h.partition = p.partition, tot t
-    GROUP BY h.partition
+    FROM dense d JOIN pn p ON d.partition = p.partition, tot t
+    GROUP BY d.partition
     """
 
     # bucketed point-in-interval join: plain inequality join is the

@@ -71,6 +71,38 @@ def test_chi_square_drift_flags_planted_partition(spark, corpus):
     assert drifted_repo in flagged
 
 
+def test_chi_square_drift_densifies_missing_buckets(spark):
+    """A partition that entirely lacks a pooled bucket must still pay the
+    (0 − exp)²/exp = exp term, and dof must be the POOLED bucket count − 1
+    for every partition (the sparse formulation dropped both, understating
+    drift exactly when a partition collapsed onto a subrange)."""
+    from validation_engine.drift import chi_square_drift
+
+    # partition 'a' covers only the low half of the range; 'b' covers all
+    rows = [("a", float(v)) for v in range(0, 50)] + [
+        ("b", float(v)) for v in range(0, 100)
+    ]
+    df = spark.createDataFrame(rows, ["part", "val"])
+    out = {
+        r["partition"]: r
+        for r in chi_square_drift(
+            df, "val", "part", n_buckets=4, lo=0.0, hi=100.0
+        ).collect()
+    }
+    # pooled histogram populates all 4 buckets -> dof = 3 for BOTH
+    # partitions, even though 'a' has rows in only 2
+    assert out["a"]["dof"] == 3 and out["b"]["dof"] == 3
+    # 'a' is missing the top half: chi2 must include the exp mass of the
+    # two empty buckets.  exp per missing bucket = gn_b * pn_a / N =
+    # 25 * 50 / 150 = 8.3333..., two of them -> chi2 strictly above 16.
+    assert out["a"]["chi2"] > 16.0
+    # values below an EXPLICIT lo clamp into bucket 0 instead of a
+    # negative bucket (which the densified grid would silently drop)
+    out2 = chi_square_drift(df, "val", "part", n_buckets=4, lo=50.0, hi=100.0)
+    n_by_part = {r["partition"]: r["n"] for r in out2.collect()}
+    assert n_by_part["a"] == 50 and n_by_part["b"] == 100
+
+
 def test_ks_drift_flags_planted_partition(spark, corpus):
     from validation_engine.drift import ks_drift
 

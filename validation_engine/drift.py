@@ -57,9 +57,16 @@ def partition_histogram(
         lo = float(row["lo"]) if lo is None else lo
         hi = float(row["hi"]) if hi is None else hi
     span = max(hi - lo, 1e-12)
-    bucket = F.least(
-        F.lit(n_buckets - 1),
-        F.floor((v.cast("double") - F.lit(lo)) / F.lit(span) * n_buckets),
+    # clamp BOTH ends: with explicit lo > min(v) the raw floor goes negative,
+    # and a negative bucket either splinters into its own chi-square cell or
+    # silently drops out of the densified (grid-join) metrics — out-of-range
+    # values belong to the edge buckets
+    bucket = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor((v.cast("double") - F.lit(lo)) / F.lit(span) * n_buckets),
+        ),
     ).cast("int")
     return (
         df.select(F.col(partition_col).alias("partition"), bucket.alias("bucket"))
@@ -81,21 +88,35 @@ def chi_square_drift(
     Returns ``(partition, n, chi2, dof, p_value, drifted)``.  Everything
     after the tiny per-bucket aggregate is array math over at most
     ``n_partitions × n_buckets`` rows — broadcastable, driver-light.
-    """
-    from pyspark.sql import Window
 
-    hist = partition_histogram(df, value_col, partition_col, n_buckets, lo, hi)
-    # the global/partition/total sums are WINDOW sums over the tiny
-    # (n_partitions × n_buckets) histogram — one corpus scan, ONE action, no
-    # persist/collect/self-join (the round-1 join formulation re-derived the
-    # histogram per branch or needed a persist + a scalar collect)
-    gn = F.sum("n").over(Window.partitionBy("bucket"))
-    pn = F.sum("n").over(Window.partitionBy("partition"))
-    tot = F.sum("n").over(Window.partitionBy())
+    Missing (partition, bucket) pairs are DENSIFIED before the statistic:
+    a bucket the pool populates but this partition lacks contributes
+    ``(0 − exp)² / exp = exp`` — precisely the "this partition is missing a
+    whole region of the distribution" signal — and ``dof`` is the pooled
+    bucket count − 1, identical for every partition.  (The round-1 sparse
+    formulation dropped those terms, understating drift exactly when a
+    partition collapsed onto a subrange; the densified grid follows
+    :func:`psi_drift`'s one-scan shape: the corpus is scanned once to the
+    tiny histogram, which is collected — bounded at n_partitions ×
+    n_buckets rows — and rebuilt as a local frame so every downstream join
+    broadcasts and the returned plan never re-scans the corpus.)
+    """
+    spark = df.sparkSession
+    hist_src = partition_histogram(df, value_col, partition_col, n_buckets, lo, hi)
+    hist_rows = hist_src.collect()
+    hist = spark.createDataFrame(hist_rows, hist_src.schema)
+    tot = sum(r["n"] for r in hist_rows)  # 0 on empty input, never None
+    parts = hist.select("partition").distinct()
+    # only buckets the POOL populates participate (a globally-empty bucket
+    # has exp = 0 for everyone — a 0/0 term, not evidence)
+    gbuckets = hist.groupBy("bucket").agg(F.sum("n").alias("gn"))
+    grid = parts.crossJoin(gbuckets)
+    dense = grid.join(hist, ["partition", "bucket"], "left").fillna(0, ["n"])
+    pn = dense.groupBy("partition").agg(F.sum("n").alias("pn"))
     # chi2 = Σ_b (obs - exp)^2 / exp, with exp_b = gn_b * pn / N
     e = (
-        hist.withColumn("pn", pn)
-        .withColumn("exp", gn * F.col("pn") / tot.cast("double"))
+        dense.join(F.broadcast(pn), "partition")
+        .withColumn("exp", F.col("gn") * F.col("pn") / F.lit(float(max(tot, 1))))
         .withColumn("term", F.pow(F.col("n") - F.col("exp"), 2) / F.col("exp"))
     )
     out = e.groupBy("partition").agg(
