@@ -1149,6 +1149,30 @@ def test_ivf_indexed_partition_pruning(spark, emb, tmp_path):
     assert [r["vec_id"] for r in out.collect()] == [r["vec_id"] for r in mem.collect()]
 
 
+def test_salted_ops_spread_byte_identical_flood(spark):
+    """The salt must spread BYTE-IDENTICAL duplicate rows (the classic
+    crawl mega-key flood): a content-only row hash gives every duplicate
+    the same salt and re-collapses the group onto one reducer.  Pins the
+    per-row-unique-id term in the salt (plan shape) and output equality
+    to the plain formulations on a pure-duplicate flood."""
+    from validation_engine.stats import salted_group_stats, salted_join
+
+    flood = spark.createDataFrame(
+        [("hot", "exactly the same payload")] * 2000
+        + [(f"k{i}", f"p{i}") for i in range(50)],
+        ["g", "v"],
+    )
+    salted = salted_group_stats(flood, "g", F.length("v"), n_salts=8, agg_name="len")
+    assert "monotonically_increasing_id" in salted._jdf.queryExecution().toString()
+    s = {r["g"]: (r["len_count"], r["len_sum"]) for r in salted.collect()}
+    assert s["hot"] == (2000, 2000 * len("exactly the same payload"))
+
+    dim = spark.createDataFrame([("hot", 1)] + [(f"k{i}", i) for i in range(50)], ["g", "d"])
+    sj = salted_join(flood, dim, "g", n_salts=8)
+    assert "monotonically_increasing_id" in sj._jdf.queryExecution().toString()
+    assert sj.count() == flood.join(dim, "g").count() == 2050
+
+
 def test_salted_join_matches_plain_join(spark):
     """salted_join == plain join, row for row, on a skew-heavy key
     (one key holds 90% of the fact side)."""

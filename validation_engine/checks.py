@@ -450,8 +450,11 @@ def violations_to_verdicts(
     on a BAD dataset (the case a validation engine exists for) they are
     corpus-proportional, and a forced hint would override Spark's size
     threshold and OOM the driver exactly when validation matters most."""
+    # sort_array: collect_list order is partition-arrival order, so an
+    # unsorted join of reasons would make the comment string (and thus the
+    # report bytes) partitioning-dependent
     agg = violations.groupBy(*keys).agg(
-        F.concat_ws("; ", F.collect_list("reason")).alias("_reasons")
+        F.concat_ws("; ", F.sort_array(F.collect_list("reason"))).alias("_reasons")
     )
     joined = df.join(agg, on=list(keys), how="left")
     return (

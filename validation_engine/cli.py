@@ -221,11 +221,12 @@ def main(argv=None) -> int:
     # tests) — only stop what this entry point actually created
     preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark("validation-engine", master=args.master)
-    df = (
-        spark.read.table(args.input)
-        if "/" not in args.input and "." in args.input
-        else spark.read.parquet(args.input)
-    )
+    # io.read_dataset owns the table-vs-path decision: the previous inline
+    # check ("no slash and a dot => table") misread a relative file path
+    # like `data.parquet` as a catalog identifier
+    from .io import read_dataset as _read_dataset
+
+    df = _read_dataset(spark, args.input)
     wf = build_workflow(config, args.checkpoint)
     res = wf.run(spark, df)
 

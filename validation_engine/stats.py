@@ -122,8 +122,18 @@ def salted_group_stats(
     Emits count/sum/min/max per group (avg derivable).  For algebraic
     aggregates only (count/sum/min/max); use AQE skew handling for joins.
     """
-    # deterministic salt (hash of row content, not rand) so reruns agree
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    # The salt mixes a per-row unique id into the row-content hash: a
+    # content-only hash assigns BYTE-IDENTICAL rows the same salt, so the
+    # classic adversarial flood (one mega-group of duplicate rows — the
+    # exact skew this function exists for) would still collapse onto one
+    # reducer.  Salt placement is output-invariant here (count/sum/min/max
+    # merge commutatively across salts), so the partitioning-dependent id
+    # never reaches the result.
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns],
+                   F.monotonically_increasing_id()),
+        F.lit(n_salts),
+    )
     phase1 = (
         df.withColumn("_salt", salt)
         .groupBy(group_col, "_salt")
@@ -166,11 +176,14 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Skew-safe equi-join (north_rule join-side complement to
-    :func:`salted_group_stats`): the skewed side gets a deterministic salt
-    (hash of the full row, so reruns agree), the other side is replicated
-    across all ``n_salts`` salt values, and the join key becomes
-    ``on + salt`` — any single heavy-hitter key's rows spread over
-    ``n_salts`` reducers instead of one.
+    :func:`salted_group_stats`): the skewed side gets a per-row salt (row
+    hash mixed with a unique row id — content alone would give every
+    byte-identical duplicate the SAME salt and re-collapse the mega-key
+    flood onto one reducer), the other side is replicated across all
+    ``n_salts`` salt values, and the join key becomes ``on + salt`` — any
+    single heavy-hitter key's rows spread over ``n_salts`` reducers
+    instead of one.  Salt placement never reaches the output: each skewed
+    row meets exactly one replica whatever its salt.
 
     Result is row-identical to ``skewed.join(other, on, how)``: each skewed
     row carries exactly one salt and meets exactly one replica.  Cost: the
@@ -182,7 +195,11 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports how='inner' or 'left'")
     on = [on] if isinstance(on, str) else list(on)
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in skewed.columns],
+                   F.monotonically_increasing_id()),
+        F.lit(n_salts),
+    )
     left_s = skewed.withColumn("_salt", salt.cast("int"))
     right_s = other.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
