@@ -3121,3 +3121,184 @@ def test_extract_imports_duckdb_parity(spark):
     # parity alone could be vacuous (both engines agreeing on []): the
     # CRLF grouped block must actually be censused
     assert got[5] == ["io/x", "os"]
+
+
+# ---------------- notebook extraction ----------------
+
+
+def _nb_twin(content, sep="\n\n", types=("code",)):
+    """Independent pure-Python (json module) formulation of
+    extract_notebook_code's contract: (nb_code, n_code_cells, n_cells,
+    language). Mirrors the documented degrade semantics: non-object JSON
+    and parse failures -> (None, 0, 0, None)."""
+    import json as _json
+
+    try:
+        nb = _json.loads(content)
+    except (ValueError, TypeError):
+        nb = None
+    if not isinstance(nb, dict):
+        return None, 0, 0, None
+    md = nb.get("metadata") if isinstance(nb.get("metadata"), dict) else {}
+    ks = md.get("kernelspec") if isinstance(md.get("kernelspec"), dict) else {}
+    li = (
+        md.get("language_info")
+        if isinstance(md.get("language_info"), dict)
+        else {}
+    )
+    lang = ks.get("language") or li.get("name") or md.get("language")
+    if nb.get("nbformat") == 3:
+        cells = [
+            {
+                "cell_type": c.get("cell_type"),
+                "source": "".join(c.get("input") or []),
+            }
+            for ws in (nb.get("worksheets") or [])
+            for c in (ws.get("cells") or [])
+        ]
+    else:
+        raw = nb.get("cells")
+        if raw is None:
+            return None, 0, 0, lang
+        cells = [
+            {
+                "cell_type": c.get("cell_type"),
+                "source": (
+                    "".join(c["source"])
+                    if isinstance(c.get("source"), list)
+                    else c.get("source")
+                ),
+            }
+            for c in raw
+        ]
+    picked = [c for c in cells if c["cell_type"] in types]
+    code = sep.join((c["source"] or "") for c in picked)
+    return code, len(picked), len(cells), lang
+
+
+def test_extract_notebook_code_python_twin_parity(spark):
+    """Byte-for-byte parity of extract_notebook_code with an independent
+    pure-Python json-module twin across the nbformat matrix: v4 line-array
+    sources, v4 single-string sources, MIXED source forms in one notebook,
+    nbformat 3 worksheets/input, CRLF and unicode payloads, empty cell
+    lists, missing cells key, invalid JSON (degrades to NULL code, zero
+    counts - one corrupt blob must never throw)."""
+    import json as _json
+
+    from validation_engine.text import extract_notebook_code
+
+    notebooks = [
+        _json.dumps(
+            {
+                "cells": [
+                    {
+                        "cell_type": "code",
+                        "source": ["import os\n", "print(1)"],
+                        "outputs": [],
+                    },
+                    {"cell_type": "markdown", "source": ["# hi"]},
+                    {"cell_type": "code", "source": []},
+                ],
+                "metadata": {
+                    "kernelspec": {"language": "python"},
+                    "language_info": {"name": "python"},
+                },
+                "nbformat": 4,
+            }
+        ),
+        _json.dumps(
+            {
+                "cells": [
+                    {"cell_type": "code", "source": "x=1\r\ny=2"},
+                    {"cell_type": "code", "source": "z=é中文"},
+                ],
+                "metadata": {"language_info": {"name": "python"}},
+                "nbformat": 4,
+            }
+        ),
+        # mixed source forms within ONE notebook
+        _json.dumps(
+            {
+                "cells": [
+                    {"cell_type": "code", "source": ["a=1"]},
+                    {"cell_type": "code", "source": "b=2"},
+                    {"cell_type": "raw", "source": "ignored"},
+                ],
+                "nbformat": 4,
+            }
+        ),
+        _json.dumps(
+            {
+                "worksheets": [
+                    {
+                        "cells": [
+                            {"cell_type": "code", "input": ["w=9\n"]},
+                            {"cell_type": "markdown", "input": ["# t"]},
+                        ]
+                    }
+                ],
+                "metadata": {"language": "python"},
+                "nbformat": 3,
+            }
+        ),
+        "not json at all",
+        _json.dumps({"cells": [], "nbformat": 4}),
+        _json.dumps({"nbformat": 4}),
+        _json.dumps({"cells": [{"cell_type": "code"}], "nbformat": 4}),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(notebooks)], ["doc_id", "content"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in extract_notebook_code(df).collect()
+    }
+    for i, s in enumerate(notebooks):
+        code, n_code, n_cells, lang = _nb_twin(s)
+        r = out[i]
+        assert r["nb_code"] == code, (i, r["nb_code"], code)
+        assert r["nb_n_code_cells"] == n_code, i
+        assert r["nb_n_cells"] == n_cells, i
+        assert r["nb_language"] == lang, i
+    # markdown-inclusive selection mirrors too
+    out_md = {
+        r["doc_id"]: r["nb_code"]
+        for r in extract_notebook_code(
+            df, cell_types=("code", "markdown"), cell_sep="\n"
+        ).collect()
+    }
+    for i, s in enumerate(notebooks):
+        code, _, _, _ = _nb_twin(s, sep="\n", types=("code", "markdown"))
+        assert out_md[i] == code, i
+    # zero shuffles: pure projection, plan-pinned
+    plan = (
+        extract_notebook_code(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_notebook_cells_exploded(spark):
+    import json as _json
+
+    from validation_engine.text import notebook_cells
+
+    nb = _json.dumps(
+        {
+            "cells": [
+                {"cell_type": "code", "source": ["a=1\n", "b=2"]},
+                {"cell_type": "markdown", "source": "# doc"},
+            ],
+            "nbformat": 4,
+        }
+    )
+    df = spark.createDataFrame(
+        [(1, nb), (2, "broken {")], ["doc_id", "content"]
+    )
+    rows = [
+        r.asDict()
+        for r in notebook_cells(df).orderBy("doc_id", "cell_idx").collect()
+    ]
+    assert rows == [
+        {"doc_id": 1, "cell_idx": 0, "cell_type": "code", "source": "a=1\nb=2"},
+        {"doc_id": 1, "cell_idx": 1, "cell_type": "markdown", "source": "# doc"},
+    ]  # unparseable doc 2 emits no rows

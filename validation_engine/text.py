@@ -2047,3 +2047,149 @@ def repo_stats(
         )
         out = out.join(lic, "repo", "left")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Jupyter notebook extraction (.ipynb JSON → code) — from_json, zero Python
+# ---------------------------------------------------------------------------
+
+# nbformat 4: top-level `cells`; each cell's `source` is an array of lines
+# (what jupyter writes) OR a single multiline string (equally valid JSON —
+# common in generated/minified notebooks).  Spark's from_json nulls ONLY the
+# mismatching FIELD (per cell), so parsing the document under BOTH schemas
+# and coalescing per cell handles even mixed notebooks exactly.  The
+# string-schema parse of an array-typed source yields the raw JSON text of
+# the array — never consumed, because the array-schema parse is non-null
+# precisely then.  nbformat 3 nests cells under `worksheets` with `input`
+# instead of `source`; its parse is gated behind `when(nbformat == 3, …)`
+# so v4 rows never pay for it (codegen evaluates `when` branches lazily).
+_NB_V4_ARR = (
+    "struct<cells:array<struct<cell_type:string,source:array<string>>>,"
+    "nbformat:int,"
+    "metadata:struct<kernelspec:struct<language:string>,"
+    "language_info:struct<name:string>,language:string>>"
+)
+_NB_V4_STR = "struct<cells:array<struct<cell_type:string,source:string>>>"
+_NB_V3 = (
+    "struct<worksheets:array<struct<"
+    "cells:array<struct<cell_type:string,input:array<string>>>>>>"
+)
+
+
+def _nb_cells(content_col) -> Column:
+    """Normalized ``array<struct<cell_type:string,source:string>>`` from
+    raw .ipynb JSON — NULL for unparseable content (degrade, never throw:
+    one corrupt blob in 10^9 must not fail the job)."""
+    c = F.col(content_col) if isinstance(content_col, str) else content_col
+    a = F.from_json(c, _NB_V4_ARR)
+    b = F.from_json(c, _NB_V4_STR)
+    v4 = F.zip_with(
+        a["cells"],
+        b["cells"],
+        lambda x, y: F.struct(
+            x["cell_type"].alias("cell_type"),
+            F.when(x["source"].isNotNull(), F.concat_ws("", x["source"]))
+            .otherwise(y["source"])
+            .alias("source"),
+        ),
+    )
+    v3 = F.flatten(
+        F.transform(
+            F.from_json(c, _NB_V3)["worksheets"],
+            lambda ws: F.transform(
+                ws["cells"],
+                lambda x: F.struct(
+                    x["cell_type"].alias("cell_type"),
+                    F.concat_ws("", x["input"]).alias("source"),
+                ),
+            ),
+        )
+    )
+    return F.when(a["nbformat"] == 3, v3).otherwise(v4)
+
+
+def notebook_language(content_col) -> Column:
+    """Notebook kernel language: ``metadata.kernelspec.language`` →
+    ``metadata.language_info.name`` → v3 ``metadata.language`` — NULL when
+    absent/unparseable."""
+    c = F.col(content_col) if isinstance(content_col, str) else content_col
+    m = F.from_json(c, _NB_V4_ARR)["metadata"]
+    return F.coalesce(
+        m["kernelspec"]["language"], m["language_info"]["name"], m["language"]
+    )
+
+
+def extract_notebook_code(
+    df: DataFrame,
+    content_col: str = "content",
+    cell_sep: str = "\n\n",
+    cell_types: Sequence[str] = ("code",),
+) -> DataFrame:
+    """Extract source code from Jupyter notebooks — the `.ipynb` → script
+    step every code-corpus pipeline runs before its text gates (the
+    StarCoder/The-Stack preprocessing shape; the reference has no notebook
+    handling — its CSVs are opaque strings, `task.py:287-293`).
+
+    Adds four columns, all pure codegen expressions (``from_json`` +
+    higher-order functions; zero shuffles, zero Python, plan-pinned):
+
+    * ``nb_code`` — the ``cell_types`` cells' sources joined by
+      ``cell_sep`` (line arrays are concatenated verbatim — jupyter line
+      strings keep their trailing ``\\n``); NULL when the content is not
+      parseable notebook JSON (callers gate, nothing throws);
+    * ``nb_n_code_cells`` / ``nb_n_cells`` — selected / total cell counts;
+    * ``nb_language`` — kernel language (see :func:`notebook_language`).
+
+    Handles nbformat 4 with per-cell ``source`` as line arrays OR single
+    strings (mixed within one notebook included) and nbformat 3
+    (``worksheets``/``input`` — array-of-lines form, which is what the
+    v3-era tooling wrote).  Cost note: a v4 document is JSON-parsed twice
+    (array + string source schemas) — notebooks are a small corpus slice
+    and the parses fuse into the one projection, which profiling keeps
+    preferable to a Python round-trip.
+    """
+    cells = _nb_cells(content_col)
+    picked = F.filter(
+        cells, lambda x: x["cell_type"].isin(*[F.lit(t) for t in cell_types])
+    )
+    return df.withColumns(
+        {
+            "nb_code": F.when(
+                cells.isNotNull(),
+                F.array_join(
+                    F.transform(picked, lambda x: F.coalesce(x["source"], F.lit(""))),
+                    cell_sep,
+                ),
+            ),
+            # when(...isNotNull...), not coalesce(size(...), 0): with ANSI
+            # off (forced by validation_engine.session) size(NULL) is the
+            # legacy -1, not NULL, so a coalesce fallback never fires
+            "nb_n_code_cells": F.when(cells.isNotNull(), F.size(picked))
+            .otherwise(F.lit(0))
+            .cast("int"),
+            "nb_n_cells": F.when(cells.isNotNull(), F.size(cells))
+            .otherwise(F.lit(0))
+            .cast("int"),
+            "nb_language": notebook_language(content_col),
+        }
+    )
+
+
+def notebook_cells(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """One row per notebook cell: ``(id, cell_idx, cell_type, source)`` —
+    the exploded form for per-cell gates (cell-level dedup, output
+    stripping, markdown-to-doc pipelines).  Unparseable documents emit no
+    rows.  Same zero-shuffle expression core as
+    :func:`extract_notebook_code`."""
+    cells = _nb_cells(content_col)
+    return (
+        df.select(F.col(id_col), F.posexplode(cells).alias("cell_idx", "_c"))
+        .select(
+            id_col,
+            "cell_idx",
+            F.col("_c.cell_type").alias("cell_type"),
+            F.col("_c.source").alias("source"),
+        )
+    )
