@@ -501,6 +501,26 @@ def test_lineage_idempotent_on_chunk_retry(spark, tmp_path, corpus):
     assert all(r["n"] == 1 for r in per_part), "duplicate lineage rows after retry"
 
 
+def test_zero_checks_stage_lineage_counts_no_negative_violations(
+    spark, tmp_path, corpus
+):
+    """A checks=[] ElementStage compiles a NULL _viol column; the lineage
+    metric must count its violation rows as 0, not -1 per row — with ANSI
+    off (forced by the engine session) size(NULL) is the legacy -1, so a
+    coalesce(size(_viol), 0) fallback never fires."""
+    files = corpus["files"].dropDuplicates(KEYS).orderBy(*KEYS).limit(100)
+    root = str(tmp_path / "ckpt_zero")
+    ckpt = CheckpointManager(root, n_chunks=1)
+    Workflow(
+        [ElementStage("noop", checks=[])],
+        n_buckets=4, checkpoint=ckpt, run_id="z",
+    ).run(spark, files)
+    metrics = ckpt.stage_metrics("noop")
+    assert metrics is not None
+    assert sum(p["n_total"] for p in metrics.values()) == 100
+    assert all(p["n_violation_rows"] == 0 for p in metrics.values()), metrics
+
+
 # --- duplicate-key check runs once per run (round-2 VERDICT #3) ---
 
 

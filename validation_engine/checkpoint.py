@@ -261,8 +261,13 @@ class CheckpointManager:
                 )
 
         # -- 2b. batched lineage + metrics: ONE aggregation for all chunks
+        # when(isNotNull), not coalesce(size, 0): the engine session forces
+        # ANSI off, where size(NULL) is the legacy -1 — a null _viol column
+        # (a zero-checks stage) would have subtracted a row from the metric
         viol_count = (
-            F.sum(F.coalesce(F.size("_viol"), F.lit(0)))
+            F.sum(
+                F.when(F.col("_viol").isNotNull(), F.size("_viol")).otherwise(0)
+            )
             if "_viol" in rep_pend.columns
             else F.lit(0)
         )
