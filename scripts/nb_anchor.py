@@ -1,0 +1,125 @@
+"""10x-scale throughput anchor for the notebook-extraction operator.
+
+Same protocol as sf1_text_bench: run extract_notebook_code over a
+deterministic synthetic notebook corpus (spark.range + to_json, no driver
+data) at N and 10N rows and report rows/s at both — a rows/s ratio >= ~1
+proves no hidden superlinear term.  The notebooks exercise BOTH v4 source
+forms (array-of-lines and single-string cells alternate by id) so the
+two-schema parse path is the one measured.
+
+Usage: [NB_ROWS=200000] python scripts/nb_anchor.py
+Writes BENCH/nb_anchor_r8.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from validation_engine.session import get_spark  # noqa: E402
+from validation_engine.text import extract_notebook_code  # noqa: E402
+
+ROWS = int(os.environ.get("NB_ROWS", "200000"))
+WORDS = ["import", "def", "return", "print", "numpy", "pandas", "train"]
+
+
+def notebook_corpus(spark, n):
+    """Deterministic .ipynb JSON per row: 1-8 cells, alternating
+    code/markdown; even ids use array-of-lines sources, odd ids use
+    single-string sources (both nbformat-4-valid forms)."""
+    vocab = F.array(*[F.lit(w) for w in WORDS])
+    df = spark.range(n)
+    k = (F.pmod(F.xxhash64("id"), 8) + 1).cast("int")
+    line = lambda i, j: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at(vocab, (F.pmod(F.xxhash64("id", i, j), len(WORDS)) + 1).cast("int")),
+        F.lit("x ="),
+        F.pmod(F.xxhash64("id", i, j, F.lit(9)), 1000).cast("string"),
+    )
+    src_arr = lambda i: F.transform(  # noqa: E731
+        F.sequence(F.lit(1), F.lit(4)), lambda j: F.concat(line(i, j), F.lit("\n"))
+    )
+    cells_arr = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.struct(
+            F.when(i % 2 == 1, F.lit("code")).otherwise(F.lit("markdown")).alias("cell_type"),
+            src_arr(i).alias("source"),
+        ),
+    )
+    cells_str = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.struct(
+            F.when(i % 2 == 1, F.lit("code")).otherwise(F.lit("markdown")).alias("cell_type"),
+            F.array_join(src_arr(i), "").alias("source"),
+        ),
+    )
+    meta = F.struct(
+        F.struct(F.lit("python").alias("language")).alias("kernelspec")
+    )
+    body = lambda cells: F.to_json(  # noqa: E731
+        F.struct(cells.alias("cells"), F.lit(4).alias("nbformat"), meta.alias("metadata"))
+    )
+    return df.select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, body(cells_arr))
+        .otherwise(body(cells_str))
+        .alias("content"),
+    )
+
+
+def measure(spark, n):
+    src = notebook_corpus(spark, n).persist()
+    src.count()  # materialize the input outside the timed window
+    t0 = time.time()
+    row = (
+        extract_notebook_code(src)
+        .agg(
+            F.sum("nb_n_code_cells").alias("code_cells"),
+            F.sum(F.length("nb_code")).alias("code_chars"),
+            F.count(F.when(F.col("nb_code").isNull(), 1)).alias("unparsed"),
+        )
+        .collect()[0]
+    )
+    sec = round(time.time() - t0, 3)
+    src.unpersist()
+    assert row["unparsed"] == 0, "synthetic notebooks must all parse"
+    return {
+        "rows": n,
+        "sec": sec,
+        "rows_per_sec": round(n / sec, 1),
+        "code_cells": int(row["code_cells"]),
+        "code_chars": int(row["code_chars"]),
+    }
+
+
+def main():
+    spark = get_spark("nb-anchor")
+    spark.sparkContext.setLogLevel("ERROR")
+    measure(spark, 2000)  # warm-up: one-time codegen/JSON-parser compile
+    small = measure(spark, ROWS)
+    big = measure(spark, ROWS * 10)
+    out = {
+        "op": "extract_notebook_code",
+        "small": small,
+        "big": big,
+        "rows_per_sec_ratio_10x": round(
+            big["rows_per_sec"] / small["rows_per_sec"], 2
+        ),
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    path = os.path.join("BENCH", "nb_anchor_r8.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
