@@ -3302,3 +3302,42 @@ def test_notebook_cells_exploded(spark):
         {"doc_id": 1, "cell_idx": 0, "cell_type": "code", "source": "a=1\nb=2"},
         {"doc_id": 1, "cell_idx": 1, "cell_type": "markdown", "source": "# doc"},
     ]  # unparseable doc 2 emits no rows
+
+
+def test_skew_report_heavy_hitters(spark):
+    """Planted 60%-hot key: skew_report ranks it first with exact n/share,
+    cum_share accumulates, ties break deterministically by key order, and
+    the total-row count rides the SAME scan (Observation, no second count
+    job).  DuckDB twin reproduces every cell."""
+    import duckdb
+
+    from validation_engine.stats import skew_report
+
+    rows = (
+        [("hot", i) for i in range(600)]
+        + [("warm", i) for i in range(250)]
+        + [(f"k{i % 5}", i) for i in range(150)]  # five 30-count keys (ties)
+    )
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = skew_report(df, "k", top_k=4).collect()
+    assert [r["k"] for r in out] == ["hot", "warm", "k0", "k1"]  # tie -> key order
+    assert out[0]["n"] == 600 and out[0]["share"] == 0.6
+    assert out[1]["cum_share"] == 0.85
+    assert [r["rank"] for r in out] == [1, 2, 3, 4]
+
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    dd = con.execute("""
+        WITH g AS (SELECT k, COUNT(*) AS n FROM t GROUP BY k),
+        tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM g),
+        ranked AS (
+          SELECT k, n, ROW_NUMBER() OVER (ORDER BY n DESC, k) AS rank FROM g
+        )
+        SELECT r.k, r.n,
+               round(r.n / t.total, 6) AS share,
+               round(SUM(r.n) OVER (ORDER BY r.rank) / t.total, 6) AS cum_share,
+               CAST(r.rank AS INTEGER) AS rank
+        FROM ranked r, tot t WHERE r.rank <= 4 ORDER BY r.rank
+    """).fetchall()
+    got = [(r["k"], r["n"], r["share"], r["cum_share"], r["rank"]) for r in out]
+    assert got == [tuple(x) for x in dd]

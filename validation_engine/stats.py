@@ -205,3 +205,58 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("_salt", F.col("_salt").cast("int"))
     return left_s.join(right_s, on + ["_salt"], how).drop("_salt")
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols,
+    top_k: int = 20,
+) -> DataFrame:
+    """Key-skew diagnostic: the ``top_k`` heaviest keys with their row
+    counts and corpus shares — what an operator inspects BEFORE choosing a
+    partitioning/bucketing key at 10^12-row scale (north_rule: giant-repo
+    skew), and the measurement that decides between a plain aggregation,
+    :func:`salted_group_stats`, or a dedup ladder.
+
+    ONE corpus scan: the total row count rides the same pass as the
+    per-key aggregation via ``Observation`` (no second count job), the
+    per-key counts reduce map-side, and the top-k is a
+    ``TakeOrderedAndProject`` (per-partition partial top-k, never a full
+    sort).  Returns a driver-local frame — top_k rows — with
+    ``(key_cols..., n, share, cum_share, rank)``; ties on ``n`` break by
+    key order so the output is deterministic.  ``share`` is the key's row
+    fraction; ``cum_share`` of the last row says how much of the corpus
+    the k heaviest keys cover (≈1 ⇒ aggregate shapes dominate; tiny ⇒
+    well-spread keys).
+    """
+    from pyspark.sql import Observation
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    obs = Observation()
+    grouped = (
+        df.observe(obs, F.count(F.lit(1)).alias("total"))
+        .groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = grouped.orderBy(
+        F.desc("n"), *[F.col(k) for k in key_cols]
+    ).limit(int(top_k)).collect()
+    total = int(obs.get["total"]) if top else 0
+    spark = df.sparkSession
+    out_rows, cum = [], 0
+    for i, r in enumerate(top):
+        cum += r["n"]
+        out_rows.append(
+            tuple(r[k] for k in key_cols)
+            + (
+                int(r["n"]),
+                round(r["n"] / total, 6),
+                round(cum / total, 6),
+                i + 1,
+            )
+        )
+    schema_cols = ", ".join(
+        [f"`{k}` {df.schema[k].dataType.simpleString()}" for k in key_cols]
+        + ["n bigint", "share double", "cum_share double", "rank int"]
+    )
+    return spark.createDataFrame(out_rows, schema_cols)
