@@ -3341,3 +3341,99 @@ def test_skew_report_heavy_hitters(spark):
     """).fetchall()
     got = [(r["k"], r["n"], r["share"], r["cum_share"], r["rank"]) for r in out]
     assert got == [tuple(x) for x in dd]
+
+
+def _chunk_twin(text, max_tokens, overlap):
+    """Independent pure-Python chunker: sliding windows of max_tokens with
+    `overlap` carried tokens, advancing while they add >=1 new token;
+    empty/whitespace/None docs emit zero chunks."""
+    toks = (text or "").split()
+    if not toks:
+        return []
+    stride = max_tokens - overlap
+    import math
+
+    n_chunks = max(1, math.ceil((len(toks) - overlap) / stride))
+    return [
+        " ".join(toks[i * stride : i * stride + max_tokens])
+        for i in range(n_chunks)
+    ]
+
+
+def test_chunk_documents_matrix(spark):
+    """chunk_documents vs the Python twin across boundary cases: exact
+    multiple, one-over, overlap carrying, single short doc, empty /
+    whitespace / NULL (zero chunks — the sequence(0,-1) phantom-chunk
+    guard), plus coverage: dropping each chunk's leading overlap and
+    concatenating reconstructs the original token stream."""
+    from validation_engine.text import chunk_documents
+
+    cases = [
+        " ".join(f"t{i}" for i in range(n)) for n in (1, 2, 9, 10, 11, 18, 19, 40)
+    ] + ["", "   ", None, "one\ttab\nand  spaces"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    for mx, ov in ((10, 0), (10, 2), (7, 3), (5, 4)):
+        out = {}
+        rows = chunk_documents(df, "doc_id", "text", mx, ov).collect()
+        for r in rows:
+            out.setdefault(r["doc_id"], []).append(r)
+        for i, t in enumerate(cases):
+            want = _chunk_twin(t, mx, ov)
+            got = sorted(out.get(i, []), key=lambda r: r["chunk_idx"])
+            assert [r["chunk_text"] for r in got] == want, (i, mx, ov)
+            for r in got:
+                assert r["n_chunks"] == len(want)
+                assert r["n_chunk_tokens"] == len(r["chunk_text"].split())
+            # coverage property: overlap-stripped concatenation == original
+            if want:
+                stride = mx - ov
+                rebuilt = want[0].split()
+                for c in want[1:]:
+                    rebuilt += c.split()[ov:]
+                assert rebuilt == (t or "").split(), (i, mx, ov)
+    plan = (
+        chunk_documents(df, "doc_id", "text", 10, 2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # pure projection + explode
+
+
+def test_chunk_documents_duckdb_parity(spark, docs):
+    """Cell-exact DuckDB twin over the real documents table (independent
+    formulation: generate_series lateral + list slicing)."""
+    import duckdb
+
+    from validation_engine.text import chunk_documents
+
+    sub = docs.limit(300).select("doc_id", "text")
+    out = chunk_documents(sub, "doc_id", "text", 64, 16)
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["n_chunks"], r["n_chunk_tokens"],
+         r["chunk_text"])
+        for r in out.collect()
+    )
+    con = duckdb.connect()
+    con.register("d", sub.toPandas())
+    dd = con.execute("""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+') AS toks,
+                 CASE WHEN length(array_to_string(regexp_split_to_array(trim(text), '\\s+'), '')) = 0
+                      THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n
+          FROM d
+        ), c AS (
+          SELECT doc_id, toks, n,
+                 CASE WHEN n <= 0 THEN 0
+                      ELSE greatest(1, CAST(ceil((n - 16) / 48.0) AS INTEGER)) END AS n_chunks
+          FROM t
+        )
+        SELECT c.doc_id, CAST(g.i AS INTEGER) AS chunk_idx, CAST(c.n_chunks AS INTEGER),
+               CAST(len(toks[g.i*48 + 1 : g.i*48 + 64]) AS INTEGER) AS n_chunk_tokens,
+               array_to_string(toks[g.i*48 + 1 : g.i*48 + 64], ' ') AS chunk_text
+        FROM c, LATERAL (SELECT unnest(generate_series(0, c.n_chunks - 1)) AS i) g
+        WHERE c.n_chunks > 0
+        ORDER BY 1, 2
+    """).fetchall()
+    assert got == [tuple(x) for x in dd]

@@ -730,6 +730,77 @@ def pack_strict(
     return prepared.groupBy(*partition_by).applyInPandas(pack_group, out_schema)
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split long documents into sliding windows of at most ``max_tokens``
+    whitespace tokens, each chunk carrying the previous chunk's last
+    ``overlap`` tokens — the context-window prep step between filtering and
+    packing, and the complement of :func:`pack_greedy` (pack SHORT docs
+    into sequences; chunk LONG docs down to them — pack_greedy's "callers
+    must post-split straddlers" is this function).
+
+    Chunk ``i`` covers tokens ``[i·stride, i·stride + max_tokens)`` with
+    ``stride = max_tokens − overlap``; windows advance while they add at
+    least one new token, so the tail chunk is the only short one and no
+    chunk is pure overlap.  Chunk text is rebuilt with single spaces
+    (whitespace-normalizing, like :func:`fingerprint`).  Empty/whitespace
+    documents emit ZERO chunks.  Returns ``(id, chunk_idx, n_chunks,
+    n_chunk_tokens, chunk_text)``.
+
+    Scale shape: pure column expressions + one ``posexplode`` — zero
+    shuffles, zero Python, no per-document state; the token array is
+    staged once as a projection alias so the chunk lambdas never re-split
+    the text.
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    stride = int(max_tokens) - int(overlap)
+    toks = F.split(
+        F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+"
+    )
+    staged = df.withColumn("_ck_toks", toks).withColumn(
+        "_ck_n",
+        F.when(F.length(F.concat_ws("", "_ck_toks")) == 0, F.lit(0)).otherwise(
+            F.size("_ck_toks")
+        ),
+    )
+    n = F.col("_ck_n")
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.greatest(F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride)))
+    ).cast("int")
+    # the n_chunks > 0 gate is load-bearing: sequence(0, -1) infers a
+    # NEGATIVE step and yields [0, -1] rather than an empty array, so an
+    # ungated transform would emit two phantom chunks per empty document;
+    # posexplode of NULL emits no rows, which is the contract
+    chunks = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.slice(F.col("_ck_toks"), i * stride + 1, max_tokens),
+        ),
+    )
+    return (
+        staged.withColumn("_ck_nc", n_chunks)
+        .select(
+            F.col(id_col),
+            F.col("_ck_nc").alias("n_chunks"),
+            F.posexplode(chunks).alias("chunk_idx", "_ck_c"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            "n_chunks",
+            F.size("_ck_c").cast("int").alias("n_chunk_tokens"),
+            F.concat_ws(" ", "_ck_c").alias("chunk_text"),
+        )
+    )
+
+
 def repetition_ratio(col, unit: str = "line") -> Column:
     """Within-document repetition: fraction of duplicate units in [0, 1] —
     the Gopher-style repetition gate (boilerplate, log spam, and template
