@@ -1,0 +1,89 @@
+"""10x-scale throughput anchor for chunk_documents.
+
+Same protocol as nb_anchor: the op runs over the synthetic code corpus
+(spark_codefiles — the sf1_text_bench generator) at N and 10N docs after a
+codegen warm-up; rows/s ratio >= ~1 proves no superlinear term.  The
+aggregate consumes chunk_text's length so the rebuild is actually
+evaluated, not pruned.
+
+Usage: [CHUNK_ROWS=200000] python scripts/chunk_anchor.py
+Writes BENCH/chunk_anchor_r8.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from validation_engine.session import get_spark  # noqa: E402
+from validation_engine.text import chunk_documents  # noqa: E402
+
+ROWS = int(os.environ.get("CHUNK_ROWS", "200000"))
+
+
+def corpus(spark, n):
+    from validation_engine.datagen import spark_codefiles
+
+    return (
+        spark_codefiles(spark, n, n_dup=0)
+        .select(
+            F.xxhash64("repo", "path", "commit").alias("id"),
+            F.col("content").alias("text"),
+        )
+        .persist()
+    )
+
+
+def measure(spark, n):
+    docs = corpus(spark, n)
+    docs.count()  # materialize input outside the timed window
+    t0 = time.time()
+    row = (
+        chunk_documents(docs, "id", "text", max_tokens=16, overlap=4)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.length("chunk_text")).alias("chars"),
+        )
+        .collect()[0]
+    )
+    sec = round(time.time() - t0, 3)
+    docs.unpersist()
+    return {
+        "rows": n,
+        "sec": sec,
+        "rows_per_sec": round(n / sec, 1),
+        "n_chunks": int(row["n_chunks"]),
+        "chunk_chars": int(row["chars"]),
+    }
+
+
+def main():
+    spark = get_spark("chunk-anchor")
+    spark.sparkContext.setLogLevel("ERROR")
+    measure(spark, 2000)  # warm-up: one-time codegen compile
+    small = measure(spark, ROWS)
+    big = measure(spark, ROWS * 10)
+    out = {
+        "op": "chunk_documents(max_tokens=16, overlap=4)",
+        "small": small,
+        "big": big,
+        "rows_per_sec_ratio_10x": round(
+            big["rows_per_sec"] / small["rows_per_sec"], 2
+        ),
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open(os.path.join("BENCH", "chunk_anchor_r8.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
