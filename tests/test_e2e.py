@@ -559,3 +559,77 @@ def test_code_curation_pipeline_reproducible(spark, tmp_path):
     assert not any(aws in c for (_, _, c) in s1.values())
     assert not any(p.endswith("min.js") for (_, p) in s1)
     assert any("[SECRET]" in c for (_, _, c) in s1.values())
+
+
+def test_notebook_to_chunks_pipeline_reproducible(spark):
+    """The round-8 operators compose into the standard curation shape and
+    stay byte-reproducible from adversarially re-partitioned sources:
+    raw .ipynb blobs -> extract_notebook_code (broken JSON degrades, never
+    throws) -> python-kernel filter -> StarCoder code_filter gate on the
+    extracted code -> chunk_documents -> deterministic shard shuffle.
+    The same 200-notebook corpus flows once from a single partition and
+    once from 17 randomly-ordered partitions; outputs must be identical
+    row-for-row."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from validation_engine.text import (
+        chunk_documents,
+        code_filter,
+        extract_notebook_code,
+        shuffle_shards,
+    )
+
+    def nb(i):
+        if i % 29 == 0:
+            return "{broken json"
+        cells = []
+        for c in range(1 + i % 4):
+            src = [f"x_{i}_{c} = {j}\n" for j in range(1 + (i + c) % 20)]
+            # alternate array-of-lines and single-string source forms
+            cells.append(
+                {
+                    "cell_type": "code" if c % 2 == 0 else "markdown",
+                    "source": src if i % 2 == 0 else "".join(src),
+                }
+            )
+        lang = "python" if i % 5 else "julia"
+        return _json.dumps(
+            {
+                "cells": cells,
+                "nbformat": 4,
+                "metadata": {"kernelspec": {"language": lang}},
+            }
+        )
+
+    rows = [(i, nb(i)) for i in range(200)]
+    base = spark.createDataFrame(rows, "doc_id long, content string")
+
+    def pipeline(src):
+        ex = extract_notebook_code(src)
+        kept = ex.filter(
+            F.col("nb_code").isNotNull()
+            & (F.col("nb_language") == "python")
+            & code_filter("nb_code")
+        )
+        chunks = chunk_documents(kept, "doc_id", "nb_code", 32, 8)
+        sharded = shuffle_shards(
+            chunks.withColumn(
+                "cid",
+                F.concat_ws("#", F.col("doc_id").cast("string"), F.col("chunk_idx").cast("string")),
+            ),
+            "cid", n_shards=4, seed=3,
+        )
+        return sorted(
+            (r["shard"], r["cid"], r["chunk_text"]) for r in sharded.collect()
+        )
+
+    a = pipeline(base.repartition(1))
+    b = pipeline(base.repartition(17, F.rand(7)))
+    assert a == b and len(a) > 100
+    # accounting: broken + non-python notebooks contribute nothing
+    n_broken = sum(1 for i in range(200) if i % 29 == 0)
+    n_julia = sum(1 for i in range(200) if i % 29 and i % 5 == 0)
+    docs_out = len({cid.split("#")[0] for _, cid, _ in a})
+    assert docs_out <= 200 - n_broken - n_julia
