@@ -241,7 +241,11 @@ def q_length_stats_by_lang(spark, sf):
     )
 
 
-def q_token_stats_by_lang(spark, sf):
+def _q_token_stats_by_lang_retired(spark, sf):
+    """Retired round 8 (same groupBy-lang distribution-stats shape as the
+    surviving length_stats_by_lang; token counting stays pinned by
+    token_histogram_top + profile_documents + pack_sequences) →
+    fork_pairs."""
     docs = _t(spark, sf, "documents")
     ntok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
     return docs.groupBy("lang").agg(
@@ -249,6 +253,43 @@ def q_token_stats_by_lang(spark, sf):
         F.max(ntok).alias("tok_max"),
         F.sum(ntok).cast("bigint").alias("tok_total"),
     )
+
+
+def q_fork_pairs(spark, sf):
+    """Repo-level fork detection (round-8 promotion — the operator the
+    VERDICT flagged as driver-invisible): files = documents resharded
+    into 10 repos of 50 paths each, plus two planted forks — 'r1fork'
+    mirrors ALL of r1 (jaccard 1.0) and 'r0fork' mirrors the first 80%
+    of r0's files (jaccard 0.8).  hash_family='md5' makes the item keys,
+    16x1 minhash/band chain and LSH candidate set character-reproducible
+    in DuckDB; the exact intersection then reports exact n/jaccard, so
+    any drift in canonical item construction, banding, or the
+    unrounded-threshold filter hash-mismatches."""
+    from validation_engine.dedup import fork_pairs
+
+    docs = _t(spark, sf, "documents")
+    base = docs.select(
+        F.concat(F.lit("r"), (F.col("doc_id") % 10).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.floor(F.col("doc_id") / 10).cast("bigint").cast("string")).alias("path"),
+        F.col("text").alias("content"),
+    )
+    r1fork = docs.filter(F.col("doc_id") % 10 == 1).select(
+        F.lit("r1fork").alias("repo"),
+        F.concat(F.lit("p"), F.floor(F.col("doc_id") / 10).cast("bigint").cast("string")).alias("path"),
+        F.col("text").alias("content"),
+    )
+    r0fork = docs.filter(
+        (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < F.lit(400))
+    ).select(
+        F.lit("r0fork").alias("repo"),
+        F.concat(F.lit("p"), F.floor(F.col("doc_id") / 10).cast("bigint").cast("string")).alias("path"),
+        F.col("text").alias("content"),
+    )
+    files = base.unionByName(r1fork).unionByName(r0fork)
+    return fork_pairs(
+        files, "repo", "path", "content",
+        threshold=0.5, n_hashes=16, bands=16, hash_family="md5",
+    ).orderBy("group_a", "group_b")
 
 
 def q_token_histogram_top(spark, sf):
@@ -1035,8 +1076,10 @@ def q_stats_agg_lineitem(spark, sf):
     )
 
 
-def q_top2_parts_per_brand(spark, sf):
-    """Top-k per group via row_number window."""
+def _q_top2_parts_per_brand_retired(spark, sf):
+    """Top-k per group via row_number window.  Retired round 8 (the
+    rank-window-then-filter shape stays pinned by window_event_ranks) →
+    url_dedup."""
     from pyspark.sql import Window
 
     part = _t(spark, sf, "part")
@@ -1046,6 +1089,42 @@ def q_top2_parts_per_brand(spark, sf):
         .filter(F.col("rnk") <= 2)
         .select("p_brand", "p_partkey", "rnk")
     )
+
+
+def q_url_dedup(spark, sf):
+    """Crawl URL dedup (round-8 promotion — driver-invisible until now):
+    every document becomes one of five byte-distinct URL variants of a
+    ground-truth page key (plain / trailing slash / tracking params /
+    UPPERCASED scheme+host with an explicit :80 / fragment), so each
+    50-URL canonical group collapses to its min-doc_id keeper.  The
+    engine runs the real regexp canonicalization chain + the skew-free
+    'agg' keeper; the oracle never sees that chain — it rebuilds the
+    canonical key from the ground-truth construction and picks keepers
+    with a window, so any canonicalization drift (ports, params,
+    slashes, case) hash-mismatches."""
+    from validation_engine.text import url_dedup
+
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    base = F.concat(
+        F.lit("http://ex"), (d % 50).cast("string"),
+        F.lit(".com/page/"), (d % 25).cast("string"),
+    )
+    # variant index varies WITHIN a canonical group (d = g + 50k → v =
+    # k % 5), so every group must merge all five byte-distinct forms
+    v = F.floor(d / 50).cast("bigint") % 5
+    url = (
+        F.when(v == 0, base)
+        .when(v == 1, F.concat(base, F.lit("/")))
+        .when(v == 2, F.concat(base, F.lit("?utm_source=feed&utm_campaign=c"),
+                               (d % 3).cast("string")))
+        .when(v == 3, F.concat(
+            F.lit("HTTP://EX"), (d % 50).cast("string"), F.lit(".COM:80"),
+            F.lit("/page/"), (d % 25).cast("string")))
+        .otherwise(F.concat(base, F.lit("#sec"), (d % 4).cast("string")))
+    )
+    urls = docs.select("doc_id", url.alias("url"))
+    return url_dedup(urls, "doc_id", "url").orderBy("doc_id")
 
 
 
@@ -1334,7 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_rates_documents": q_null_rates_documents,
         "distinct_counts_lineitem": q_distinct_counts_lineitem,
         "length_stats_by_lang": q_length_stats_by_lang,
-        "token_stats_by_lang": q_token_stats_by_lang,
+        "fork_pairs": q_fork_pairs,
         "token_histogram_top": q_token_histogram_top,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
@@ -1358,7 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_latest_event": q_asof_latest_event,
         "sessionize_events": q_sessionize_events,
         "stats_agg_lineitem": q_stats_agg_lineitem,
-        "top2_parts_per_brand": q_top2_parts_per_brand,
+        "url_dedup": q_url_dedup,
         "pack_sequences": q_pack_sequences,
         "quantity_percentiles": q_quantity_percentiles,
         "profile_documents": q_profile_documents,
@@ -1487,12 +1566,59 @@ def oracle_sql() -> dict[str, str]:
     FROM documents GROUP BY lang
     """
 
-    sql["token_stats_by_lang"] = f"""
-    SELECT lang,
-           CAST(MIN(len({_TOKS.replace("lower(text)", "text")})) AS BIGINT) AS tok_min,
-           CAST(MAX(len({_TOKS.replace("lower(text)", "text")})) AS BIGINT) AS tok_max,
-           CAST(SUM(len({_TOKS.replace("lower(text)", "text")})) AS BIGINT) AS tok_total
-    FROM documents GROUP BY lang
+    # round-8 promotion: fork detection — DuckDB rebuilds the same
+    # repo/path/content reshard plus the two planted forks, then runs the
+    # md5 set-minhash chain (string item 'path|content', 16x1 bands, LSH
+    # candidate self-join, exact intersection, unrounded threshold)
+    _fp_mins = ",\n             ".join(
+        f"min(substr(md5('{i}|' || h), 1, 16)) AS m{i}" for i in range(16)
+    )
+    _fp_bands = "\n      UNION ALL ".join(
+        f"SELECT g, md5('{i}|' || m{i}) AS bkey FROM sigs" for i in range(16)
+    )
+    sql["fork_pairs"] = f"""
+    WITH files AS (
+      SELECT 'r' || CAST(doc_id % 10 AS VARCHAR) AS g,
+             'p' || CAST(doc_id // 10 AS VARCHAR) AS path, text AS content
+      FROM documents
+      UNION ALL
+      SELECT 'r1fork', 'p' || CAST(doc_id // 10 AS VARCHAR), text
+      FROM documents WHERE doc_id % 10 = 1
+      UNION ALL
+      SELECT 'r0fork', 'p' || CAST(doc_id // 10 AS VARCHAR), text
+      FROM documents WHERE doc_id % 10 = 0 AND doc_id < 400
+    ), items AS (
+      SELECT DISTINCT g,
+             substr(md5(COALESCE(path, '') || '|' || COALESCE(content, '')),
+                    1, 16) AS h
+      FROM files
+    ), sigs AS (
+      SELECT g, count(*) AS n,
+             {_fp_mins}
+      FROM items GROUP BY g
+    ), banded AS (
+      {_fp_bands}
+    ), cand AS (
+      SELECT DISTINCT a.g AS ga, b.g AS gb
+      FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.g < b.g
+    ), inter AS (
+      SELECT c.ga, c.gb, count(*) AS n_common
+      FROM cand c
+      JOIN items ia ON ia.g = c.ga
+      JOIN items ib ON ib.g = c.gb AND ib.h = ia.h
+      GROUP BY c.ga, c.gb
+    )
+    SELECT c.ga AS group_a, c.gb AS group_b, sa.n AS n_a, sb.n AS n_b,
+           COALESCE(i.n_common, 0) AS n_common,
+           round(COALESCE(i.n_common, 0)::DOUBLE
+                 / (sa.n + sb.n - COALESCE(i.n_common, 0)), 6) AS jaccard
+    FROM cand c
+    JOIN sigs sa ON sa.g = c.ga
+    JOIN sigs sb ON sb.g = c.gb
+    LEFT JOIN inter i ON i.ga = c.ga AND i.gb = c.gb
+    WHERE COALESCE(i.n_common, 0)::DOUBLE
+          / (sa.n + sb.n - COALESCE(i.n_common, 0)) >= 0.5
+    ORDER BY group_a, group_b
     """
 
     sql["token_histogram_top"] = r"""
@@ -2015,13 +2141,34 @@ def oracle_sql() -> dict[str, str]:
     FROM lineitem GROUP BY l_returnflag
     """
 
-    sql["top2_parts_per_brand"] = """
-    SELECT p_brand, p_partkey, rnk FROM (
-      SELECT p_brand, p_partkey,
-             CAST(row_number() OVER (PARTITION BY p_brand
-                    ORDER BY p_retailprice DESC, p_partkey ASC) AS INTEGER) AS rnk
-      FROM part
-    ) WHERE rnk <= 2
+    # round-8 promotion: crawl URL dedup — the oracle never runs the
+    # engine's regexp canonicalization chain; it rebuilds the canonical
+    # key from the ground-truth construction (g = doc_id % 50) and picks
+    # min-doc_id keepers with a window, so any canonicalization drift
+    # (ports, tracking params, slashes, case, fragments) hash-mismatches
+    sql["url_dedup"] = """
+    WITH u AS (
+      SELECT doc_id, doc_id % 50 AS g,
+             'http://ex' || CAST(doc_id % 50 AS VARCHAR)
+               || '.com/page/' || CAST(doc_id % 25 AS VARCHAR) AS base,
+             (doc_id // 50) % 5 AS v
+      FROM documents
+    ), urls AS (
+      SELECT doc_id, g,
+             CASE v
+               WHEN 0 THEN base
+               WHEN 1 THEN base || '/'
+               WHEN 2 THEN base || '?utm_source=feed&utm_campaign=c'
+                            || CAST(doc_id % 3 AS VARCHAR)
+               WHEN 3 THEN 'HTTP://EX' || CAST(doc_id % 50 AS VARCHAR)
+                            || '.COM:80/page/' || CAST(doc_id % 25 AS VARCHAR)
+               ELSE base || '#sec' || CAST(doc_id % 4 AS VARCHAR)
+             END AS url
+      FROM u
+    )
+    SELECT doc_id, url FROM urls
+    QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY g)
+    ORDER BY doc_id
     """
 
     sql["pack_sequences"] = r"""

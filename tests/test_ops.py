@@ -2892,15 +2892,19 @@ def test_fork_pairs_detects_fork(spark, corpus):
             .withColumn("repo", F.lit("fork_0001")))
     n_fork = fork.count()
     both = files.unionByName(fork)
-    out = fork_pairs(both, threshold=0.5).collect()
-    assert len(out) == 1
-    r = out[0]
-    assert (r["group_a"], r["group_b"]) == ("fork_0001", "repo_0001")
     # fork's (path, content) items are a strict subset of the original's
     n_items = files.select("path", "content").distinct().count()
     n_fork_items = fork.select("path", "content").distinct().count()
-    assert r["n_common"] == n_fork_items
-    assert abs(r["jaccard"] - n_fork_items / n_items) < 1e-6
+    # both hash families (md5 = the driver-oracle convention, round 8):
+    # candidate sets may differ, but the planted fork must be found and
+    # the reported stats are the exact file-set numbers under either
+    for fam in ("xxhash64", "md5"):
+        out = fork_pairs(both, threshold=0.5, hash_family=fam).collect()
+        assert len(out) == 1, fam
+        r = out[0]
+        assert (r["group_a"], r["group_b"]) == ("fork_0001", "repo_0001")
+        assert r["n_common"] == n_fork_items
+        assert abs(r["jaccard"] - n_fork_items / n_items) < 1e-6
     plan = fork_pairs(both, threshold=0.5)._jdf.queryExecution() \
         .executedPlan().toString()
     for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):

@@ -1796,6 +1796,7 @@ def fork_pairs(
     n_hashes: int = 32,
     bands: int = 8,
     max_band_freq: Optional[int] = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Fork / mirror detection over a code corpus: repository pairs whose
     FILE SETS — identity = (path, content) — overlap with Jaccard >=
@@ -1808,15 +1809,31 @@ def fork_pairs(
     ``path_col`` sensitivity by passing the content digest as
     ``item_col`` to :func:`set_minhash_pairs` directly.  Downstream:
     feed the pairs to :func:`connected_components` +
-    :func:`cluster_representatives` to keep one repo per fork family."""
-    item = F.xxhash64(
-        F.coalesce(F.col(path_col), F.lit("")),
-        F.coalesce(F.col(content_col), F.lit("")),
-    )
+    :func:`cluster_representatives` to keep one repo per fork family.
+
+    ``hash_family`` follows :func:`set_minhash_pairs`: ``'xxhash64'``
+    (default, JVM intrinsics) hashes the (path, content) identity
+    directly; ``'md5'`` builds the item as the STRING
+    ``path || '|' || content`` (NULLs as '') so every downstream hash is
+    reproducible character-for-character in any SQL engine with
+    ``md5()`` — the driver-oracle convention.  Both families treat a
+    fully-NULL (path, content) as the '' item, present in the set."""
+    if hash_family == "md5":
+        item = F.concat_ws(
+            "|",
+            F.coalesce(F.col(path_col), F.lit("")),
+            F.coalesce(F.col(content_col), F.lit("")),
+        )
+    else:
+        item = F.xxhash64(
+            F.coalesce(F.col(path_col), F.lit("")),
+            F.coalesce(F.col(content_col), F.lit("")),
+        )
     return set_minhash_pairs(
         files, repo_col, item,
         n_hashes=n_hashes, bands=bands,
         max_band_freq=max_band_freq, threshold=threshold,
+        hash_family=hash_family,
     )
 
 
