@@ -339,6 +339,12 @@ def test_describe_specifications_only(spark):
     assert d["stages"]["s1"]["checks"] == ["non_empty_content"]
     assert d["stages"]["s2"]["inputs"] == {"s1": {"comment": "c1"}}
     assert d["stages"]["s2"]["output_columns"] == {"x": 0}
+    # a whitespace-only class docstring strips to "" whose splitlines() is
+    # empty — describe() must report an empty doc, not raise IndexError
+    class _BlankDoc(ElementStage):
+        """   """
+    d2 = Workflow([_BlankDoc("b", checks=[])]).describe()
+    assert d2["stages"]["b"]["doc"] == ""
 
 
 # reference README.md:42-52 example, ported 1:1 via RowFunctionStage

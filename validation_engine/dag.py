@@ -245,8 +245,11 @@ class Workflow:
                 "output_columns": dict(s.output_columns),
                 "skip": s.skip,
                 "type": type(s).__name__,
-                "doc": (type(s).__doc__ or "").strip().splitlines()[0]
-                if type(s).__doc__ else "",
+                # next(iter(...), ""): a whitespace-only docstring strips to
+                # "" whose splitlines() is EMPTY — [0] would raise IndexError
+                "doc": next(
+                    iter((type(s).__doc__ or "").strip().splitlines()), ""
+                ),
             }
             checks = getattr(s, "checks", None)
             if checks is not None:
