@@ -952,3 +952,114 @@ def test_stateful_dedup_rejects_both_timeout_modes(spark):
     with pytest.raises(ValueError, match="not both"):
         stateful_dedup(stream, keys=["value"], event_time_col="ts",
                        event_ttl_minutes=30, timeout_minutes=60)
+
+
+def test_write_clustered_range_layout_prunes_files(spark, tmp_path):
+    """write_clustered (range mode): each output file covers a disjoint
+    narrow slice of the cluster column (footer min/max), so a range
+    filter overlaps few files — while an unclustered round-robin write
+    of the SAME rows spreads the full span into every file (nothing can
+    skip).  file_ranges reads only footers."""
+    from validation_engine.io import file_ranges, write_clustered
+
+    df = spark.range(20_000).select(
+        F.col("id"), (F.xxhash64("id") % 100_000).alias("v")
+    )
+    cl = str(tmp_path / "clustered")
+    rr = str(tmp_path / "roundrobin")
+    write_clustered(df, cl, ["v"], n_files=8)
+    df.repartition(8).write.parquet(rr)
+
+    def overlapping(path, lo, hi):
+        return [
+            r for r in file_ranges(path, ["v"])
+            if r["v_min"] is not None
+            and not (r["v_max"] < lo or r["v_min"] > hi)
+        ]
+
+    ranges = file_ranges(cl, ["v"])
+    assert len(ranges) == 8 and sum(r["n_rows"] for r in ranges) == 20_000
+    # disjoint ranges: sorted by min, each file's max stays below the next
+    # file's min (repartitionByRange splits are exclusive)
+    by_min = sorted(ranges, key=lambda r: r["v_min"])
+    for a, b in zip(by_min, by_min[1:]):
+        assert a["v_max"] <= b["v_min"]
+    # a ~10%-of-span window: clustered touches <= 2 files, round-robin all 8
+    assert len(overlapping(cl, -50_000, -40_000)) <= 2
+    assert len(overlapping(rr, -50_000, -40_000)) == 8
+    # same rows either way
+    a = spark.read.parquet(cl).orderBy("id").collect()
+    b = spark.read.parquet(rr).orderBy("id").collect()
+    assert a == b
+
+
+def test_zorder_key_matches_python_morton(spark):
+    """zorder_key == the Python Morton reference (same min/max scaling,
+    same bit interleave) cell-for-cell, and NULLs land in bucket 0."""
+    from validation_engine.io import zorder_key
+
+    rows = [(i, float((i * 37) % 101), float((i * 53) % 89)) for i in range(200)]
+    rows.append((200, None, 5.0))
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    out = {r["id"]: r["z"] for r in
+           df.withColumn("z", zorder_key(df, ["x", "y"], bits=8)).collect()}
+
+    xs = [x for _, x, _ in rows if x is not None]
+    ys = [y for _, _, y in rows if y is not None]
+    mnx, mxx, mny, mxy = min(xs), max(xs), min(ys), max(ys)
+
+    def bucket(v, mn, mx):
+        if v is None:
+            return 0
+        return min(max(int((v - mn) / (mx - mn) * 256), 0), 255)
+
+    def morton(bx, by):
+        z = 0
+        for b in range(8):
+            z |= (bx & (1 << b)) << b
+            z |= (by & (1 << b)) << (b + 1)
+        return z
+
+    for i, x, y in rows:
+        assert out[i] == morton(bucket(x, mnx, mxx), bucket(y, mny, mxy)), i
+
+
+def test_write_clustered_zorder_prunes_both_dimensions(spark, tmp_path):
+    """Z-order layout: a filter on EITHER clustered column prunes files.
+    Range mode clusters by the first column only — a filter on the second
+    column overlaps every file; zorder keeps both selective."""
+    from validation_engine.io import file_ranges, write_clustered
+
+    n = 40_000
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 200).cast("double").alias("x"),
+        ((F.col("id") / 200).cast("long") % 200).cast("double").alias("y"),
+    )
+    zo = str(tmp_path / "zorder")
+    ra = str(tmp_path / "range_x")
+    write_clustered(df, zo, ["x", "y"], n_files=16, zorder=True, bits=8)
+    write_clustered(df, ra, ["x", "y"], n_files=16)
+
+    def n_overlapping(path, col, lo, hi):
+        return sum(
+            1 for r in file_ranges(path, [col])
+            if r[f"{col}_min"] is not None
+            and not (r[f"{col}_max"] < lo or r[f"{col}_min"] > hi)
+        )
+
+    # 10% slice of x: both layouts prune
+    assert n_overlapping(zo, "x", 0.0, 20.0) <= 8
+    assert n_overlapping(ra, "x", 0.0, 20.0) <= 2
+    # 10% slice of y: range-by-x cannot skip anything, zorder still can
+    assert n_overlapping(ra, "y", 0.0, 20.0) == 16
+    assert n_overlapping(zo, "y", 0.0, 20.0) <= 8
+    # layout changes bytes-on-disk ordering only, never the rows
+    assert spark.read.parquet(zo).count() == n
+    import pytest
+    from validation_engine.io import zorder_key
+
+    with pytest.raises(ValueError):
+        zorder_key(df, ["x"])
+    with pytest.raises(ValueError):
+        zorder_key(df, ["x", "y"], bits=40)

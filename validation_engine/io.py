@@ -149,3 +149,155 @@ def write_bucketed(
     if sort:
         w = w.sortBy(*list(bucket_cols))
     w.saveAsTable(table)
+
+
+def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 12):
+    """Z-order (Morton) key Column over 2+ numeric columns: each value maps
+    to a ``bits``-bit bucket of its column's [min, max] range (one tiny
+    min/max aggregation job, broadcast as literals), and the buckets'
+    bits interleave into one long — rows close in EVERY dimension get
+    close keys, so sorting by the key gives multi-dimensional data
+    locality (the Delta/Iceberg ``OPTIMIZE ZORDER`` layout idea, built
+    from plain column expressions; whole-stage codegen, no UDF).
+
+    Bucketing is UNIFORM over the range (``width_bucket`` semantics via
+    scale-and-clamp): a heavily skewed column concentrates in few buckets
+    and loses selectivity — pre-transform it (log, rank) or prefer
+    :func:`write_clustered`'s default range mode, whose
+    ``repartitionByRange`` sampling is quantile-based.  NULLs map to
+    bucket 0 (cluster together at the low corner).  ``bits × len(cols)``
+    must fit a signed long: bits * n_cols <= 62.
+    """
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("zorder_key needs >= 2 columns (use a plain sort "
+                         "for one)")
+    bits = int(bits)
+    if bits < 1 or bits * len(cols) > 62:
+        raise ValueError("need 1 <= bits and bits * len(cols) <= 62")
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{i}")
+          for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{i}")
+          for i, c in enumerate(cols)],
+    ).collect()[0]
+    n_buckets = 1 << bits
+    key = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        mn, mx = row[f"mn_{i}"], row[f"mx_{i}"]
+        if mn is None or mx is None or mx <= mn:
+            bucket = F.lit(0).cast("long")  # constant/empty/all-null column
+        else:
+            scaled = (
+                (F.col(c).cast("double") - F.lit(float(mn)))
+                / F.lit(float(mx - mn)) * F.lit(float(n_buckets))
+            ).cast("long")
+            bucket = F.coalesce(
+                F.least(F.greatest(scaled, F.lit(0)),
+                        F.lit(n_buckets - 1)).cast("long"),
+                F.lit(0).cast("long"),
+            )
+        # interleave: bit b of column i lands at position b*n_cols + i
+        # (a fixed chain of shift/mask ORs — codegen folds it flat)
+        for b in range(bits):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    bucket.bitwiseAND(F.lit(1 << b)).cast("long"),
+                    b * (len(cols) - 1) + i,
+                )
+            )
+    return key
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    n_files: int = 32,
+    zorder: bool = False,
+    bits: int = 12,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Write with DATA-SKIPPING layout: cluster rows so each output file
+    covers a narrow range of ``cluster_cols``, making parquet footer
+    min/max statistics selective — a filtered downstream scan prunes at
+    row-group/file granularity instead of reading everything.  At 100 TB
+    the output layout IS the downstream query plan: an unclustered write
+    spreads every key range across every file and no later filter can
+    skip anything.
+
+    Default (range mode): ``repartitionByRange(n_files, cols)`` — one
+    sampling pass picks quantile split points (skew-robust), each file
+    gets a disjoint sorted range of the FIRST column (ties spill on the
+    rest).  ``zorder=True``: rows order by :func:`zorder_key` instead —
+    multi-dimensional locality, so filters on ANY clustered column (not
+    just the first) prune files; uniform-bucket caveat documented there.
+
+    ``sortWithinPartitions`` makes row-group stats monotone inside each
+    file, so even intra-file row-group pruning stays selective.  Use
+    :func:`file_ranges` to audit the layout this produced.
+    """
+    cols = list(cluster_cols)
+    from pyspark.sql import functions as F
+
+    if zorder:
+        key = zorder_key(df, cols, bits=bits)
+        out = (
+            df.withColumn("_zkey", key)
+            .repartitionByRange(int(n_files), F.col("_zkey"))
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey")
+        )
+    else:
+        out = df.repartitionByRange(
+            int(n_files), *[F.col(c) for c in cols]
+        ).sortWithinPartitions(*cols)
+    w = out.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        w = w.option("header", True)
+    w.save(path)
+
+
+def file_ranges(path: str, cols: Sequence[str]) -> list:
+    """Per-file column min/max from the parquet FOOTERS (no data read):
+    ``[{file, n_rows, <col>_min, <col>_max, ...}, ...]`` — the exact
+    statistics a downstream scan's filter pushdown prunes against.  The
+    audit tool for :func:`write_clustered`: disjoint narrow ranges mean a
+    point/range query touches few files; full-span ranges in every file
+    mean the layout cannot skip.  Driver-side pyarrow, bounded by file
+    count (not rows)."""
+    import pyarrow.parquet as pq
+
+    cols = list(cols)
+    out = []
+    names = sorted(
+        os.path.join(path, f) for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    for fp in names:
+        md = pq.ParquetFile(fp).metadata
+        rec = {"file": os.path.basename(fp), "n_rows": md.num_rows}
+        stats: dict = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if name not in cols or col.statistics is None:
+                    continue
+                s = col.statistics
+                if not s.has_min_max:
+                    continue
+                lo, hi = stats.get(name, (None, None))
+                stats[name] = (
+                    s.min if lo is None else min(lo, s.min),
+                    s.max if hi is None else max(hi, s.max),
+                )
+        for c in cols:
+            lo, hi = stats.get(c, (None, None))
+            rec[f"{c}_min"], rec[f"{c}_max"] = lo, hi
+        out.append(rec)
+    return out
