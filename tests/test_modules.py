@@ -1063,3 +1063,37 @@ def test_write_clustered_zorder_prunes_both_dimensions(spark, tmp_path):
         zorder_key(df, ["x"])
     with pytest.raises(ValueError):
         zorder_key(df, ["x", "y"], bits=40)
+
+
+def test_compact_files_small_files_and_clustered_rewrite(spark, tmp_path):
+    """compact_files: a 64-tiny-file directory rewrites to the byte-sized
+    file count with identical rows; with cluster_cols the single rewrite
+    also produces the disjoint data-skipping layout; a stale .compact dir
+    from a crashed earlier attempt is cleaned up, never merged in."""
+    from validation_engine.io import compact_files, file_ranges
+
+    p = str(tmp_path / "t")
+    df = spark.range(50_000).select(
+        F.col("id"), (F.xxhash64("id") % 1000).alias("v")
+    )
+    df.repartition(64).write.parquet(p)
+    before = sorted(r["id"] for r in spark.read.parquet(p).collect())
+    # plant a stale .compact dir (crashed prior attempt)
+    spark.range(5).write.parquet(p + ".compact")
+
+    stats = compact_files(spark, p, target_file_mb=128)
+    assert stats["files_before"] == 64 and stats["files_after"] == 1
+    assert stats["rows"] == 50_000
+    after = sorted(r["id"] for r in spark.read.parquet(p).collect())
+    assert after == before
+    import os
+    assert not os.path.exists(p + ".compact")
+
+    # compaction + clustering in one rewrite
+    df.repartition(32).write.mode("overwrite").parquet(p)
+    stats = compact_files(spark, p, target_file_mb=1, cluster_cols=["v"])
+    assert stats["files_after"] < 32
+    ranges = sorted(file_ranges(p, ["v"]), key=lambda r: r["v_min"])
+    for a, b in zip(ranges, ranges[1:]):
+        assert a["v_max"] <= b["v_min"]
+    assert spark.read.parquet(p).count() == 50_000

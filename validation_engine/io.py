@@ -301,3 +301,68 @@ def file_ranges(path: str, cols: Sequence[str]) -> list:
             rec[f"{c}_min"], rec[f"{c}_max"] = lo, hi
         out.append(rec)
     return out
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    cluster_cols: Optional[Sequence[str]] = None,
+    zorder: bool = False,
+    fmt: str = "parquet",
+) -> dict:
+    """Rewrite a directory table into right-sized files — the small-files
+    maintenance pass (Iceberg/Delta ``rewrite_data_files``/``OPTIMIZE``):
+    streaming sinks, per-chunk checkpoint commits and over-parallel writes
+    leave thousands of KB-sized files whose per-file open/footer/task
+    overhead dominates every later scan.  One read → one write sized from
+    the directory's ACTUAL bytes (``ceil(bytes / target_file_mb)``), with
+    optional :func:`write_clustered` layout (``cluster_cols``/``zorder``)
+    so compaction and clustering are a single rewrite, not two.
+
+    Swap protocol: the compacted copy is fully written to ``<path>.compact``
+    FIRST, then the original is removed and the copy renamed in — a crash
+    mid-swap never leaves a half-written table (either the original still
+    stands, or the complete copy exists beside/at the path; the stray
+    ``.compact`` dir is safe to re-run or rename by hand).  NOT safe
+    against concurrent writers, like every directory-table rewrite.
+
+    Returns ``{files_before, files_after, bytes, rows}``.
+    """
+    from .checkpoint import hadoop_fs
+
+    fs, hpath, jvm = hadoop_fs(path, spark)
+    summary = fs.getContentSummary(hpath)
+    n_bytes = int(summary.getLength())
+    files_before = sum(
+        1 for st in fs.listStatus(hpath)
+        if st.isFile() and not st.getPath().getName().startswith("_")
+    )
+    n_files = max(1, -(-n_bytes // (int(target_file_mb) * (1 << 20))))
+    df = spark.read.format(fmt).load(path)
+    rows = df.count()
+    tmp = path.rstrip("/") + ".compact"
+    tmp_h = jvm.org.apache.hadoop.fs.Path(tmp)
+    if fs.exists(tmp_h):
+        fs.delete(tmp_h, True)
+    if cluster_cols:
+        write_clustered(df, tmp, cluster_cols, n_files=n_files,
+                        zorder=zorder, fmt=fmt)
+    else:
+        out = df.coalesce(n_files) if n_files < files_before else df
+        w = out.write.mode("overwrite").format(fmt)
+        if fmt == "csv":
+            w = w.option("header", True)
+        w.save(tmp)
+    fs.delete(hpath, True)
+    fs.rename(tmp_h, hpath)
+    files_after = sum(
+        1 for st in fs.listStatus(hpath)
+        if st.isFile() and not st.getPath().getName().startswith("_")
+    )
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": n_bytes,
+        "rows": rows,
+    }
