@@ -1097,3 +1097,20 @@ def test_compact_files_small_files_and_clustered_rewrite(spark, tmp_path):
     for a, b in zip(ranges, ranges[1:]):
         assert a["v_max"] <= b["v_min"]
     assert spark.read.parquet(p).count() == 50_000
+
+
+def test_compact_files_rejects_partitioned_tables(spark, tmp_path):
+    """A hive-partitioned directory must be refused: one flat rewrite
+    would fold the partition columns into the data files and silently
+    drop the layout downstream partition-pruned reads depend on."""
+    from validation_engine.io import compact_files
+
+    p = str(tmp_path / "pt")
+    spark.range(100).select(
+        F.col("id"), (F.col("id") % 2).alias("shard")
+    ).write.partitionBy("shard").parquet(p)
+    with pytest.raises(ValueError, match="partition directories"):
+        compact_files(spark, p)
+    # per-partition compaction is the documented path
+    stats = compact_files(spark, p + "/shard=0", target_file_mb=64)
+    assert stats["files_after"] == 1 and stats["rows"] == 50

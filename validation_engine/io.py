@@ -332,10 +332,22 @@ def compact_files(
     from .checkpoint import hadoop_fs
 
     fs, hpath, jvm = hadoop_fs(path, spark)
+    children = list(fs.listStatus(hpath))
+    subdirs = [st.getPath().getName() for st in children if st.isDirectory()]
+    if subdirs:
+        # a hive-partitioned table: one flat rewrite would silently FOLD
+        # the partition columns into the data files and drop the layout
+        # every downstream partition-pruned read depends on — compact each
+        # partition directory instead (same call, partition path)
+        raise ValueError(
+            f"{path!r} contains partition directories ({subdirs[:3]}…) — "
+            "compact_files rewrites FLAT tables; call it per partition dir "
+            "to keep the partitioning"
+        )
     summary = fs.getContentSummary(hpath)
     n_bytes = int(summary.getLength())
     files_before = sum(
-        1 for st in fs.listStatus(hpath)
+        1 for st in children
         if st.isFile() and not st.getPath().getName().startswith("_")
     )
     n_files = max(1, -(-n_bytes // (int(target_file_mb) * (1 << 20))))
