@@ -3441,3 +3441,72 @@ def test_chunk_documents_duckdb_parity(spark, docs):
         ORDER BY 1, 2
     """).fetchall()
     assert got == [tuple(x) for x in dd]
+
+
+def test_warc_records_extraction_matrix(spark):
+    """warc_records: WET shards split into typed records with
+    Content-Length-trimmed payloads; records without a declared length
+    strip only the terminator newlines; WARC/1.1 markers split too; a
+    header-only record gets an empty payload; an embedded line-start
+    marker truncates its record and emits a headerless tail (the
+    documented regex-fidelity contract); non-WARC content emits nothing."""
+    from validation_engine.text import warc_records
+
+    p1 = "Hello world.\nThis is page one."
+    wet = (
+        "WARC/1.0\r\n"
+        "WARC-Type: warcinfo\r\n"
+        "Content-Length: 14\r\n"
+        "\r\n"
+        "software: test\r\n\r\n"
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Target-URI: http://a.example/one\r\n"
+        "WARC-Date: 2024-01-02T03:04:05Z\r\n"
+        f"Content-Length: {len(p1)}\r\n"
+        "\r\n"
+        f"{p1}\r\n\r\n"
+        "WARC/1.1\r\n"                       # 1.1 marker, no length
+        "WARC-Type: conversion\r\n"
+        "WARC-Target-URI: http://b.example/two\r\n"
+        "\r\n"
+        "no length declared\r\n\r\n"
+        "WARC/1.0\r\n"                       # header-only record
+        "WARC-Type: resource\r\n"
+    )
+    poisoned = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Target-URI: http://c.example/three\r\n"
+        "\r\n"
+        "before\nWARC/1.0 appears mid-payload\r\n\r\n"
+    )
+    df = spark.createDataFrame(
+        [(1, wet), (2, poisoned), (3, "not a warc at all"), (4, None)],
+        "doc_id long, content string",
+    )
+    rows = {(r["doc_id"], r["rec_idx"]): r
+            for r in warc_records(df, "doc_id", "content").collect()}
+    assert {d for (d, _) in rows} == {1, 2}
+    # Content-Length trims the terminator CRLFs exactly
+    assert rows[(1, 0)]["warc_type"] == "warcinfo"
+    assert rows[(1, 0)]["payload"] == "software: test"
+    r1 = rows[(1, 1)]
+    assert (r1["target_uri"], r1["warc_date"]) == (
+        "http://a.example/one", "2024-01-02T03:04:05Z")
+    assert r1["payload"] == p1 and r1["n_payload_chars"] == len(p1)
+    # no declared length: terminator newlines stripped, content intact
+    assert rows[(1, 2)]["payload"] == "no length declared"
+    # header-only record: empty payload, never the headers
+    assert rows[(1, 3)]["warc_type"] == "resource"
+    assert rows[(1, 3)]["payload"] == ""
+    # embedded marker: record truncates, tail is a headerless record
+    assert rows[(2, 0)]["payload"] == "before"
+    assert rows[(2, 1)]["warc_type"] is None
+    # the types gate drops warcinfo/resource/headerless rows
+    conv = warc_records(df, "doc_id", "content", types=("conversion",))
+    assert {(r["doc_id"], r["rec_idx"]) for r in conv.collect()} == {
+        (1, 1), (1, 2), (2, 0)}
+    # zero shuffles: ingestion is map-side at any scale
+    plan = conv._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

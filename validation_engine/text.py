@@ -1813,6 +1813,80 @@ def extract_text(col) -> Column:
     return clean_text(strip_html(col))
 
 
+def warc_records(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    types: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Split raw WARC/WET archive contents into records — the ingestion
+    front door of a web-corpus pipeline (Common-Crawl WET shards →
+    :func:`extract_text` / quality gates / dedup).  One row per record:
+    ``(id, rec_idx, warc_type, target_uri, warc_date, n_payload_chars,
+    payload)``.  ``types`` keeps only the named WARC-Types (e.g.
+    ``('conversion',)`` for WET text records, dropping ``warcinfo``
+    boilerplate); None keeps all.
+
+    Pure column expressions (split + posexplode + per-record regexes) —
+    zero shuffles, zero Python, map-side at any scale; gunzip upstream
+    (``spark.read.text`` handles ``.gz`` transparently;
+    ``wholetext=true`` for one archive per row).
+
+    Fidelity contract (the :func:`strip_html` pattern — scale path, not
+    a framing parser): records are split at line-start ``WARC/1.x``
+    markers, and each record's payload is then trimmed to its declared
+    ``Content-Length`` when present (conservative — never pads).  A
+    payload that itself contains ``WARC/1.x`` at a line start therefore
+    truncates there and emits a spurious tail record (its header
+    regexes find nothing; gate on ``warc_type``/``target_uri``
+    non-null).  WET conversion payloads are extracted plain text, where
+    that sequence is rare; exact length-honoring framing belongs to a
+    warcio-backed Arrow seam if a corpus needs it.  Payload characters
+    are counted AFTER trimming (``n_payload_chars``, the WET-record
+    size signal).
+    """
+    rec = F.col("_wrec")
+    hdr = lambda name: F.nullif(  # noqa: E731
+        F.regexp_extract(rec, rf"(?m)^{name}:[ \t]*([^\r\n]+)", 1), F.lit("")
+    )
+    # payload = everything after the first blank line; absent blank line
+    # (header-only record) → empty payload, never the headers themselves
+    body = F.when(
+        rec.rlike(r"\r?\n\r?\n"),
+        F.regexp_replace(rec, r"(?s)^.*?\r?\n\r?\n", ""),
+    ).otherwise(F.lit(""))
+    # honor the declared Content-Length when parseable (bytes ≈ chars for
+    # WET text; a conservative trim — never pads), else strip the
+    # record-terminator newlines the split left behind
+    clen = F.regexp_extract(rec, r"(?m)^Content-Length:[ \t]*(\d+)", 1)
+    payload = F.when(
+        clen != "", F.substring(body, 1, clen.cast("int"))
+    ).otherwise(F.regexp_replace(body, r"(\r?\n)+$", ""))
+    out = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.filter(
+                    F.split(F.col(content_col), r"(?m)(?=^WARC/1\.[01])"),
+                    lambda r: r.startswith("WARC/1."),
+                )
+            ).alias("rec_idx", "_wrec"),
+        )
+        .select(
+            id_col,
+            "rec_idx",
+            hdr("WARC-Type").alias("warc_type"),
+            hdr("WARC-Target-URI").alias("target_uri"),
+            hdr("WARC-Date").alias("warc_date"),
+            F.length(payload).cast("int").alias("n_payload_chars"),
+            payload.alias("payload"),
+        )
+    )
+    if types is not None:
+        out = out.filter(F.col("warc_type").isin(*[F.lit(t) for t in types]))
+    return out
+
+
 # Per-language import/dependency patterns: (language → regexes whose group 1
 # is the imported module).  Anchored to line starts ((?m)) so prose
 # mentioning "import" doesn't match; every pattern is RE2-compatible, so a
