@@ -633,3 +633,66 @@ def test_notebook_to_chunks_pipeline_reproducible(spark):
     n_julia = sum(1 for i in range(200) if i % 29 and i % 5 == 0)
     docs_out = len({cid.split("#")[0] for _, cid, _ in a})
     assert docs_out <= 200 - n_broken - n_julia
+
+
+def test_wet_to_corpus_pipeline_reproducible(spark):
+    """The crawl-ingestion front door composes into the standard curation
+    shape and stays byte-reproducible from adversarially re-partitioned
+    sources: raw WET shard strings -> warc_records (conversion records
+    only; junk shards emit nothing) -> extract_text on the HTML-ish
+    payloads -> quality/length gate -> paragraph_dedup -> deterministic
+    shard shuffle.  The same 120-shard corpus flows once from a single
+    partition and once from 13 randomly-ordered partitions; outputs must
+    be identical row-for-row, and the planted boilerplate paragraph
+    survives exactly once."""
+    import pyspark.sql.functions as F
+
+    from validation_engine.dedup import paragraph_dedup
+    from validation_engine.text import shuffle_shards, strip_html, warc_records
+
+    boiler = "Subscribe to our newsletter for updates."
+
+    def shard(i):
+        if i % 23 == 0:
+            return "junk bytes, not an archive"
+        recs = []
+        for j in range(3):
+            body = (
+                f"<html><body><p>Page {i}-{j} text about topic {(i + j) % 7}."
+                f"</p><p>{boiler}</p></body></html>"
+            )
+            recs.append(
+                "WARC/1.0\r\nWARC-Type: conversion\r\n"
+                f"WARC-Target-URI: http://s{i}.example/p{j}\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n{body}\r\n\r\n"
+            )
+        return "".join(recs)
+
+    base = spark.createDataFrame(
+        [(i, shard(i)) for i in range(120)], "shard_id long, content string"
+    )
+
+    def pipeline(src):
+        recs = warc_records(src, "shard_id", "content", types=("conversion",))
+        docs = recs.select(
+            F.col("target_uri").alias("doc_id"),
+            F.trim(strip_html("payload")).alias("text"),
+        ).filter(F.length("text") > 20)
+        # strip_html marks block boundaries with single newlines
+        deduped = paragraph_dedup(
+            docs, "doc_id", "text", sep_pattern=r"\n+", join_sep="\n"
+        )
+        sharded = shuffle_shards(deduped, "doc_id", n_shards=4, seed=11)
+        return sorted(
+            (r["shard"], r["doc_id"], r["text"]) for r in sharded.collect()
+        )
+
+    a = pipeline(base.repartition(1))
+    b = pipeline(base.repartition(13, F.rand(5)))
+    assert a == b
+    n_good_shards = sum(1 for i in range(120) if i % 23)
+    assert len(a) == 3 * n_good_shards
+    # the corpus-wide boilerplate paragraph is gone (C4-style removal),
+    # every page keeps its own unique text
+    assert not any(boiler in t for _, _, t in a)
+    assert all(t.startswith("Page ") for _, _, t in a)
