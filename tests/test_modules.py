@@ -1114,3 +1114,19 @@ def test_compact_files_rejects_partitioned_tables(spark, tmp_path):
     # per-partition compaction is the documented path
     stats = compact_files(spark, p + "/shard=0", target_file_mb=64)
     assert stats["files_after"] == 1 and stats["rows"] == 50
+
+
+def test_compact_files_csv_round_trips_headers(spark, tmp_path):
+    """CSV compaction reads with header=true (symmetric with its write and
+    read_dataset): without it every source file's header line would be
+    re-ingested as a data row and survive compaction as garbage."""
+    from validation_engine.io import compact_files
+
+    p = str(tmp_path / "c")
+    df = spark.range(300).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    df.repartition(8).write.option("header", True).csv(p)
+    stats = compact_files(spark, p, target_file_mb=64, fmt="csv")
+    assert stats["rows"] == 300 and stats["files_after"] == 1
+    back = spark.read.option("header", True).option("inferSchema", True).csv(p)
+    assert back.count() == 300
+    assert sorted(r["id"] for r in back.collect()) == list(range(300))

@@ -351,7 +351,12 @@ def compact_files(
         if st.isFile() and not st.getPath().getName().startswith("_")
     )
     n_files = max(1, -(-n_bytes // (int(target_file_mb) * (1 << 20))))
-    df = spark.read.format(fmt).load(path)
+    reader = spark.read
+    if fmt == "csv":
+        # symmetric with the csv WRITE below (and read_dataset): without it
+        # each source file's header row would be re-ingested as a data row
+        reader = reader.option("header", True)
+    df = reader.format(fmt).load(path)
     rows = df.count()
     tmp = path.rstrip("/") + ".compact"
     tmp_h = jvm.org.apache.hadoop.fs.Path(tmp)
