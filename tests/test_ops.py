@@ -3510,3 +3510,57 @@ def test_warc_records_extraction_matrix(spark):
     # zero shuffles: ingestion is map-side at any scale
     plan = conv._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_temperature_weights_rebalances_mixture(spark):
+    """temperature_weights: alpha=1 keeps natural proportions (every
+    weight 1.0 — take everything once); alpha=0 equalizes expected rows
+    across sources; intermediate alpha upsamples small sources relative
+    to their share; total_rows scales to an exact budget (pushing small
+    sources into multi-epoch weights); realized through mix_corpora the
+    output proportions match the closed form."""
+    from validation_engine.text import mix_corpora, temperature_weights
+
+    sizes = {"big": 2000, "mid": 400, "small": 50}
+    base = 0
+    sources = []
+    for name, n in sizes.items():
+        sources.append(
+            (name, spark.range(base, base + n).select(F.col("id").alias("doc_id")))
+        )
+        base += n
+
+    w1 = temperature_weights(sources, alpha=1.0)
+    assert all(abs(v - 1.0) < 1e-9 for v in w1.values())
+
+    w0 = temperature_weights(sources, alpha=0.0)
+    # expected rows w_g * n_g equal across sources; largest weight is 1.0
+    assert w0["small"] == 1.0
+    exp = {n: w0[n] * sizes[n] for n in sizes}
+    assert max(exp.values()) - min(exp.values()) < 1e-6 * sizes["small"]
+
+    wt = temperature_weights(sources, alpha=0.3)
+    # downsample-only by default, and small's SHARE strictly rises
+    assert max(wt.values()) == 1.0
+    total_nat = sum(sizes.values())
+    total_mix = sum(wt[n] * sizes[n] for n in sizes)
+    assert wt["small"] == 1.0  # smallest source keeps every row
+    assert (wt["small"] * sizes["small"] / total_mix
+            > sizes["small"] / total_nat)
+
+    # exact row budget: expected mixture size == total_rows
+    wb = temperature_weights(sources, alpha=0.3, total_rows=5000)
+    assert abs(sum(wb[n] * sizes[n] for n in sizes) - 5000) < 1.0
+    assert wb["small"] > 1.0  # low-resource upsampling crosses 1 epoch
+
+    # realized mixture tracks the expectation (deterministic hash gate)
+    mixed = mix_corpora(sources, "doc_id", weights=wb, seed=4)
+    got = {r["_mix_source"]: r["n"] for r in
+           mixed.groupBy("_mix_source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for n in sizes:
+        expected = wb[n] * sizes[n]
+        assert abs(got[n] - expected) <= max(10, 0.15 * expected), (n, got[n], expected)
+    # zero-row source contributes nothing and weight 0
+    wz = temperature_weights(
+        sources + [("empty", sources[0][1].limit(0))], alpha=0.3)
+    assert wz["empty"] == 0.0

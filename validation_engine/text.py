@@ -663,6 +663,54 @@ def mix_corpora(
     return out
 
 
+def temperature_weights(
+    sources,
+    alpha: float = 0.3,
+    total_rows: Optional[int] = None,
+) -> dict:
+    """Temperature-rebalancing weights for :func:`mix_corpora` — the
+    multilingual/multi-source mixture step (XLM-R's α-sampling,
+    Conneau et al. 2020 §3.1; mT5 uses the same form): sample source
+    ``g`` with probability ``q_g ∝ p_g^alpha`` where ``p_g`` is its
+    natural share, so low-resource sources are upsampled relative to
+    their size without letting any source dominate.  ``alpha=1``
+    reproduces natural proportions; ``alpha=0`` equalizes all sources;
+    the XLM-R default is 0.3.
+
+    Returns ``{name: weight}`` with ``weight = expected epochs of that
+    source`` (feed straight to :func:`mix_corpora`, whose fractional /
+    multi-epoch semantics realize it deterministically).  By default the
+    LARGEST implied weight is scaled to 1.0 — a downsample-only mixture
+    (never duplicates data); pass ``total_rows`` to scale the mixture to
+    an exact row budget instead, which may push small sources above 1.0
+    (multi-epoch upsampling — the standard low-resource trade).
+
+    Driver cost: one ``count()`` per source (metadata-cheap on columnar
+    sources); everything else is arithmetic on ``len(sources)`` numbers.
+    Zero-row sources get weight 0 (they contribute nothing either way).
+    """
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    sources = list(sources)
+    counts = {name: df.count() for name, df in sources}
+    total = sum(counts.values())
+    if total == 0:
+        return {name: 0.0 for name, _ in sources}
+    # q_g ∝ p_g^alpha over non-empty sources; expected rows from g at
+    # weight w_g is w_g * n_g, so w_g ∝ q_g / n_g
+    q = {
+        n: (c / total) ** float(alpha) if c else 0.0
+        for n, c in counts.items()
+    }
+    qsum = sum(q.values())
+    raw = {n: (q[n] / qsum) / counts[n] if counts[n] else 0.0 for n in q}
+    if total_rows is not None:
+        scale = float(total_rows)  # Σ w_g·n_g = Σ q_g·scale = scale
+    else:
+        scale = 1.0 / max(raw.values())  # largest weight → exactly 1.0
+    return {n: round(r * scale, 9) for n, r in raw.items()}
+
+
 def text_profile(df: DataFrame, col: str) -> DataFrame:
     """One-pass per-document profile: adds lang_id/quality/token counts/fp.
 
