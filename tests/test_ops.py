@@ -3479,7 +3479,8 @@ def test_warc_records_extraction_matrix(spark):
         "WARC-Type: conversion\r\n"
         "WARC-Target-URI: http://c.example/three\r\n"
         "\r\n"
-        "before\nWARC/1.0 appears mid-payload\r\n\r\n"
+        "before\nWARC-Date: 1999-01-01T00:00:00Z\n"
+        "WARC/1.0 appears mid-payload\r\n\r\n"
     )
     df = spark.createDataFrame(
         [(1, wet), (2, poisoned), (3, "not a warc at all"), (4, None)],
@@ -3501,8 +3502,12 @@ def test_warc_records_extraction_matrix(spark):
     assert rows[(1, 3)]["warc_type"] == "resource"
     assert rows[(1, 3)]["payload"] == ""
     # embedded marker: record truncates, tail is a headerless record
-    assert rows[(2, 0)]["payload"] == "before"
+    assert rows[(2, 0)]["payload"] == (
+        "before\nWARC-Date: 1999-01-01T00:00:00Z")
     assert rows[(2, 1)]["warc_type"] is None
+    # a payload QUOTING a header line must not fill in a missing field:
+    # record (2, 0) has no WARC-Date header, so the quoted one is ignored
+    assert rows[(2, 0)]["warc_date"] is None
     # the types gate drops warcinfo/resource/headerless rows
     conv = warc_records(df, "doc_id", "content", types=("conversion",))
     assert {(r["doc_id"], r["rec_idx"]) for r in conv.collect()} == {

@@ -1894,8 +1894,16 @@ def warc_records(
     size signal).
     """
     rec = F.col("_wrec")
+    # header fields are matched against the HEADER BLOCK only (up to the
+    # first blank line) — a crawl payload QUOTING a WARC header line
+    # ("WARC-Target-URI: http://evil" in page text) must never fill in a
+    # field the record's own headers lack
+    head = F.when(
+        rec.rlike(r"\r?\n\r?\n"),
+        F.regexp_extract(rec, r"(?s)^(.*?)\r?\n\r?\n", 1),
+    ).otherwise(rec)
     hdr = lambda name: F.nullif(  # noqa: E731
-        F.regexp_extract(rec, rf"(?m)^{name}:[ \t]*([^\r\n]+)", 1), F.lit("")
+        F.regexp_extract(head, rf"(?m)^{name}:[ \t]*([^\r\n]+)", 1), F.lit("")
     )
     # payload = everything after the first blank line; absent blank line
     # (header-only record) → empty payload, never the headers themselves
@@ -1906,7 +1914,7 @@ def warc_records(
     # honor the declared Content-Length when parseable (bytes ≈ chars for
     # WET text; a conservative trim — never pads), else strip the
     # record-terminator newlines the split left behind
-    clen = F.regexp_extract(rec, r"(?m)^Content-Length:[ \t]*(\d+)", 1)
+    clen = F.regexp_extract(head, r"(?m)^Content-Length:[ \t]*(\d+)", 1)
     payload = F.when(
         clen != "", F.substring(body, 1, clen.cast("int"))
     ).otherwise(F.regexp_replace(body, r"(\r?\n)+$", ""))
