@@ -3569,3 +3569,73 @@ def test_temperature_weights_rebalances_mixture(spark):
     wz = temperature_weights(
         sources + [("empty", sources[0][1].limit(0))], alpha=0.3)
     assert wz["empty"] == 0.0
+
+
+def test_knn_join_brute_matches_numpy_per_query(spark, emb):
+    """knn_join (brute): every query row's neighbor list equals the exact
+    numpy ranking (cosine desc, id-asc ties), ranks are 1..k, and NULL
+    embeddings pair with nothing."""
+    from validation_engine.similarity import knn_join
+
+    rows = emb.limit(200).collect()
+    corpus = spark.createDataFrame(rows)
+    q_rows = rows[:5]
+    queries = spark.createDataFrame(
+        [(f"q{i}", r["embedding"]) for i, r in enumerate(q_rows)]
+        + [("qnull", None)],
+        "qid string, qvec array<double>",
+    )
+    got = knn_join(
+        corpus, queries, k=7, id_col="vec_id", vec_col="embedding",
+        query_id_col="qid", query_vec_col="qvec",
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {f"q{i}" for i in range(5)}  # qnull absent
+    mat = np.asarray([r["embedding"] for r in rows], dtype=float)
+    ids = [r["vec_id"] for r in rows]
+    norms = np.linalg.norm(mat, axis=1)
+    for i, qr in enumerate(q_rows):
+        qv = np.asarray(qr["embedding"], dtype=float)
+        cos = np.round((mat @ qv) / (norms * np.linalg.norm(qv)), 6)
+        order = sorted(zip(-cos, ids))[:7]
+        expect = [vid for _, vid in order]
+        mine = sorted(by_q[f"q{i}"], key=lambda r: r["rank"])
+        assert [r["neighbor_id"] for r in mine] == expect, i
+        assert [r["rank"] for r in mine] == list(range(1, 8))
+        # self-match leads with cosine 1.0
+        assert mine[0]["neighbor_id"] == qr["vec_id"]
+        assert mine[0]["cosine"] == 1.0
+
+
+def test_knn_join_ivf_recall_and_pair_uniqueness(spark, emb):
+    """knn_join (IVF): candidate pairs come from probed cells only — each
+    (query, neighbor) pair appears at most once (one home cell per corpus
+    row), self-matches are found with enough probes, and recall vs the
+    brute join is non-trivial; probing ALL cells reproduces brute exactly."""
+    from validation_engine.similarity import ivf_build, knn_join
+
+    corpus = emb.limit(400)
+    queries = (
+        corpus.limit(6)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    )
+    cents = ivf_build(corpus, n_centroids=8, sample_cap=500)
+    brute = knn_join(corpus, queries, k=5, query_id_col="qid",
+                     query_vec_col="qvec")
+    approx = knn_join(corpus, queries, k=5, query_id_col="qid",
+                      query_vec_col="qvec", centroids=cents, n_probe=3)
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    a_rows = approx.collect()
+    a = {(r["query_id"], r["neighbor_id"]) for r in a_rows}
+    assert len(a_rows) == len(a)  # no duplicate pairs from cell fan-out
+    for qid in {q for q, _ in b}:
+        assert (qid, qid) in a  # self lives in the query's own home cell
+    assert len(a & b) >= len(b) // 2
+    # probing every cell == brute, row for row
+    full = knn_join(corpus, queries, k=5, query_id_col="qid",
+                    query_vec_col="qvec", centroids=cents, n_probe=8)
+    f = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in full.collect()}
+    bb = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in brute.collect()}
+    assert f == bb

@@ -18,7 +18,7 @@ results are engine-reproducible (DuckDB oracle parity).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -327,3 +327,116 @@ def ivf_topk_indexed(
     probe = [int(c) for c in d.argsort()[:n_probe]]
     cand = spark.read.parquet(path).filter(F.col("_cell").isin(probe))
     return brute_force_topk(cand, query, k, id_col, vec_col)
+
+
+def ivf_probe_cells(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    out_col: str = "_cells",
+) -> DataFrame:
+    """Add an ``out_col`` array = the ``n_probe`` nearest centroid ids —
+    the QUERY-side counterpart of :func:`ivf_assign` (which tags each
+    corpus row with its ONE home cell).  Same Arrow-batched matmul, same
+    spherical metric, NULL embedding → NULL array (probes nothing)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent = _unit_rows(np.atleast_2d(centroids.astype(float)))
+    cent_norm2 = (cent**2).sum(axis=1)
+    p = min(int(n_probe), cent.shape[0])
+
+    @pandas_udf("array<int>")
+    def probes(v: pd.Series) -> pd.Series:
+        out = [None] * len(v)
+        mask = v.notna()
+        if mask.any():
+            mat = _unit_rows(np.vstack(v[mask].to_numpy()))
+            d = -2.0 * (mat @ cent.T) + cent_norm2[None, :]
+            near = np.argsort(d, axis=1)[:, :p].astype("int32")
+            for slot, row in zip(np.flatnonzero(np.asarray(mask)), near):
+                out[slot] = row.tolist()
+        return pd.Series(out)
+
+    return df.withColumn(out_col, probes(F.col(vec_col)))
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: Optional[str] = None,
+    query_vec_col: Optional[str] = None,
+    centroids: Optional[np.ndarray] = None,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Batch kNN: for EVERY query row, its ``k`` nearest corpus rows by
+    cosine — ``(query_id, neighbor_id, cosine, rank)``.  The set-valued
+    form of :func:`brute_force_topk`/:func:`ivf_topk`, which take one
+    query vector: embedding-level decontamination (eval set vs corpus),
+    retrieval-eval harnesses, and cross-corpus semantic linking all need
+    per-row top-k, not per-call.
+
+    ``centroids=None`` (brute, exact): the QUERY side broadcasts and the
+    scored pairs reduce per query via a rank window — right when the
+    query set is broadcast-sized (eval sets: 10³–10⁵ rows).  Corpus rows
+    stream map-side through the broadcast join; the only exchange
+    carries ``(query_id, neighbor_id, cosine)`` triples for the rank.
+
+    ``centroids`` given (IVF, approximate): corpus rows get their home
+    cell (:func:`ivf_assign`), queries explode to their ``n_probe``
+    nearest cells (:func:`ivf_probe_cells`), and an EQUI-join on the
+    cell id limits scoring to candidate pairs — the scale path when both
+    sides are large.  Recall follows the probed-cell coverage, exactly
+    like :func:`ivf_topk`; AQE's skew-join splitting handles a hot cell
+    (a join, not a window, carries the fan-out).  Each (query, corpus)
+    pair scores at most once (one home cell per corpus row).
+
+    Ties rank deterministically (cosine desc, neighbor id asc); rows
+    with NULL embeddings on either side never pair.  Fewer than ``k``
+    candidates (tiny cells, small corpus) yield fewer rows — callers
+    that need exactly k raise ``n_probe``."""
+    from pyspark.sql import Window
+
+    query_id_col = query_id_col or id_col
+    query_vec_col = query_vec_col or vec_col
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_kc_v")
+    ).where(F.col("_kc_v").isNotNull())
+    qsel = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("_kq_v"),
+    ).where(F.col("_kq_v").isNotNull())
+    if centroids is None:
+        pairs = c.join(F.broadcast(qsel), F.lit(True))
+    else:
+        ca = ivf_assign(
+            corpus, centroids, vec_col=vec_col
+        ).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_kc_v"),
+            "_cell",
+        ).where(F.col("_cell").isNotNull())
+        qp = (
+            ivf_probe_cells(qsel, centroids, "_kq_v", n_probe)
+            .select("query_id", "_kq_v", F.explode("_cells").alias("_cell"))
+        )
+        pairs = ca.join(qp, "_cell").drop("_cell")
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot_expr(F.col("_kc_v"), F.col("_kq_v"))
+            / (norm_expr(F.col("_kc_v")) * norm_expr(F.col("_kq_v"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+    )
