@@ -1063,6 +1063,13 @@ def test_write_clustered_zorder_prunes_both_dimensions(spark, tmp_path):
         zorder_key(df, ["x"])
     with pytest.raises(ValueError):
         zorder_key(df, ["x", "y"], bits=40)
+    # string/date columns cast to NULL doubles — a silently dead dimension;
+    # zorder_key must refuse them up front
+    sdf = df.withColumn("s", F.col("id").cast("string"))             .withColumn("d", F.current_date())
+    with pytest.raises(TypeError, match="range mode"):
+        zorder_key(sdf, ["x", "s"])
+    with pytest.raises(TypeError, match="cast to timestamp"):
+        zorder_key(sdf, ["x", "d"])
 
 
 def test_compact_files_small_files_and_clustered_rewrite(spark, tmp_path):

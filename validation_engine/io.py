@@ -175,7 +175,23 @@ def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 12):
     bits = int(bits)
     if bits < 1 or bits * len(cols) > 62:
         raise ValueError("need 1 <= bits and bits * len(cols) <= 62")
-    from pyspark.sql import functions as F
+    from pyspark.sql import functions as F, types as T
+
+    # non-numeric columns must fail LOUDLY: the cast("double") below turns
+    # a string/binary column into all-NULLs — bucket 0 everywhere, i.e. a
+    # silently dead dimension that ruins the interleave's selectivity.
+    # Range mode (write_clustered default) handles such columns natively.
+    numeric_ok = (T.NumericType, T.TimestampType, T.TimestampNTZType,
+                  T.BooleanType)
+    for c in cols:
+        if not isinstance(df.schema[c].dataType, numeric_ok):
+            raise TypeError(
+                f"zorder_key column {c!r} has type "
+                f"{df.schema[c].dataType.simpleString()}, which casts to "
+                "NULL doubles — it would bucket to a constant; encode it "
+                "first (dates: cast to timestamp; strings: hash or "
+                "dictionary-encode) or use write_clustered's range mode"
+            )
 
     row = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"mn_{i}")
