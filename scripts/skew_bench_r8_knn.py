@@ -1,0 +1,91 @@
+"""Round-8 planted hot-cell skew bench for the IVF knn_join path.
+
+Adversary: 40% of a 1M-row embedding corpus is ONE byte-identical vector,
+so a single IVF cell holds ~400k corpus rows, and every query whose probe
+list touches that cell fans its scoring join out against all of them —
+the fan-out a naive per-query window would straggle on.  knn_join's
+candidate stage is an EQUI-join (corpus home cell × query probed cells),
+so AQE's skew-join splitting bounds the worst task; the rank window that
+follows partitions by QUERY id (bounded by that query's candidates, never
+by the hot cell as a whole).
+
+Reuses the round-7 harness (:mod:`skew_bench`): per-stage task-duration
+quantiles from the Spark UI REST API, worst substantial stage reported.
+
+Usage: [KNN_ROWS=1000000] python scripts/skew_bench_r8_knn.py
+Writes BENCH/skew_r8_knn.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+sys.path.insert(0, HERE)
+
+import numpy as np  # noqa: E402
+import pyspark.sql.functions as F  # noqa: E402
+
+import skew_bench as sb  # noqa: E402
+from validation_engine.session import get_spark  # noqa: E402
+
+ROWS = int(os.environ.get("KNN_ROWS", "1000000"))
+DIM = 16
+
+
+def corpus(spark):
+    """40% of rows share one exact vector (the hot cell); the rest are
+    deterministic pseudo-random."""
+    rand_vec = F.transform(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        lambda i: (F.pmod(F.xxhash64(F.col("id"), i), 2000) - 1000)
+        .cast("double") / 1000.0,
+    )
+    hot_vec = F.array(*[F.lit(float((j * 7) % 13) / 13.0 + 0.1)
+                        for j in range(DIM)])
+    vec = F.when(F.pmod(F.xxhash64("id"), 5) < 2, hot_vec).otherwise(rand_vec)
+    return (
+        spark.range(ROWS)
+        .select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+        .persist()
+    )
+
+
+def main():
+    spark = get_spark(
+        "skew-knn",
+        extra_conf={"spark.ui.enabled": "true",
+                    "spark.ui.port": str(sb.UI_PORT)},
+    )
+    from validation_engine.similarity import ivf_build, knn_join
+
+    docs = corpus(spark)
+    docs.count()
+    # queries include hot-cell members, so the mega cell IS probed
+    queries = (
+        docs.limit(100)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        .persist()
+    )
+    queries.count()
+    cents = ivf_build(docs, n_centroids=32, sample_cap=10_000,
+                      order_col="vec_id")
+    results = {"rows": ROWS, "hot_frac": 0.4, "queries": 100,
+               "attempts": sb.ATTEMPTS}
+    sb.measure(
+        spark, "knn_join_ivf_hot_cell",
+        lambda: knn_join(docs, queries, k=10, query_id_col="qid",
+                         query_vec_col="qvec", centroids=cents, n_probe=4),
+        results,
+    )
+    out = os.path.join(os.path.dirname(HERE), "BENCH", "skew_r8_knn.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
