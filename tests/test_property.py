@@ -533,3 +533,65 @@ def test_set_minhash_pairs_property(spark, groups, threshold):
     for k, (inter, union, j) in exact.items():
         if j >= 0.9 and j >= threshold:
             assert k in seen, (k, j)
+
+
+@st.composite
+def warc_archives(draw):
+    """Random WARC archives: 0-5 records of random type, optional
+    target-uri/date headers, payloads over a tricky alphabet (CR/LF,
+    header-like prefixes mid-line, '|', unicode) — excluding line-start
+    'WARC/1.' sequences, the documented framing limit.  Half the records
+    declare Content-Length, half rely on terminator stripping."""
+    payload_line = st.text(
+        alphabet="abWARC-Type: /1.0é|\t", min_size=0, max_size=20
+    ).filter(lambda s: not s.startswith("WARC/1."))
+    n = draw(st.integers(min_value=0, max_value=5))
+    recs = []
+    for _ in range(n):
+        rtype = draw(st.sampled_from(["conversion", "response", "warcinfo"]))
+        uri = draw(st.one_of(st.none(), st.just("http://x.example/p")))
+        lines = draw(st.lists(payload_line, min_size=0, max_size=4))
+        payload = "\n".join(lines)
+        declare = draw(st.booleans())
+        recs.append((rtype, uri, payload, declare))
+    return recs
+
+
+def _render_warc(recs):
+    out = []
+    for rtype, uri, payload, declare in recs:
+        hdr = f"WARC/1.0\r\nWARC-Type: {rtype}\r\n"
+        if uri is not None:
+            hdr += f"WARC-Target-URI: {uri}\r\n"
+        if declare:
+            hdr += f"Content-Length: {len(payload)}\r\n"
+        out.append(hdr + "\r\n" + payload + "\r\n\r\n")
+    return "".join(out)
+
+
+@given(warc_archives())
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_warc_records_round_trip_property(spark, recs):
+    """For ANY archive built from the generator, warc_records recovers
+    every record's type, uri and payload exactly.  Undeclared-length
+    payloads additionally must not END with newlines (the terminator
+    strip is indistinguishable from trailing payload newlines — the
+    documented conservative edge), so the property trims the expectation
+    the same way."""
+    from validation_engine.text import warc_records
+
+    content = _render_warc(recs)
+    df = spark.createDataFrame(
+        [(1, content)], "doc_id long, content string"
+    )
+    got = sorted(
+        warc_records(df, "doc_id", "content").collect(),
+        key=lambda r: r["rec_idx"],
+    )
+    assert len(got) == len(recs)
+    for r, (rtype, uri, payload, declare) in zip(got, recs):
+        assert r["warc_type"] == rtype
+        assert r["target_uri"] == uri
+        expect = payload if declare else payload.rstrip("\r\n")
+        assert r["payload"] == expect, (payload, declare)
+        assert r["n_payload_chars"] == len(expect)
