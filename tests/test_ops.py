@@ -3639,3 +3639,38 @@ def test_knn_join_ivf_recall_and_pair_uniqueness(spark, emb):
     f = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in full.collect()}
     bb = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in brute.collect()}
     assert f == bb
+
+
+def test_outlier_report_tukey_fences(spark):
+    """outlier_report: on 1..100 plus planted extremes, exact-mode
+    quantiles put the fences where Tukey's rule says, the planted
+    outliers are counted exactly per side, NULLs are neither quantile
+    inputs nor outliers, and a constant column reports zero outliers
+    (IQR 0 ⇒ fences collapse to the value)."""
+    from validation_engine.stats import outlier_report
+
+    rows = [(float(i), 5.0, None if i % 10 == 0 else float(i)) for i in range(1, 101)]
+    rows += [(-1000.0, 5.0, None), (2000.0, 5.0, None), (3000.0, 5.0, None)]
+    df = spark.createDataFrame(rows, "v double, c double, n double")
+    rep = {r["column"]: r for r in
+           outlier_report(df, ["v", "c", "n"], relative_error=0.0).collect()}
+
+    v = rep["v"]
+    # exact quantiles of 1..100 (+3 extremes) land near 25/75; Tukey
+    # fences k=1.5 → roughly [-50, 150]: exactly the 3 planted extremes out
+    assert v["n_below"] == 1 and v["n_above"] == 2
+    assert v["n_rows"] == 103
+    assert -60 <= v["lo_fence"] <= -40 and 140 <= v["hi_fence"] <= 160
+    assert v["outlier_rate"] == round(3 / 103, 6)
+
+    c = rep["c"]  # constant column: IQR 0, nothing outside
+    assert (c["n_below"], c["n_above"]) == (0, 0)
+    assert c["lo_fence"] == c["hi_fence"] == 5.0
+
+    n = rep["n"]  # NULLs excluded from counts and quantiles
+    assert n["n_rows"] == 90
+    assert n["n_below"] == 0 and n["n_above"] == 0
+
+    import pytest
+    with pytest.raises(ValueError):
+        outlier_report(df, [])

@@ -260,3 +260,60 @@ def skew_report(
         + ["n bigint", "share double", "cum_share double", "rank int"]
     )
     return spark.createDataFrame(out_rows, schema_cols)
+
+
+def outlier_report(
+    df: DataFrame,
+    cols: Sequence[str],
+    k: float = 1.5,
+    relative_error: float = 1e-4,
+) -> DataFrame:
+    """Tukey-fence outlier profile per numeric column: ``(column, q1, q3,
+    lo_fence, hi_fence, n_below, n_above, n_rows, outlier_rate)`` with
+    fences ``q1 − k·IQR`` / ``q3 + k·IQR`` — the automatic numeric-range
+    companion to :func:`column_profile` (null/distinct) and the
+    bounds-discovery step before pinning an explicit
+    :func:`~validation_engine.checks.in_range` check on a column whose
+    healthy range nobody has written down.
+
+    Cost is TWO bounded passes regardless of column count: one
+    Greenwald-Khanna quantile sketch over all columns together
+    (``relative_error`` trades sketch memory for rank precision;
+    ``0.0`` = exact, collects per-column distinct values — test scale
+    only) and one fused aggregation counting fence violations for every
+    column at once.  Nothing corpus-sized reaches the driver; NULLs are
+    neither quantile inputs nor outliers."""
+    cols = list(cols)
+    if not cols:
+        raise ValueError("outlier_report needs at least one column")
+    q = df.approxQuantile(cols, [0.25, 0.75], float(relative_error))
+    fences = {}
+    for c, (q1, q3) in zip(cols, q):
+        iqr = q3 - q1
+        fences[c] = (q1, q3, q1 - float(k) * iqr, q3 + float(k) * iqr)
+    aggs = []
+    for c in cols:
+        _, _, lo, hi = fences[c]
+        aggs.append(
+            F.count(F.when(F.col(c) < F.lit(lo), 1)).alias(f"nb_{c}")
+        )
+        aggs.append(
+            F.count(F.when(F.col(c) > F.lit(hi), 1)).alias(f"na_{c}")
+        )
+        aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
+    row = df.agg(*aggs).collect()[0]
+    spark = df.sparkSession
+    out = []
+    for c in cols:
+        q1, q3, lo, hi = fences[c]
+        nb, na, nn = int(row[f"nb_{c}"]), int(row[f"na_{c}"]), int(row[f"nn_{c}"])
+        out.append((
+            c, float(q1), float(q3), float(lo), float(hi), nb, na, nn,
+            round((nb + na) / nn, 6) if nn else 0.0,
+        ))
+    return spark.createDataFrame(
+        out,
+        "column string, q1 double, q3 double, lo_fence double, "
+        "hi_fence double, n_below long, n_above long, n_rows long, "
+        "outlier_rate double",
+    )
