@@ -402,13 +402,20 @@ def knn_join(
 
     query_id_col = query_id_col or id_col
     query_vec_col = query_vec_col or vec_col
+    # norms are hoisted to PER-ROW columns below the join: computed per
+    # PAIR they cost a dim-length fold twice per scored candidate — at
+    # n_corpus × n_query pair counts that is most of the arithmetic
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_kc_v")
-    ).where(F.col("_kc_v").isNotNull())
+    ).where(F.col("_kc_v").isNotNull()).withColumn(
+        "_kc_n", norm_expr(F.col("_kc_v"))
+    )
     qsel = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("_kq_v"),
-    ).where(F.col("_kq_v").isNotNull())
+    ).where(F.col("_kq_v").isNotNull()).withColumn(
+        "_kq_n", norm_expr(F.col("_kq_v"))
+    )
     if centroids is None:
         pairs = c.join(F.broadcast(qsel), F.lit(True))
     else:
@@ -418,10 +425,13 @@ def knn_join(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("_kc_v"),
             "_cell",
-        ).where(F.col("_cell").isNotNull())
+        ).where(F.col("_cell").isNotNull()).withColumn(
+            "_kc_n", norm_expr(F.col("_kc_v"))
+        )
         qp = (
             ivf_probe_cells(qsel, centroids, "_kq_v", n_probe)
-            .select("query_id", "_kq_v", F.explode("_cells").alias("_cell"))
+            .select("query_id", "_kq_v", "_kq_n",
+                    F.explode("_cells").alias("_cell"))
         )
         pairs = ca.join(qp, "_cell").drop("_cell")
     scored = pairs.select(
@@ -429,7 +439,7 @@ def knn_join(
         "neighbor_id",
         F.round(
             dot_expr(F.col("_kc_v"), F.col("_kq_v"))
-            / (norm_expr(F.col("_kc_v")) * norm_expr(F.col("_kq_v"))),
+            / (F.col("_kc_n") * F.col("_kq_n")),
             6,
         ).alias("cosine"),
     )
