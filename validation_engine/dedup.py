@@ -1128,19 +1128,25 @@ def embedding_near_duplicates(
     probe side stays un-expanded (the join stays linear in input size,
     ×(n_planes+1) on one side only).
     """
-    from .similarity import hyperplane_signature, cosine_expr
+    from .similarity import dot_expr, hyperplane_signature, norm_expr
 
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     sig = hyperplane_signature(F.col(vec_col), dim, n_planes, seed)
-    v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_b"))
+    # norm hoisted to a per-row column: computed inside the pair score it
+    # is a dim-length fold TWICE per candidate pair, and multiprobing
+    # multiplies the pair count (same hoist as knn_join, round 8)
+    v = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_b"),
+        norm_expr(F.col(vec_col)).alias("_n"),
+    )
     if probe_hamming >= 1:
         probes = F.array(
             F.col("_b"),
             *[F.col("_b").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
         )
         a = v.select(
-            "_id", "_v", F.explode(probes).alias("_b")
+            "_id", "_v", "_n", F.explode(probes).alias("_b")
         ).alias("a")
     else:
         a = v.alias("a")
@@ -1151,7 +1157,11 @@ def embedding_near_duplicates(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.round(cosine_expr(F.col("a._v"), F.col("b._v")), 6).alias("cosine"),
+            F.round(
+                dot_expr(F.col("a._v"), F.col("b._v"))
+                / (F.col("a._n") * F.col("b._n")),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
         .distinct()
