@@ -966,17 +966,22 @@ def jaccard_pairs(
     hence the Jaccard — are identical to the string-set computation up to
     64-bit collisions, and long equality beats ~100-byte string equality
     in the interpreted array intrinsics."""
+    # shingle arrays are de-duplicated ONCE PER ROW so the per-pair work
+    # is a single array_intersect: |∪| then follows arithmetically as
+    # |a| + |b| − |∩| instead of building a second per-pair hash set
+    # (array_union) — set semantics (and the oracle values) unchanged
     sh = df.select(
-        F.col(id_col).alias("_id"), token_shingle_hashes(text_col, k).alias("_sh")
+        F.col(id_col).alias("_id"),
+        F.array_distinct(token_shingle_hashes(text_col, k)).alias("_sh"),
     )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     out = (
         pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
+                inter / (F.size("sh_a") + F.size("sh_b") - inter),
                 6,
             ),
         )
