@@ -1137,3 +1137,56 @@ def test_compact_files_csv_round_trips_headers(spark, tmp_path):
     back = spark.read.option("header", True).option("inferSchema", True).csv(p)
     assert back.count() == 300
     assert sorted(r["id"] for r in back.collect()) == list(range(300))
+
+
+def test_warc_records_streams_incrementally(spark, tmp_path):
+    """warc_records is pure column expressions, so it runs unchanged under
+    Structured Streaming — the real crawl-ingestion pattern (WET shards
+    arriving incrementally).  Two micro-batches of shard files flow
+    through readStream -> warc_records -> parquet sink; the sink holds
+    exactly the records of both batches, each batch appended once."""
+    from validation_engine.text import warc_records
+
+    def shard_file(path, i):
+        body = f"page {i} text"
+        rec = (
+            "WARC/1.0\r\nWARC-Type: conversion\r\n"
+            f"WARC-Target-URI: http://s{i}.example/\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n{body}\r\n\r\n"
+        )
+        with open(path, "w") as f:
+            f.write(rec * 3)  # 3 records per shard
+
+    src = tmp_path / "wet"
+    src.mkdir()
+    out = str(tmp_path / "records")
+    ck = str(tmp_path / "ck")
+    shard_file(src / "a.warc", 1)
+
+    def run_batch():
+        stream = (
+            spark.readStream.format("text")
+            .option("wholetext", True)
+            .schema("value string")
+            .load(str(src))
+        )
+        recs = warc_records(
+            stream.select(F.lit(0).alias("doc_id"), F.col("value").alias("content")),
+            "doc_id", "content", types=("conversion",),
+        )
+        q = (
+            recs.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(60)
+
+    run_batch()
+    assert spark.read.parquet(out).count() == 3
+    shard_file(src / "b.warc", 2)
+    run_batch()
+    got = spark.read.parquet(out)
+    assert got.count() == 6  # second batch appended ONCE (checkpointed)
+    uris = {r["target_uri"] for r in got.collect()}
+    assert uris == {"http://s1.example/", "http://s2.example/"}
+    assert {r["payload"] for r in got.collect()} == {"page 1 text", "page 2 text"}
