@@ -1,0 +1,118 @@
+"""Experiment (guide §1 first-principles): the unified multi-width
+decontaminate pass hashes every width m at every position via an m-arg
+xxhash64 over an arrays_zip of 13 slices — sum(m) ≈ 85 hash-steps/position.
+A chained scheme V_m[i] = xxhash64(V_{m-1}[i], th[i+m-1]) shares prefixes
+across widths: ≤ max_width 2-arg hashes/position and no 13-column struct
+zip.  Hash VALUES change (both sides must switch together); matching
+semantics (token-sequence equality up to 64-bit collisions) do not.
+
+Compares wall time + output equality on the bench export corpus."""
+
+import os
+import sys
+import time
+from functools import reduce
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from validation_engine.session import get_spark  # noqa: E402
+from validation_engine.datagen import spark_codefiles  # noqa: E402
+from validation_engine.text import lower_tokens, decontaminate  # noqa: E402
+from validation_engine.dedup import token_shingle_hashes  # noqa: E402
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+spark = get_spark("decon-exp", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8))
+spark.sparkContext.setLogLevel("ERROR")
+
+n_files = 600_000
+docs = (
+    spark_codefiles(spark, max(n_files // 3, 10_000), n_dup=1000)
+    .select(F.xxhash64("repo", "path", "commit").alias("id"),
+            F.col("content").alias("text"))
+    .persist()
+)
+docs.count()
+bench_set = docs.filter(F.col("id") % 97 == 0).select(F.col("text").alias("q"))
+
+
+def chained_window_hashes(tok_hashes, widths):
+    """Per-position window digests for every width in ``widths`` by seed
+    chaining: V_1 = th, V_m = xxhash64(V_{m-1}[i], th[i+m-1])."""
+    th = tok_hashes
+    n = F.size(th)
+    out = []
+    v = th
+    for m in range(2, max(widths) + 1):
+        ln = F.greatest(n - (m - 1), F.lit(0))
+        v = F.zip_with(
+            F.slice(v, 1, ln), F.slice(th, m, ln), lambda a, b: F.xxhash64(a, b)
+        )
+        if m in widths:
+            out.append(v)
+    if 1 in widths:
+        out.insert(0, th)
+    return F.array_distinct(F.concat(*out)) if len(out) > 1 else F.array_distinct(out[0])
+
+
+def decontaminate_chained(df, id_col, text_col, bench, bench_text_col, n=13, min_hits=1):
+    btoks = bench.select(lower_tokens(F.col(bench_text_col)).alias("_bt"))
+    shorts = [
+        r["_s"]
+        for r in btoks.filter(F.size("_bt") < n)
+        .select(F.concat_ws(" ", "_bt").alias("_s"))
+        .distinct()
+        .collect()
+        if r["_s"].strip()
+    ]
+    by_m: dict = {}
+    for s in shorts:
+        by_m.setdefault(len(s.split()), []).append(s)
+    widths = sorted(set(by_m) | {n})
+
+    tokhash = lambda c: F.transform(lower_tokens(c), lambda t: F.xxhash64(t))  # noqa: E731
+
+    bgrams = (
+        btoks.filter(F.size("_bt") >= n)
+        .select(
+            F.explode(
+                F.shuffle(chained_window_hashes(F.transform(F.col("_bt"), lambda t: F.xxhash64(t)), [n]))
+            ).alias("_gh")
+        )
+    )
+    sframes = [
+        spark.createDataFrame([(x,) for x in items], "_q string").select(
+            F.explode(chained_window_hashes(tokhash(F.col("_q")), [m])).alias("_gh")
+        )
+        for m, items in by_m.items()
+    ]
+    bset = reduce(lambda a, b: a.unionByName(b), sframes, bgrams).distinct()
+    grams = chained_window_hashes(tokhash(F.col(text_col)), widths)
+    dgrams = df.select(F.col(id_col), F.explode(F.shuffle(grams)).alias("_gh"))
+    return (
+        dgrams.join(F.broadcast(bset), "_gh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+        .filter(F.col("n_contaminated_ngrams") >= int(min_hits))
+    )
+
+
+# warm both plans
+decontaminate(docs, "id", "text", bench_set, "q", n=13).write.format("noop").mode("overwrite").save()
+decontaminate_chained(docs, "id", "text", bench_set, "q", n=13).write.format("noop").mode("overwrite").save()
+
+for rep in range(2):
+    t0 = time.time()
+    decontaminate(docs, "id", "text", bench_set, "q", n=13).write.format("noop").mode("overwrite").save()
+    t1 = time.time()
+    decontaminate_chained(docs, "id", "text", bench_set, "q", n=13).write.format("noop").mode("overwrite").save()
+    t2 = time.time()
+    print(f"rep {rep}: current={t1-t0:.3f}  chained={t2-t1:.3f}")
+
+a = decontaminate(docs, "id", "text", bench_set, "q", n=13)
+b = decontaminate_chained(docs, "id", "text", bench_set, "q", n=13)
+diff = a.join(b, ["id", "n_contaminated_ngrams"], "full_outer").count()
+na, nb = a.count(), b.count()
+print(f"rows current={na} chained={nb} union_join={diff} (equal iff all three match)")
+spark.stop()

@@ -1,0 +1,124 @@
+"""Experiment 2: chained multi-width window hashes with PER-LEVEL COLUMN
+STAGING (each level referenced twice — by the next level and by the output
+concat — so CollapseProject keeps the projections separate and every level
+evaluates exactly once).  Compares against the current unified pass."""
+
+import os
+import sys
+import time
+from functools import reduce
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from validation_engine.session import get_spark  # noqa: E402
+from validation_engine.datagen import spark_codefiles  # noqa: E402
+from validation_engine.text import lower_tokens, decontaminate  # noqa: E402
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+spark = get_spark("decon-exp2", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8))
+spark.sparkContext.setLogLevel("ERROR")
+
+n_files = 600_000
+docs = (
+    spark_codefiles(spark, max(n_files // 3, 10_000), n_dup=1000)
+    .select(F.xxhash64("repo", "path", "commit").alias("id"),
+            F.col("content").alias("text"))
+    .persist()
+)
+docs.count()
+bench_set = docs.filter(F.col("id") % 97 == 0).select(F.col("text").alias("q"))
+
+
+def stage_chained(df, id_col, text_col, widths):
+    """Add ``_grams`` = distinct chained window hashes for all widths.
+    V_1 = per-token xxhash64; V_m[i] = xxhash64(V_{m-1}[i], th[i+m-1]).
+    Every level is a separate staged column so it evaluates once."""
+    mx = max(widths)
+    th = F.transform(lower_tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+    out = df.select(F.col(id_col), th.alias("_v1"))
+    n = F.size(F.col("_v1"))
+    keep = []
+    if 1 in widths:
+        keep.append("_v1")
+    prev = "_v1"
+    for m in range(2, mx + 1):
+        ln = F.greatest(n - (m - 1), F.lit(0))
+        col = f"_v{m}"
+        out = out.withColumn(
+            col,
+            F.zip_with(
+                F.slice(F.col(prev), 1, ln),
+                F.slice(F.col("_v1"), m, ln),
+                lambda a, b: F.xxhash64(a, b),
+            ),
+        )
+        if m in widths:
+            keep.append(col)
+        prev = col
+    grams = (
+        F.array_distinct(F.concat(*[F.col(c) for c in keep]))
+        if len(keep) > 1
+        else F.array_distinct(F.col(keep[0]))
+    )
+    return out.select(F.col(id_col), grams.alias("_grams"))
+
+
+def decontaminate_chained(df, id_col, text_col, bench, bench_text_col, n=13, min_hits=1):
+    btoks = bench.select(lower_tokens(F.col(bench_text_col)).alias("_bt"))
+    shorts = [
+        r["_s"]
+        for r in btoks.filter(F.size("_bt") < n)
+        .select(F.concat_ws(" ", "_bt").alias("_s"))
+        .distinct()
+        .collect()
+        if r["_s"].strip()
+    ]
+    by_m: dict = {}
+    for s in shorts:
+        by_m.setdefault(len(s.split()), []).append(s)
+    widths = sorted(set(by_m) | {n})
+
+    blong = btoks.filter(F.size("_bt") >= n).select(
+        F.concat_ws(" ", "_bt").alias("_q")
+    )
+    bgrams = stage_chained(blong, "_q", "_q", [n]).select(
+        F.explode("_grams").alias("_gh")
+    )
+    sframes = [
+        stage_chained(
+            spark.createDataFrame([(x,) for x in items], "_q string"), "_q", "_q", [m]
+        ).select(F.explode("_grams").alias("_gh"))
+        for m, items in by_m.items()
+    ]
+    bset = reduce(lambda a, b: a.unionByName(b), sframes, bgrams).distinct()
+    dgrams = stage_chained(df, id_col, text_col, widths).select(
+        F.col(id_col), F.explode(F.shuffle(F.col("_grams"))).alias("_gh")
+    )
+    return (
+        dgrams.join(F.broadcast(bset), "_gh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+        .filter(F.col("n_contaminated_ngrams") >= int(min_hits))
+    )
+
+
+# warm both plans
+decontaminate(docs, "id", "text", bench_set, "q", n=13).write.format("noop").mode("overwrite").save()
+decontaminate_chained(docs, "id", "text", bench_set, "q", n=13).write.format("noop").mode("overwrite").save()
+
+for rep in range(2):
+    t0 = time.time()
+    decontaminate(docs, "id", "text", bench_set, "q", n=13).write.format("noop").mode("overwrite").save()
+    t1 = time.time()
+    decontaminate_chained(docs, "id", "text", bench_set, "q", n=13).write.format("noop").mode("overwrite").save()
+    t2 = time.time()
+    print(f"rep {rep}: current={t1-t0:.3f}  chained_staged={t2-t1:.3f}")
+
+a = decontaminate(docs, "id", "text", bench_set, "q", n=13)
+b = decontaminate_chained(docs, "id", "text", bench_set, "q", n=13)
+onlya = a.join(b, ["id", "n_contaminated_ngrams"], "left_anti").count()
+onlyb = b.join(a, ["id", "n_contaminated_ngrams"], "left_anti").count()
+print(f"rows current={a.count()} chained={b.count()} only_a={onlya} only_b={onlyb}")
+spark.stop()

@@ -1,0 +1,154 @@
+"""Experiment 3 (guide §4.2): keep tokenize+per-token xxhash64 in the JVM,
+ship array<long> through Arrow, and do ALL window hashing + membership +
+per-doc distinct counting in vectorized numpy inside mapInArrow.  Kills the
+63M-row explode, the broadcast semi-join probe, and the groupBy shuffle.
+
+Window digest = sum_j C_j * th[i+j] (uint64 wrap) with fixed odd constants;
+the bench side windows are computed driver-side with the SAME helper, so
+matching semantics stay token-sequence equality up to 64-bit collisions."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pyspark.sql.functions as F  # noqa: E402
+
+from validation_engine.session import get_spark  # noqa: E402
+from validation_engine.datagen import spark_codefiles  # noqa: E402
+from validation_engine.text import lower_tokens, decontaminate  # noqa: E402
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+spark = get_spark("decon-exp3", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8))
+spark.sparkContext.setLogLevel("ERROR")
+
+n_files = 600_000
+docs = (
+    spark_codefiles(spark, max(n_files // 3, 10_000), n_dup=1000)
+    .select(F.xxhash64("repo", "path", "commit").alias("id"),
+            F.col("content").alias("text"))
+    .persist()
+)
+docs.count()
+bench_set = docs.filter(F.col("id") % 97 == 0).select(F.col("text").alias("q"))
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x ^= x >> np.uint64(30); x = (x * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+    x ^= x >> np.uint64(27); x = (x * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+    return x ^ (x >> np.uint64(31))
+
+
+_C = _splitmix64(np.arange(1, 64, dtype=np.uint64)) | np.uint64(1)
+
+
+def _window_digests(flat: np.ndarray, ends: np.ndarray, m: int):
+    """All width-m window digests over concatenated token-hash array
+    ``flat`` with per-position doc-end offsets ``ends`` (exclusive)."""
+    n = len(flat)
+    if n < m:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    w = np.zeros(n - m + 1, np.uint64)
+    for j in range(m):
+        w += _C[j] * flat[j : n - m + 1 + j]
+    starts = np.arange(n - m + 1)
+    valid = starts + m <= ends[: n - m + 1]
+    return w[valid], starts[valid]
+
+
+def decontaminate_np(df, id_col, text_col, bench, bench_text_col, n=13, min_hits=1):
+    sc = df.sparkSession.sparkContext
+    btoks = bench.select(
+        F.transform(lower_tokens(F.col(bench_text_col)), lambda t: F.xxhash64(t)).alias("_bh"),
+        (F.trim(F.concat_ws(" ", lower_tokens(F.col(bench_text_col)))) != "").alias("_ok"),
+    )
+    rows = [r["_bh"] for r in btoks.collect() if r["_bh"] and r["_ok"]]
+    bench_hashes = []
+    widths = set()
+    for th in rows:
+        arr = np.asarray(th, dtype=np.int64).astype(np.uint64)
+        if len(arr) < n:
+            widths.add(len(arr))
+            w, _ = _window_digests(arr, np.full(len(arr), len(arr)), len(arr))
+        else:
+            w, _ = _window_digests(arr, np.full(len(arr), len(arr)), n)
+        bench_hashes.append(w)
+    widths = sorted(widths | {n})
+    bset = np.unique(np.concatenate(bench_hashes)) if bench_hashes else np.empty(0, np.uint64)
+    bset_b = sc.broadcast(bset)
+    mh = int(min_hits)
+
+    id_field = df.select(id_col).schema.fields[0]
+    out_type = (
+        df.select(F.col(id_col), F.lit(0).cast("long").alias("n_contaminated_ngrams"))
+        .schema
+    )
+
+    staged = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(lower_tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("_th"),
+    )
+
+    def flag(batches):
+        import pyarrow as pa
+
+        bs = bset_b.value
+        for batch in batches:
+            tb = pa.table(batch)
+            ids = tb.column("_id")
+            ths = tb.column("_th")
+            # flatten: values + offsets
+            chunk = ths.combine_chunks()
+            if hasattr(chunk, "chunks"):
+                chunk = chunk.chunk(0)
+            offsets = chunk.offsets.to_numpy(zero_copy_only=False)
+            flat = chunk.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+            n_docs = len(offsets) - 1
+            doc_idx = np.repeat(np.arange(n_docs), np.diff(offsets))
+            ends = np.repeat(offsets[1:], np.diff(offsets))
+            hits_doc = []
+            hits_val = []
+            for m in widths:
+                w, starts = _window_digests(flat, ends, m)
+                mask = np.isin(w, bs, assume_unique=False)
+                if mask.any():
+                    hits_doc.append(doc_idx[starts[mask]])
+                    hits_val.append(w[mask])
+            if hits_doc:
+                hd = np.concatenate(hits_doc)
+                hv = np.concatenate(hits_val)
+                pairs = np.unique(np.stack([hd.astype(np.uint64), hv]), axis=1)
+                docs_u, counts = np.unique(pairs[0], return_counts=True)
+                keep = counts >= mh
+                docs_u = docs_u[keep].astype(np.int64)
+                counts = counts[keep]
+                ids_np = ids.to_numpy(zero_copy_only=False)
+                yield pa.record_batch(
+                    [pa.array(ids_np[docs_u]), pa.array(counts.astype("int64"))],
+                    names=[id_field.name, "n_contaminated_ngrams"],
+                )
+
+    return staged.mapInArrow(flag, schema=out_type)
+
+
+# warm
+decontaminate(docs, "id", "text", bench_set, "q", n=13).write.format("noop").mode("overwrite").save()
+decontaminate_np(docs, "id", "text", bench_set, "q", n=13).write.format("noop").mode("overwrite").save()
+
+for rep in range(2):
+    t0 = time.time()
+    decontaminate(docs, "id", "text", bench_set, "q", n=13).write.format("noop").mode("overwrite").save()
+    t1 = time.time()
+    decontaminate_np(docs, "id", "text", bench_set, "q", n=13).write.format("noop").mode("overwrite").save()
+    t2 = time.time()
+    print(f"rep {rep}: current={t1-t0:.3f}  numpy={t2-t1:.3f}")
+
+a = decontaminate(docs, "id", "text", bench_set, "q", n=13)
+b = decontaminate_np(docs, "id", "text", bench_set, "q", n=13)
+onlya = a.join(b, ["id", "n_contaminated_ngrams"], "left_anti").count()
+onlyb = b.join(a, ["id", "n_contaminated_ngrams"], "left_anti").count()
+print(f"rows current={a.count()} numpy={b.count()} only_a={onlya} only_b={onlyb}")
+spark.stop()

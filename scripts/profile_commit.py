@@ -1,0 +1,75 @@
+"""Step-level timing of CheckpointManager.commit_stage for the bench suite
+stage (guide §1): report write vs violations derive vs metrics agg."""
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from validation_engine.session import get_spark  # noqa: E402
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+spark = get_spark("commit-profile", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8))
+spark.sparkContext.setLogLevel("ERROR")
+
+from validation_engine import (  # noqa: E402
+    ElementStage, Workflow, lang_matches_extension, non_empty, sha256_equals,
+)
+from validation_engine.datagen import spark_codefiles  # noqa: E402
+
+files = spark_codefiles(spark, 600_000, n_dup=0).persist()
+files.count()
+
+stage = ElementStage(
+    "checks",
+    checks=[non_empty("content"), lang_matches_extension(), sha256_equals()],
+)
+wf = Workflow([stage], n_buckets=64, strict_duplicates=False)
+
+# reproduce what run() hands commit_stage
+part = wf._partition_expr()
+frame, _ = wf._join_inputs(stage, files, {})
+frame = frame.withColumn("_vpart", part)
+out = stage.run(frame, keys=wf.keys)
+report = out.report
+
+for rep in range(2):
+    d = tempfile.mkdtemp(prefix="ve_prof_commit_")
+    t0 = time.time()
+    report.withColumn("chunk", F.lit(0).cast("int")).write.mode("overwrite") \
+        .option("partitionOverwriteMode", "dynamic").partitionBy("chunk") \
+        .parquet(os.path.join(d, "report"))
+    t1 = time.time()
+    rep_pend = spark.read.option("basePath", os.path.join(d, "report")).parquet(
+        os.path.join(d, "report", "chunk=0"))
+    viols = out.deriver(rep_pend.drop("chunk"))
+    viols.withColumn("chunk", F.lit(0).cast("int")).write.mode("overwrite") \
+        .option("partitionOverwriteMode", "dynamic").partitionBy("chunk") \
+        .parquet(os.path.join(d, "violations"))
+    t2 = time.time()
+    agg = rep_pend.groupBy("chunk", "_vpart").agg(
+        F.sum(F.when(F.col("_viol").isNotNull(), F.size("_viol")).otherwise(0)).cast("long").alias("nv"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("is_valid"), 1)).alias("n_valid"),
+    ).collect()
+    t3 = time.time()
+    print(f"rep {rep}: report write={t1-t0:.3f}  viols derive+write={t2-t1:.3f}  agg={t3-t2:.3f}")
+
+# how expensive is the report scan alone (checks incl sha256)?
+t0 = time.time()
+report.write.format("noop").mode("overwrite").save()
+print(f"report plan noop: {time.time()-t0:.3f}")
+
+# and the raw corpus scan?
+t0 = time.time()
+files.write.format("noop").mode("overwrite").save()
+print(f"files noop: {time.time()-t0:.3f}")
+
+n = report.schema
+print("report columns:", [f.name for f in n.fields])
+report.explain("formatted")
+spark.stop()

@@ -1,0 +1,96 @@
+"""Phase-level profile of the bench export_chain (guide §1): dedup →
+decontaminate → filter → shuffle → pack → partitioned write."""
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from validation_engine.session import get_spark  # noqa: E402
+from validation_engine.datagen import spark_codefiles  # noqa: E402
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+spark = get_spark("export-profile", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8))
+spark.sparkContext.setLogLevel("ERROR")
+
+from validation_engine.dedup import exact_dedup  # noqa: E402
+from validation_engine.text import (  # noqa: E402
+    decontaminate, pack_greedy, shuffle_shards, token_count,
+)
+
+n_files = 600_000
+docs = (
+    spark_codefiles(spark, max(n_files // 3, 10_000), n_dup=1000)
+    .select(F.xxhash64("repo", "path", "commit").alias("id"),
+            F.col("content").alias("text"))
+    .persist()
+)
+docs.count()
+
+import shutil  # noqa: E402
+
+
+def chain(lap=None):
+    t = [time.time()]
+
+    def mark(label):
+        if lap is not None:
+            now = time.time()
+            lap.append((label, round(now - t[0], 3)))
+            t[0] = now
+
+    out = tempfile.mkdtemp(prefix="ve_prof_export_")
+    bench_set = docs.filter(F.col("id") % 97 == 0).select(F.col("text").alias("q"))
+    deduped = exact_dedup(docs, "id", "text")
+    flagged = decontaminate(deduped, "id", "text", bench_set, "q", n=13)
+    clean = deduped.join(flagged.select("id"), "id", "left_anti")
+    kept = clean.withColumn("n_tok", token_count("text")).filter(F.col("n_tok") >= 5)
+    sharded = shuffle_shards(kept, "id", n_shards=CPUS, seed=11)
+    packed = pack_greedy(
+        sharded.withColumnRenamed("_shuffle_key", "skey"),
+        "skey", "n_tok", max_tokens=2048, partition_by=["shard"],
+    )
+    mark("plan build")
+    (packed.repartition(CPUS, "shard")
+           .sortWithinPartitions("shard", "skey", "id")
+           .write.mode("overwrite").partitionBy("shard").parquet(out))
+    mark("write")
+    n = spark.read.parquet(out).count()
+    mark("readback count")
+    shutil.rmtree(out, ignore_errors=True)
+    return n
+
+
+chain()  # warm
+for rep in range(2):
+    lap = []
+    t0 = time.time()
+    chain(lap)
+    print(f"rep {rep}: total={time.time()-t0:.3f}  " + "  ".join(f"{k}={v}" for k, v in lap))
+
+# sub-steps via noop
+bench_set = docs.filter(F.col("id") % 97 == 0).select(F.col("text").alias("q"))
+deduped = exact_dedup(docs, "id", "text")
+t0 = time.time(); deduped.write.format("noop").mode("overwrite").save()
+print(f"exact_dedup noop: {time.time()-t0:.3f}")
+flagged = decontaminate(deduped, "id", "text", bench_set, "q", n=13)
+t0 = time.time(); flagged.write.format("noop").mode("overwrite").save()
+print(f"decontaminate(deduped) noop: {time.time()-t0:.3f}")
+clean = deduped.join(flagged.select("id"), "id", "left_anti")
+kept = clean.withColumn("n_tok", token_count("text")).filter(F.col("n_tok") >= 5)
+t0 = time.time(); kept.write.format("noop").mode("overwrite").save()
+print(f"kept noop: {time.time()-t0:.3f}")
+sharded = shuffle_shards(kept, "id", n_shards=CPUS, seed=11)
+packed = pack_greedy(
+    sharded.withColumnRenamed("_shuffle_key", "skey"),
+    "skey", "n_tok", max_tokens=2048, partition_by=["shard"],
+)
+t0 = time.time(); packed.write.format("noop").mode("overwrite").save()
+print(f"packed noop: {time.time()-t0:.3f}")
+with open("/tmp/export_packed_plan.txt", "w") as f:
+    f.write(packed._jdf.queryExecution().explainString("formatted"))
+spark.stop()

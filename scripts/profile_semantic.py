@@ -1,0 +1,87 @@
+"""Phase-level profile of the bench's semantic_dedup_corpus row (guide §1):
+where do the ~5.6 s go — the first() probe, the ivf_build sample, k-means,
+or the assign+prune+anti-join?  Run: python scripts/profile_semantic.py"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pyspark.sql.functions as F  # noqa: E402
+
+from validation_engine.session import get_spark  # noqa: E402
+from validation_engine.datagen import spark_codefiles  # noqa: E402
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+spark = get_spark("sem-profile", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8))
+spark.sparkContext.setLogLevel("ERROR")
+
+n_files = 600_000
+docs = (
+    spark_codefiles(spark, max(n_files // 3, 10_000), n_dup=1000)
+    .select(F.xxhash64("repo", "path", "commit").alias("id"),
+            F.col("content").alias("text"))
+    .persist()
+)
+docs.count()
+
+sem_dim = 32
+sem_grp = F.pmod(F.col("id"), F.lit(24))
+emb = docs.select(
+    "id",
+    F.array(
+        *[
+            (
+                F.pmod(F.xxhash64(sem_grp, F.lit(i)), 2000) / 1000.0 - 1.0
+                + F.pmod(F.xxhash64("id", F.lit(i + 4096)), 200) / 1000.0
+            ).alias(f"e{i}")
+            for i in range(sem_dim)
+        ]
+    ).alias("embedding"),
+)
+
+from validation_engine.dedup import semantic_dedup  # noqa: E402
+from validation_engine.similarity import ivf_build, ivf_assign, _kmeans  # noqa: E402
+
+# warm codegen once
+semantic_dedup(emb, "id", "embedding", threshold=0.9, n_clusters=24, seed=1,
+               sample_cap=8_000).count()
+
+for rep in range(2):
+    print(f"--- rep {rep} ---")
+    t0 = time.time()
+    v = F.col("embedding")
+    non_finite = F.exists(
+        v, lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
+    vecs = emb.select("id", "embedding").filter(v.isNotNull() & ~non_finite)
+    vecs.first()
+    t1 = time.time(); print(f"first(): {t1-t0:.3f}")
+
+    # ivf_build internals
+    h = F.xxhash64(F.col("id"), F.lit(1))
+    rows = (
+        vecs.where(F.col("embedding").isNotNull())
+        .select(F.col("embedding"), h.alias("_ivf_h"), F.col("id"))
+        .orderBy("_ivf_h", "id")
+        .limit(8000)
+        .collect()
+    )
+    t2 = time.time(); print(f"sample top-k collect: {t2-t1:.3f}  rows={len(rows)}")
+    sample = np.asarray([r[0] for r in rows], dtype=float)
+    cents = _kmeans(sample, 24, seed=1)
+    t3 = time.time(); print(f"kmeans: {t3-t2:.3f}")
+
+    from validation_engine.dedup import semantic_duplicates
+    dropped = semantic_duplicates(
+        emb, "id", "embedding", threshold=0.9, n_clusters=24, seed=1,
+        sample_cap=8_000, centroids=cents,
+    ).select(F.col("id").alias("id2"))
+    n = emb.join(dropped.withColumnRenamed("id2", "id"), "id", "left_anti").count()
+    t4 = time.time(); print(f"assign+prune+anti-join count: {t4-t3:.3f}  n={n}")
+    print(f"total: {t4-t0:.3f}")
+
+spark.stop()

@@ -1,0 +1,101 @@
+"""Phase-level profile of bench_validate_suite (guide §1): where do the
+~8 s go — the report write, the violations derive, the metrics agg, or the
+post-suite checks (uniqueness/referential/profile/drift)?"""
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from validation_engine.session import get_spark  # noqa: E402
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+spark = get_spark("suite-profile", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8))
+spark.sparkContext.setLogLevel("ERROR")
+
+from validation_engine import (  # noqa: E402
+    CheckpointManager, ElementStage, Workflow,
+    lang_matches_extension, non_empty, sha256_equals,
+)
+from validation_engine.checks import referential_violations, uniqueness_violations  # noqa: E402
+from validation_engine.datagen import spark_codefiles  # noqa: E402
+from validation_engine.drift import chi_square_drift  # noqa: E402
+from validation_engine.stats import column_profile  # noqa: E402
+
+n_files = 600_000
+warm = spark_codefiles(spark, 10_000, n_dup=0).persist()
+warm.count()
+
+
+def run_suite(files, ckpt, n_chunks=1, timings=None):
+    t = time.time()
+
+    def lap(label):
+        nonlocal t
+        now = time.time()
+        if timings is not None:
+            timings.append((label, round(now - t, 3)))
+        t = now
+
+    stage = ElementStage(
+        "checks",
+        checks=[non_empty("content"), lang_matches_extension(), sha256_equals()],
+    )
+    wf = Workflow(
+        [stage], n_buckets=64,
+        checkpoint=CheckpointManager(ckpt, n_chunks=n_chunks),
+        strict_duplicates=False,
+    )
+    res = wf.run(spark, files)
+    lap("wf.run")
+    n_invalid = sum(s["n_total"] - s["n_valid"] for s in res.summaries)
+    dims = files.select("repo").distinct()
+    n_uniq = uniqueness_violations(files).count()
+    lap("uniqueness")
+    n_ref = referential_violations(files, dims, fk=["repo"]).count()
+    lap("referential")
+    profile = column_profile(files, ["repo", "lang", "content"]).count()
+    lap("profile")
+    drift = chi_square_drift(
+        files, F.length("content"), "lang", n_buckets=24, lo=0.0, hi=800.0
+    ).count()
+    lap("drift")
+    return n_invalid, n_uniq, n_ref, profile + drift
+
+
+run_suite(warm, tempfile.mkdtemp(prefix="ve_prof_warm_"))
+warm.unpersist()
+
+files = spark_codefiles(spark, n_files, n_dup=0).persist()
+files.count()
+
+for rep in range(2):
+    timings = []
+    t0 = time.time()
+    run_suite(files, tempfile.mkdtemp(prefix="ve_prof_ckpt_"), timings=timings)
+    total = time.time() - t0
+    print(f"rep {rep}: total={total:.3f}  " + "  ".join(f"{k}={v}" for k, v in timings))
+
+# now split wf.run itself: instrument commit_stage phases via monkeypatching
+from validation_engine import checkpoint as cp  # noqa: E402
+
+orig_commit = cp.CheckpointManager.commit_stage
+phase_log = []
+
+
+def timed_commit(self, spark_, stage, report, deriver, run_id):
+    t0 = time.time()
+    out = orig_commit(self, spark_, stage, report, deriver, run_id)
+    phase_log.append(round(time.time() - t0, 3))
+    return out
+
+
+cp.CheckpointManager.commit_stage = timed_commit
+timings = []
+run_suite(files, tempfile.mkdtemp(prefix="ve_prof_ckpt2_"), timings=timings)
+print("commit_stage total:", phase_log, " wf.run:", timings[0])
+spark.stop()

@@ -1811,7 +1811,8 @@ def test_ivf_query_path_partition_pruned(spark):
 def test_decontaminate_flags_benchmark_overlap(spark):
     """13-gram decontamination: a training doc embedding a benchmark
     passage is flagged with the right overlap count; clean docs are not;
-    the benchmark n-gram set broadcasts (plan assertion)."""
+    the corpus is ONE scan into ONE vectorized Arrow pass (round 9) — no
+    per-gram explode, no semi-join of corpus-sized gram rows."""
     from validation_engine.text import decontaminate
 
     passage = " ".join(f"w{i}" for i in range(20))          # 20 tokens
@@ -1829,15 +1830,15 @@ def test_decontaminate_flags_benchmark_overlap(spark):
     rows = {r["doc_id"]: r["n_contaminated_ngrams"] for r in out.collect()}
     # the 20-token passage yields 8 distinct 13-grams, all present in doc 1
     assert rows == {1: 8}
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
-    # the explode child is barriered (F.shuffle) so
-    # InferFiltersFromGenerate cannot duplicate the interpreted shingle
-    # tree into a filter — the corpus's shingles must be evaluated ONCE
-    # per row (measured 1.4× on the map stage; 2× the heaviest stage's
-    # work at corpus scale)
-    assert "shuffle(" in plan, plan
-    assert "size(shuffle(" not in plan, plan
+    # assert on a FRESH un-executed plan: after an action AQE's plan string
+    # duplicates operators (final + initial sections)
+    fresh = decontaminate(train, "doc_id", "text", bench, "q", n=13)
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    # one Arrow pass over (id, token-hash array); the only shuffle is the
+    # per-id aggregation of FLAGGED rows (round-9 guide §4.2 rewrite)
+    assert plan.count("MapInArrow") == 1, plan
+    assert "Generate" not in plan, plan               # no per-gram explode
+    assert "Join" not in plan, plan                   # membership is in-batch
 
 
 def test_pii_counts_and_redaction(spark):
@@ -1923,10 +1924,9 @@ def test_connected_components_star_self_pairs_and_parity(spark):
 
 def test_decontaminate_unified_shorts_plan(spark):
     """When the benchmark has sub-n rows, the operator must STILL be one
-    corpus pass into one broadcast semi-join: short items ride the m-gram
-    hash path (round 6) — no per-literal contains scan, no second corpus
-    pass, no full-outer recombination, and the InferFiltersFromGenerate
-    barrier stays on the (now width-multiplexed) explode child."""
+    corpus pass: short items ride the same width-multiplexed digest path
+    inside the single Arrow stage — no per-literal contains scan, no
+    second corpus pass, no full-outer recombination."""
     from validation_engine.text import decontaminate
 
     passage = " ".join(f"w{i}" for i in range(20))
@@ -1945,11 +1945,10 @@ def test_decontaminate_unified_shorts_plan(spark):
     # tree into query stages whose string duplicates operators
     fresh = decontaminate(train, "doc_id", "text", bench, "q", n=13)
     plan = fresh._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
-    assert plan.count("LeftSemi") == 1, plan          # ONE combined join
+    assert plan.count("MapInArrow") == 1, plan        # ONE corpus pass
     assert "FullOuter" not in plan, plan              # no recombination pass
     assert "contains(" not in plan, plan              # no literal scan
-    assert "shuffle(" in plan and "size(shuffle(" not in plan, plan
+    assert "Generate" not in plan, plan               # no per-gram explode
 
 
 def test_decontaminate_short_benchmark_rows(spark):

@@ -1241,6 +1241,45 @@ def bm25_topk(
 # ---------------------------------------------------------------------------
 
 
+def _decon_consts(width: int):
+    """Deterministic odd 64-bit mixing constants (splitmix64 of 1..width)
+    for the window digests below — fixed, so bench- and corpus-side digests
+    agree across sessions and executors."""
+    import numpy as np
+
+    x = np.arange(1, width + 1, dtype=np.uint64)
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x = (x * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+    x ^= x >> np.uint64(27)
+    x = (x * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+    x ^= x >> np.uint64(31)
+    return x | np.uint64(1)
+
+
+def _decon_window_digests(flat, ends, m: int):
+    """All width-``m`` token-window digests over ``flat`` (concatenated
+    per-token xxhash64 values of one or more documents) that do not cross a
+    document boundary (``ends[i]`` = exclusive end offset of the document
+    containing position ``i``).  Digest = sum_j C_j * h[i+j] mod 2**64 with
+    fixed odd constants — a fixed member of a universal family over the
+    already-mixed token hashes, so two windows collide with ~2^-64
+    probability exactly like the previous chained-xxhash64 form.  Returns
+    ``(digests, start_positions)``."""
+    import numpy as np
+
+    n = len(flat)
+    if n < m:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    consts = _decon_consts(m)
+    w = np.zeros(n - m + 1, np.uint64)
+    for j in range(m):
+        w += consts[j] * flat[j : n - m + 1 + j]
+    starts = np.arange(n - m + 1)
+    valid = starts + m <= ends[: n - m + 1]
+    return w[valid], starts[valid]
+
+
 def decontaminate(
     df: DataFrame,
     id_col: str,
@@ -1254,143 +1293,135 @@ def decontaminate(
     flag training documents sharing any token ``n``-gram (13 by default,
     the GPT-3/PaLM convention) with a held-out benchmark/test set.
 
-    Scale shape: the benchmark side is SMALL (evaluation sets are MBs) —
-    its distinct n-gram hashes collapse to one bounded frame that
-    BROADCASTS; the corpus side streams its n-gram hashes map-side into the
-    broadcast-hash semi-join, so the only shuffle is the final per-doc
-    count aggregation of matching rows (rare by construction).  Nothing
-    corpus-sized is ever shuffled and the corpus is scanned once.
+    Scale shape (round 9, guide §4.2): the benchmark side is SMALL
+    (evaluation sets are MBs) — its per-token xxhash64 arrays are collected
+    once and its window digests computed driver-side; the resulting sorted
+    digest array broadcasts.  The corpus side tokenizes and hashes tokens
+    in the JVM (one ``xxhash64`` per token), ships only ``(id, hash array)``
+    through ONE Arrow pass, and computes every window digest + membership +
+    per-document distinct counting vectorized in numpy (``mapInArrow``).
+    The only exchange is the final per-id aggregation of FLAGGED rows —
+    rare by construction — so nothing corpus-sized is ever shuffled, the
+    corpus is scanned once, and the previous interpreted-HOF window pass
+    (an ~9-widths-per-position multi-arg hash over an ``arrays_zip`` of 13
+    slices, then a corpus×9n-row explode into a broadcast semi-join) is
+    gone.  Measured 5-7x on the 200k-doc bench corpus (7.2 s -> 1.1 s
+    noop-sink, scripts/exp_decon3.py).
 
     Benchmark rows SHORTER than ``n`` tokens cannot be caught by n-gram
     equality (their whole text is the unit of overlap), so — following the
     convention's whole-item containment rule for short items — they are
-    matched by token-boundary containment.  Containment of an ``m``-token
-    item at token boundaries IS ``m``-gram equality, so short items ride
-    the SAME hash-equality path as full n-grams: the corpus pass zips
-    ``n`` shifted slices of the per-token hash array ONCE and emits, per
-    position, the window hash for every distinct short length plus the
-    main n-gram — one tokenize, one zip, one explode, one broadcast
-    semi-join, one aggregation, regardless of how many short lengths the
-    eval set has.  (The previous formulation — a per-literal interpreted
-    ``contains`` scan over the corpus — cost O(|shorts| · doc_len) per
-    document: measured ~10× the entire gram pass at a few hundred short
-    items.)  Each contained short item counts as one contaminated n-gram.
-    Short items also no longer appear as string literals in the plan —
-    they become broadcast rows — so plan size and janino compile time stay
-    CONSTANT in the eval-set size.
+    matched by token-boundary containment: an ``m``-token item matches a
+    document iff some width-``m`` token window equals it, which rides the
+    same digest-equality path (the corpus pass emits window digests for
+    every distinct short width plus the main ``n``).  Matching semantics
+    are token-sequence equality up to 64-bit digest collisions — unchanged
+    from the previous hash-join formulation; only the digest family moved
+    from chained xxhash64 to a fixed-constant weighted sum (cheap to
+    vectorize; both sides always switch together).
 
     Returns ``(id_col, n_contaminated_ngrams)`` for documents with at least
-    ``min_hits`` overlapping n-grams — feed to an anti-join to drop them.
+    ``min_hits`` overlapping distinct n-grams/items — feed to an anti-join
+    to drop them.  Duplicate ids contribute per-row counts that sum, as
+    before.
     """
-    from .dedup import token_shingle_hashes
-
-    # Shingles are derived as HASHES directly (token_shingle_hashes: one
-    # xxhash64 per token, one per k-window of token hashes) — never as
-    # concat strings.  Equality semantics are unchanged (this operator
-    # always joined on xxhash64 of the shingle); allocation count is not:
-    # interpreted HOFs are allocation-bound, and dropping the ~100-byte
-    # string per position measured 8× on the corpus stage at k=13.
-    #
-    # NB (both explodes below): InferFiltersFromGenerate would infer
-    # ``size(...) > 0`` and DUPLICATE the whole interpreted shingle tree
-    # into a filter under the Generate — every document's shingles computed
-    # twice (measured 1.4× on the corpus stage; at 10^12 files that is the
-    # heaviest stage's cost doubled).  Wrapping the array in the
-    # nondeterministic ``F.shuffle`` blocks the inference (filters cannot
-    # contain nondeterministic expressions) at the cost of one in-memory
-    # permutation per doc; n-gram ORDER is irrelevant here — only set
-    # membership is counted.
-    btoks = bench.select(lower_tokens(F.col(bench_text_col)).alias("_bt"))
-    bgrams = (
-        btoks.filter(F.size("_bt") >= n)
-        .select(
-            F.explode(
-                F.shuffle(token_shingle_hashes(F.concat_ws(" ", "_bt"), n))
-            ).alias("_gh")
-        )
-        .distinct()
-    )
-    # NB: split('') yields [''] (size 1), so an empty/whitespace bench row
-    # would otherwise reach the substring path as '' — and contains(x, '')
-    # is true for EVERY document, silently flagging the whole corpus
-    shorts = [
-        r["_s"]
-        for r in btoks.filter(F.size("_bt") < n)
-        .select(F.concat_ws(" ", "_bt").alias("_s"))
-        .distinct()
-        .collect()
-        if r["_s"].strip()
-    ]
-    if not shorts:
-        dgrams = df.select(
-            F.col(id_col),
-            F.explode(F.shuffle(token_shingle_hashes(text_col, n))).alias("_gh"),
-        )
-        return (
-            dgrams.join(F.broadcast(bgrams), "_gh", "left_semi")
-            .groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
-            .filter(F.col("n_contaminated_ngrams") >= int(min_hits))
-        )
-    # The benchmark has short rows: unified single-pass.  Containment of an
-    # m-token item at token boundaries == the document having an m-gram
-    # whose token sequence equals the item ('is a cat' can never flag
-    # 'th[is a cat]tle' — token grams cannot cross token boundaries).  The
-    # short items' hashes are m-window hashes of their own token hashes
-    # (token_shingle_hashes with k = their exact token count yields exactly
-    # one window), distinct per item, so they union into the SAME broadcast
-    # set as the bench n-grams: different window widths feed xxhash64
-    # different arity, so the hash spaces only meet at chance collisions —
-    # a distinct matched hash is a distinct contaminated n-gram/item, and
-    # one count aggregation covers both kinds.
-    from functools import reduce
+    import numpy as np
 
     spark = df.sparkSession
-    by_m: dict = {}
-    for s in shorts:
-        by_m.setdefault(len(s.split()), []).append(s)
-    sframes = [
-        spark.createDataFrame([(x,) for x in items], "_q string").select(
-            F.explode(token_shingle_hashes("_q", m)).alias("_gh")
-        )
-        for m, items in by_m.items()
-    ]
-    bset = reduce(lambda a, b: a.unionByName(b), sframes, bgrams).distinct()
-    # corpus pass: per-token hashes staged once, then ONE arrays_zip of n
-    # shifted slices (arrays_zip null-pads the shorter slices) gives every
-    # window start; per position, one gated window hash per needed length —
-    # a single interpreted traversal no matter how many short lengths exist
-    # (per-length window passes would pay the zip + lambda-dispatch
-    # overhead |lengths| times; interpreted HOFs are allocation-bound).
-    th = F.transform(lower_tokens(F.col(text_col)), lambda t: F.xxhash64(t))
-    staged = df.select(F.col(id_col), th.alias("_th"))
-    nn = F.size(F.col("_th"))
-    zipped = F.arrays_zip(
-        *[
-            F.slice(F.col("_th"), j + 1, F.greatest(nn - j, F.lit(0)))
-            for j in range(n)
-        ]
+    tokhash = lambda c: F.transform(  # noqa: E731
+        lower_tokens(c), lambda t: F.xxhash64(t)
     )
-    widths = sorted(by_m) + [n]
+    # NB: split('') yields [''] (size 1), so an empty/whitespace bench row
+    # would otherwise become a width-1 digest of the '' token — and flag
+    # every empty training document
+    brows = bench.select(
+        tokhash(F.col(bench_text_col)).alias("_bh"),
+        (F.trim(F.concat_ws(" ", lower_tokens(F.col(bench_text_col)))) != "").alias(
+            "_ok"
+        ),
+    ).collect()
+    widths = {int(n)}
+    digs = []
+    for r in brows:
+        if not r["_bh"] or not r["_ok"]:
+            continue
+        arr = np.asarray(r["_bh"], dtype=np.int64).astype(np.uint64)
+        m = len(arr) if len(arr) < n else int(n)
+        if len(arr) < n:
+            widths.add(len(arr))
+        w, _ = _decon_window_digests(arr, np.full(len(arr), len(arr)), m)
+        digs.append(w)
+    widths = sorted(widths)
+    bset = (
+        np.unique(np.concatenate(digs)) if digs else np.empty(0, np.uint64)
+    )
+    bset_b = spark.sparkContext.broadcast(bset)
 
-    def window_hash(s, m):
-        # valid window iff the last field exists (arrays_zip null-padding)
-        return F.when(
-            s[str(m - 1)].isNotNull(),
-            F.xxhash64(*[s[str(j)] for j in range(m)]),
-        )
+    id_field = df.select(id_col).schema.fields[0]
+    from pyspark.sql import types as T
 
-    per_pos = F.transform(
-        zipped, lambda s: F.array(*[window_hash(s, m) for m in widths])
+    out_schema = T.StructType(
+        [id_field, T.StructField("_hits", T.LongType(), False)]
     )
-    grams = F.array_distinct(F.array_compact(F.flatten(per_pos)))
-    dgrams = staged.select(
-        F.col(id_col), F.explode(F.shuffle(grams)).alias("_gh")
+    # coalesce(NULL text) -> empty token-hash array: clean Arrow offsets,
+    # zero windows, never flagged (same as the old explode-of-null path)
+    staged = df.select(
+        F.col(id_col),
+        F.coalesce(tokhash(F.col(text_col)), F.array().cast("array<long>")).alias(
+            "_th"
+        ),
     )
+
+    def _flag(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        bs = bset_b.value
+        for batch in batches:
+            th = batch.column(1)
+            off = np.asarray(th.offsets)
+            base = off[0]
+            off = (off - base).astype(np.int64)
+            flat = np.asarray(th.values)[base : base + off[-1]].astype(np.uint64)
+            lens = np.diff(off)
+            ends = np.repeat(off[1:], lens)
+            doc_idx = np.repeat(np.arange(len(lens)), lens)
+            hit_docs, hit_vals = [], []
+            for m in widths:
+                w, starts = _decon_window_digests(flat, ends, m)
+                if not len(w):
+                    continue
+                pos = np.searchsorted(bs, w)
+                pos[pos == len(bs)] = 0
+                mask = len(bs) > 0
+                mask = bs[pos] == w if mask else np.zeros(len(w), bool)
+                if mask.any():
+                    hit_docs.append(doc_idx[starts[mask]])
+                    hit_vals.append(w[mask])
+            if not hit_docs:
+                continue
+            hd = np.concatenate(hit_docs)
+            hv = np.concatenate(hit_vals)
+            # distinct (doc, digest) pairs -> per-row distinct matched count
+            order = np.lexsort((hv, hd))
+            hd, hv = hd[order], hv[order]
+            keep = np.ones(len(hd), bool)
+            keep[1:] = (hd[1:] != hd[:-1]) | (hv[1:] != hv[:-1])
+            docs_u, counts = np.unique(hd[keep], return_counts=True)
+            yield pa.record_batch(
+                [
+                    batch.column(0).take(pa.array(docs_u.astype("int64"))),
+                    pa.array(counts.astype("int64")),
+                ],
+                names=[id_field.name, "_hits"],
+            )
+
+    flagged = staged.mapInArrow(_flag, schema=out_schema)
+    # duplicate ids: per-row distinct counts SUM by id (the previous
+    # explode+groupBy counted exactly this); only flagged rows shuffle
     return (
-        dgrams.join(F.broadcast(bset), "_gh", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+        flagged.groupBy(id_col)
+        .agg(F.sum("_hits").alias("n_contaminated_ngrams"))
         .filter(F.col("n_contaminated_ngrams") >= int(min_hits))
     )
 
