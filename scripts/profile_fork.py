@@ -1,0 +1,73 @@
+"""Phase-level profile of the bench fork_pairs_corpus row (guide §1)."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from validation_engine.session import get_spark  # noqa: E402
+from validation_engine.datagen import spark_codefiles  # noqa: E402
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+spark = get_spark("fork-profile", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8))
+spark.sparkContext.setLogLevel("ERROR")
+
+from validation_engine.dedup import fork_pairs, set_minhash_pairs, _bucket_groups  # noqa: E402
+
+n_files = 600_000
+filesb = spark_codefiles(spark, max(n_files // 3, 10_000), n_dup=0).select(
+    "repo", "path", "content"
+)
+forked = (
+    filesb.filter(
+        F.col("repo").isin([f"repo_{i:04d}" for i in range(20)])
+        & (F.xxhash64("path") % 10 != 0)
+    ).withColumn("repo", F.concat(F.lit("fork_"), F.col("repo")))
+)
+fboth = filesb.unionByName(forked).persist()
+print("rows:", fboth.count())
+
+# warm
+fork_pairs(fboth, threshold=0.5, max_band_freq=50).count()
+
+for rep in range(2):
+    t0 = time.time()
+    n = fork_pairs(fboth, threshold=0.5, max_band_freq=50).count()
+    print(f"rep {rep}: full fork_pairs count={n}: {time.time()-t0:.3f}")
+
+# decompose: replicate set_minhash_pairs internals
+group_col = "repo"
+item = F.xxhash64(F.coalesce(F.col("path"), F.lit("")), F.coalesce(F.col("content"), F.lit("")))
+n_hashes, bands, rows_ = 32, 8, 4
+src = fboth.where(item.isNotNull())
+items = src.select(F.col(group_col).alias("_g"), item.alias("_h")).distinct()
+t0 = time.time(); items.write.format("noop").mode("overwrite").save()
+print(f"items distinct noop: {time.time()-t0:.3f}")
+sig_i = [F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"_m{i}") for i in range(n_hashes)]
+sigs = items.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"), *sig_i)
+t0 = time.time(); sigs.write.format("noop").mode("overwrite").save()
+print(f"sigs noop: {time.time()-t0:.3f}")
+sig_arr = F.array(*[F.col(f"_m{i}") for i in range(n_hashes)])
+band_key = lambda b: F.xxhash64(b, F.slice(sig_arr, b * rows_ + 1, rows_))  # noqa: E731
+banded = sigs.select("_g", F.explode(F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)).alias("bkey"))
+buckets = _bucket_groups(banded, "bkey", "_g", 50)
+cand = (
+    buckets.select(F.explode("_members").alias("ga"), F.col("_members"))
+    .select("ga", F.explode("_members").alias("gb"))
+    .filter(F.col("ga") < F.col("gb"))
+    .distinct()
+)
+t0 = time.time(); print("cand count:", cand.count(), f"{time.time()-t0:.3f}")
+cg = cand.select(F.col("ga").alias("_g")).union(cand.select(F.col("gb").alias("_g"))).distinct()
+sub = src.select(F.col(group_col).alias("_g"), item.alias("_h")).join(cg, "_g", "left_semi").distinct()
+t0 = time.time(); sub.write.format("noop").mode("overwrite").save()
+print(f"sub noop: {time.time()-t0:.3f}")
+ia = sub.select(F.col("_g").alias("ga"), "_h")
+ib = sub.select(F.col("_g").alias("gb"), "_h")
+inter = cand.join(ia, "ga").join(ib, ["gb", "_h"]).groupBy("ga", "gb").agg(F.count(F.lit(1)).alias("n_common"))
+t0 = time.time(); inter.write.format("noop").mode("overwrite").save()
+print(f"inter noop: {time.time()-t0:.3f}")
+spark.stop()

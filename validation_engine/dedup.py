@@ -1709,10 +1709,23 @@ def set_minhash_pairs(
     # — same input, different jaccard.  Dropping matches SQL set
     # semantics (COUNT(DISTINCT) / equi-joins ignore NULLs) and the
     # DuckDB oracle.
+    from pyspark import StorageLevel
+
     src = df.where(item.isNotNull())
+    # The de-duplicated (group, item-hash) frame is read by BOTH the
+    # signature path and the exact-intersection path.  Persist it (round
+    # 9, guide §2.4/§5): AQE replans defeat exchange reuse across
+    # branches, so without the cache every downstream reference re-ran
+    # the full source scan + corpus-wide distinct — the intersection arm
+    # alone re-read every content byte.  The cached form is ~16 bytes per
+    # distinct item (vs the corpus payload), spills to disk under
+    # pressure, and is dropped in the ``finally`` below; the result frame
+    # is localCheckpoint-ed eagerly first (the unigram_lm_score pattern),
+    # so callers get a frame with no hidden cache dependency.
     items = (
         src.select(F.col(group_col).alias("_g"), ihash.alias("_h"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if hash_family == "md5":
         sig_i = [
@@ -1740,66 +1753,72 @@ def set_minhash_pairs(
         band_key = lambda b: F.xxhash64(  # noqa: E731
             b, F.slice(sig_arr, b * rows + 1, rows)
         )
-    banded = sigs.select(
-        "_g",
-        F.explode(
-            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
-        ).alias("bkey"),
-    )
-    buckets = _bucket_groups(banded, "bkey", "_g", max_band_freq)
-    cand = (
-        buckets.select(F.explode("_members").alias("ga"), F.col("_members"))
-        .select("ga", F.explode("_members").alias("gb"))
-        .filter(F.col("ga") < F.col("gb"))
-        .distinct()
-    )
-    # intersection re-reads item hashes for CANDIDATE groups only, and
-    # the prune happens BEFORE the de-duplicating exchange: deriving
-    # `sub` from `items` would recompute the corpus-wide distinct a
-    # second time (AQE replans defeat exchange reuse across branches —
-    # plan-verified), so `sub` re-derives from the SOURCE with the
-    # candidate-group semi-join first (cg is tiny, AQE broadcasts it —
-    # the join is map-side) and only then de-duplicates.  Corpus-wide
-    # exchange count stays at ONE (the signature path's distinct); the
-    # second scan's shuffle volume is candidate-proportional.
-    cg = (
-        cand.select(F.col("ga").alias("_g"))
-        .union(cand.select(F.col("gb").alias("_g")))
-        .distinct()
-    )
-    sub = (
-        src.select(F.col(group_col).alias("_g"), ihash.alias("_h"))
-        .join(cg, "_g", "left_semi")
-        .distinct()
-    )
-    ia = sub.select(F.col("_g").alias("ga"), "_h")
-    ib = sub.select(F.col("_g").alias("gb"), "_h")
-    inter = (
-        cand.join(ia, "ga")
-        .join(ib, ["gb", "_h"])
-        .groupBy("ga", "gb")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sizes = sigs.select("_g", "_n")
-    out = (
-        cand.join(inter, ["ga", "gb"], "left")
-        .na.fill({"n_common": 0})
-        .join(sizes.withColumnsRenamed({"_g": "ga", "_n": "n_a"}), "ga")
-        .join(sizes.withColumnsRenamed({"_g": "gb", "_n": "n_b"}), "gb")
-        .withColumn(
-            "_jx",
-            F.col("n_common")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+    # one signature row per group — tiny (n_groups × n_hashes longs) but
+    # referenced by both the banding path and the size join; cached so the
+    # min-aggregation over ``items`` runs once
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        banded = sigs.select(
+            "_g",
+            F.explode(
+                F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
+            ).alias("bkey"),
         )
-    )
-    # threshold the UNROUNDED ratio (rounding first re-admitted pairs up
-    # to 5e-7 below it — round-7 ADVICE); round only the reported column
-    return out.filter(F.col("_jx") >= float(threshold)).select(
-        F.col("ga").alias("group_a"),
-        F.col("gb").alias("group_b"),
-        "n_a", "n_b", "n_common",
-        F.round(F.col("_jx"), 6).alias("jaccard"),
-    )
+        buckets = _bucket_groups(banded, "bkey", "_g", max_band_freq)
+        cand = (
+            buckets.select(F.explode("_members").alias("ga"), F.col("_members"))
+            .select("ga", F.explode("_members").alias("gb"))
+            .filter(F.col("ga") < F.col("gb"))
+            .distinct()
+        )
+        # the exact intersection reads item hashes for CANDIDATE groups
+        # only, straight from the CACHED ``items`` frame (cg is tiny, AQE
+        # broadcasts it — the join is map-side).  Before round 9 this arm
+        # re-derived from the SOURCE with a second corpus-wide distinct
+        # because AQE replans defeat exchange reuse across branches; the
+        # cache removes both the second content scan and the second
+        # exchange (bench: `sub` noop 2.0 s → cache probe).
+        cg = (
+            cand.select(F.col("ga").alias("_g"))
+            .union(cand.select(F.col("gb").alias("_g")))
+            .distinct()
+        )
+        sub = items.join(cg, "_g", "left_semi")
+        ia = sub.select(F.col("_g").alias("ga"), "_h")
+        ib = sub.select(F.col("_g").alias("gb"), "_h")
+        inter = (
+            cand.join(ia, "ga")
+            .join(ib, ["gb", "_h"])
+            .groupBy("ga", "gb")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        sizes = sigs.select("_g", "_n")
+        out = (
+            cand.join(inter, ["ga", "gb"], "left")
+            .na.fill({"n_common": 0})
+            .join(sizes.withColumnsRenamed({"_g": "ga", "_n": "n_a"}), "ga")
+            .join(sizes.withColumnsRenamed({"_g": "gb", "_n": "n_b"}), "gb")
+            .withColumn(
+                "_jx",
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+            )
+        )
+        # threshold the UNROUNDED ratio (rounding first re-admitted pairs
+        # up to 5e-7 below it — round-7 ADVICE); round only the reported
+        # column.  localCheckpoint (eager) materializes the pair report —
+        # output-sized, tiny next to the corpus — so the caches can drop
+        # before return (no hidden cache dependency for callers).
+        result = out.filter(F.col("_jx") >= float(threshold)).select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            "n_a", "n_b", "n_common",
+            F.round(F.col("_jx"), 6).alias("jaccard"),
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        sigs.unpersist()
+        items.unpersist()
 
 
 def fork_pairs(
