@@ -1564,13 +1564,18 @@ def semantic_duplicates(
     vecs = df.select(id_col, vec_col).filter(v.isNotNull() & ~non_finite)
     if centroids is None:
         # empty judgeable set (empty corpus / all embeddings null): there
-        # is nothing to drop, and k-means on an empty sample would crash
-        if vecs.first() is None:
+        # is nothing to drop.  ivf_build's own empty-sample ValueError is
+        # the emptiness probe — a separate first() pre-check was one more
+        # full evaluation of the embedding plan (round 9).
+        try:
+            centroids = ivf_build(
+                vecs, vec_col=vec_col, n_centroids=n_clusters,
+                sample_cap=sample_cap, seed=seed, order_col=id_col,
+            )
+        except ValueError as e:
+            if "training sample is empty" not in str(e):
+                raise
             return df.sparkSession.createDataFrame([], out_schema)
-        centroids = ivf_build(
-            vecs, vec_col=vec_col, n_centroids=n_clusters,
-            sample_cap=sample_cap, seed=seed, order_col=id_col,
-        )
     assigned = ivf_assign(vecs, centroids, vec_col=vec_col)
     tau = float(threshold)
     blk_sz = int(block_size)

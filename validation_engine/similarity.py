@@ -206,12 +206,44 @@ def ivf_build(
     src = df.where(F.col(vec_col).isNotNull())  # NULLs train nothing
     if order_col is not None:
         h = F.xxhash64(F.col(order_col), F.lit(int(seed)))
-        rows = (
-            src.select(F.col(vec_col), h.alias("_ivf_h"), F.col(order_col))
-            .orderBy("_ivf_h", order_col)
-            .limit(int(sample_cap))
-            .collect()
-        )
+        # The sample is the ``sample_cap`` rows with the smallest (h, key)
+        # — selected with a MAP-SIDE HASH-THRESHOLD PREFILTER (round 9):
+        # h is uniform over [-2^63, 2^63), so a threshold t sized from the
+        # row count keeps ~4x sample_cap candidate rows, and the exact
+        # top-cap over those candidates EQUALS the global top-cap whenever
+        # >= cap rows pass ({h < t} is downward-closed in h).  That
+        # replaces a corpus-wide TakeOrdered — every task keeping a
+        # cap-sized heap of (vector, hash, key) rows and the driver
+        # merging n_partitions x cap vectors — with a cheap integer
+        # predicate plus a top-k over ~4x cap rows.  If a pathological
+        # null/non-finite fraction leaves the filter short, the threshold
+        # escalates (x16, then unbounded) — the sample, hence the trained
+        # centroids, is bit-identical in every case.
+        cap = int(sample_cap)
+        n = src.count()
+        sel = src.select(F.col(vec_col), h.alias("_ivf_h"), F.col(order_col))
+        if n <= cap:
+            rows = sel.orderBy("_ivf_h", order_col).collect()
+        else:
+            lo = -(2 ** 63)
+            span = 2 ** 64
+            frac = min(1.0, 4.0 * cap / n)
+            while True:
+                if frac >= 1.0:
+                    rows = (
+                        sel.orderBy("_ivf_h", order_col).limit(cap).collect()
+                    )
+                    break
+                t = lo + int(span * frac)
+                rows = (
+                    sel.where(F.col("_ivf_h") < F.lit(t))
+                    .orderBy("_ivf_h", order_col)
+                    .limit(cap)
+                    .collect()
+                )
+                if len(rows) >= cap:
+                    break
+                frac *= 16.0
     else:
         n = src.count()
         frac = min(1.0, sample_cap / max(n, 1))
