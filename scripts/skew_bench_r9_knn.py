@@ -1,0 +1,119 @@
+"""Round-9 planted skew bench for the BRUTE knn_join path (VERDICT task 1).
+
+Adversary: a FEW queries against a LARGE corpus — the eval-set regime the
+brute path exists for.  Before round 9 the per-query reduction was
+``row_number() over (partition by query_id)``: every query's window
+partition streamed the ENTIRE corpus through one task (n_queries
+single-task corpus-length sorts — max/median task skew grows with
+corpus/partition) and scored every pair with interpreted per-pair array
+folds.  (Spark 4's InferWindowGroupLimit already bounds the window's
+exchange with a partial per-task rank limit — but the full pair
+materialization and a LOCAL sort of every task's pairs remain.)  The
+round-9 brute path scores AND partial-top-ks inside one numpy mapInArrow
+pass (argpartition, no pair rows, no local sort, nothing corpus-sized
+exchanged); the final rank runs over <= k x n_batches survivors.  A/Bs both formulations in the same process window and reports
+the worst substantial stage's max/median task-duration ratio via the
+Spark UI REST API (round-7 harness).
+
+Usage: [KNN_ROWS=1000000] [KNN_QUERIES=8] python scripts/skew_bench_r9_knn.py
+Writes BENCH/skew_r9.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+sys.path.insert(0, HERE)
+
+import pyspark.sql.functions as F  # noqa: E402
+from pyspark.sql import Window  # noqa: E402
+
+import skew_bench as sb  # noqa: E402
+from validation_engine.session import get_spark  # noqa: E402
+
+ROWS = int(os.environ.get("KNN_ROWS", "1000000"))
+NQ = int(os.environ.get("KNN_QUERIES", "8"))
+DIM = 16
+
+
+def corpus(spark):
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        lambda i: (F.pmod(F.xxhash64(F.col("id"), i), 2000) - 1000)
+        .cast("double") / 1000.0,
+    )
+    return (
+        spark.range(ROWS)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+        .persist()
+    )
+
+
+def window_knn(corpus_df, queries):
+    """The pre-round-9 formulation, inlined for the A/B: broadcast the
+    queries, score every pair, rank with a per-query window."""
+    from validation_engine.similarity import dot_expr, norm_expr
+
+    c = corpus_df.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_v")
+    ).withColumn("_n", norm_expr(F.col("_v")))
+    q = queries.select(
+        F.col("qid").alias("query_id"), F.col("qvec").alias("_qv")
+    ).withColumn("_qn", norm_expr(F.col("_qv")))
+    scored = c.join(F.broadcast(q), F.lit(True)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot_expr(F.col("_v"), F.col("_qv")) / (F.col("_n") * F.col("_qn")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 10
+    )
+
+
+def main():
+    spark = get_spark(
+        "skew-knn-r9",
+        extra_conf={"spark.ui.enabled": "true",
+                    "spark.ui.port": str(sb.UI_PORT)},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from validation_engine.similarity import knn_join
+
+    docs = corpus(spark)
+    docs.count()
+    queries = (
+        docs.limit(NQ)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        .persist()
+    )
+    queries.count()
+    results = {"rows": ROWS, "queries": NQ, "attempts": sb.ATTEMPTS}
+    sb.measure(
+        spark, "knn_brute_window_old",
+        lambda: window_knn(docs, queries),
+        results,
+    )
+    sb.measure(
+        spark, "knn_brute_arrow_new",
+        lambda: knn_join(docs, queries, k=10, query_id_col="qid",
+                         query_vec_col="qvec"),
+        results,
+    )
+    out = os.path.join(os.path.dirname(HERE), "BENCH", "skew_r9.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -3608,6 +3608,43 @@ def test_knn_join_brute_matches_numpy_per_query(spark, emb):
         assert mine[0]["cosine"] == 1.0
 
 
+def test_knn_join_no_corpus_window(spark, emb):
+    """Neither path may rank through a window whose per-query partition
+    streams the whole corpus/cell through one task (round-9 VERDICT task
+    1).  Brute: scoring AND the partial top-k live in ONE mapInArrow pass
+    (nothing corpus-sized is exchanged), with the final rank window over
+    the bounded survivors.  IVF: a partial rank window keyed by
+    (query_id, spark_partition_id()) bounds every task by its own input
+    partition before the final per-query rank."""
+    from validation_engine.similarity import ivf_build, knn_join
+
+    corpus = spark.createDataFrame(emb.limit(50).collect())
+    queries = spark.createDataFrame(
+        [("q0", [1.0] * 8)], "qid string, qvec array<double>"
+    )
+    brute = knn_join(
+        corpus, queries, k=3, id_col="vec_id", vec_col="embedding",
+        query_id_col="qid", query_vec_col="qvec",
+    )
+    plan = brute._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInArrow") == 1, plan
+    # the only rank Window is the final bounded one ABOVE the Arrow
+    # partial (WindowGroupLimit nodes also contain the substring)
+    assert plan.count("Window [") == 1, plan
+    assert plan.index("Window [") < plan.index("MapInArrow"), plan
+    assert "Join" not in plan, plan          # queries ride the closure
+
+    cents = ivf_build(corpus, n_centroids=4, sample_cap=50,
+                      order_col="vec_id")
+    ivf = knn_join(
+        corpus, queries, k=3, id_col="vec_id", vec_col="embedding",
+        query_id_col="qid", query_vec_col="qvec", centroids=cents,
+    )
+    iplan = ivf._jdf.queryExecution().executedPlan().toString()
+    assert iplan.count("Window [") == 2, iplan   # partial + final
+    assert "SPARK_PARTITION_ID" in iplan.upper(), iplan
+
+
 def test_knn_join_ivf_recall_and_pair_uniqueness(spark, emb):
     """knn_join (IVF): candidate pairs come from probed cells only — each
     (query, neighbor) pair appears at most once (one home cell per corpus

@@ -411,11 +411,19 @@ def knn_join(
     retrieval-eval harnesses, and cross-corpus semantic linking all need
     per-row top-k, not per-call.
 
-    ``centroids=None`` (brute, exact): the QUERY side broadcasts and the
-    scored pairs reduce per query via a rank window — right when the
-    query set is broadcast-sized (eval sets: 10³–10⁵ rows).  Corpus rows
-    stream map-side through the broadcast join; the only exchange
-    carries ``(query_id, neighbor_id, cosine)`` triples for the rank.
+    ``centroids=None`` (brute, exact): the query set — broadcast-sized by
+    contract (eval sets: 10³–10⁵ rows) — is collected once and rides a
+    broadcast variable into ONE ``mapInArrow`` pass over the corpus: each
+    Arrow batch scores against the whole query matrix with a single numpy
+    matmul and emits only its per-query top-k (round 9, guide §4.2).
+    NOTHING corpus-sized is ever shuffled or exchanged — the previous
+    formulation scored pairs with interpreted per-pair array folds and
+    ranked them with ``row_number() over (partition by query_id)``,
+    streaming the ENTIRE corpus through one task per query (at 10⁹ corpus
+    rows × 10³ queries: 10¹² exchanged triples and 10³ single-task
+    corpus-length sorts, the straggler class the round-7 window audit
+    eliminated everywhere else).  The final per-query rank runs over
+    ≤ k × n_batches survivors.
 
     ``centroids`` given (IVF, approximate): corpus rows get their home
     cell (:func:`ivf_assign`), queries explode to their ``n_probe``
@@ -424,48 +432,181 @@ def knn_join(
     sides are large.  Recall follows the probed-cell coverage, exactly
     like :func:`ivf_topk`; AQE's skew-join splitting handles a hot cell
     (a join, not a window, carries the fan-out).  Each (query, corpus)
-    pair scores at most once (one home cell per corpus row).
+    pair scores at most once (one home cell per corpus row).  The
+    per-query reduction is TWO-LEVEL (round 9): a partial rank window
+    over ``(query_id, spark_partition_id())`` — every task bounded by
+    its own input partition — then the final rank over ≤ k × n_partitions
+    survivors, so a query whose probed cells are huge no longer sorts
+    them in one task.
 
-    Ties rank deterministically (cosine desc, neighbor id asc); rows
-    with NULL embeddings on either side never pair.  Fewer than ``k``
-    candidates (tiny cells, small corpus) yield fewer rows — callers
-    that need exactly k raise ``n_probe``."""
+    Ties rank deterministically (cosine desc — NULLS LAST, NaN first,
+    Spark's DESC ordering — then neighbor id asc); rows with NULL
+    embeddings on either side never pair.  Fewer than ``k`` candidates
+    (tiny cells, small corpus) yield fewer rows — callers that need
+    exactly k raise ``n_probe``.  Brute-path cosines are computed by
+    numpy matmul (blocked summation) rather than the previous sequential
+    JVM fold; after the shared 6-decimal round the scores agree except on
+    sub-ulp summation-order ties."""
     from pyspark.sql import Window
 
     query_id_col = query_id_col or id_col
     query_vec_col = query_vec_col or vec_col
-    # norms are hoisted to PER-ROW columns below the join: computed per
-    # PAIR they cost a dim-length fold twice per scored candidate — at
-    # n_corpus × n_query pair counts that is most of the arithmetic
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_kc_v")
-    ).where(F.col("_kc_v").isNotNull()).withColumn(
-        "_kc_n", norm_expr(F.col("_kc_v"))
-    )
+    kk = int(k)
+    rank_order = [F.col("cosine").desc(), F.col("neighbor_id").asc()]
+
+    if centroids is None:
+        from pyspark.sql import types as T
+
+        qsel = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("_kq_v"),
+        ).where(F.col("_kq_v").isNotNull())
+        spark = corpus.sparkSession
+        qid_field = qsel.select("query_id").schema.fields[0]
+        nid_field = (
+            corpus.select(F.col(id_col).alias("neighbor_id")).schema.fields[0]
+        )
+        out_schema = T.StructType(
+            [qid_field, nid_field, T.StructField("cosine", T.DoubleType())]
+        )
+        q_rows = qsel.collect()
+        if not q_rows:
+            return (
+                spark.createDataFrame([], out_schema)
+                .withColumn("rank", F.lit(1))
+                .limit(0)
+            )
+        qids = [r["query_id"] for r in q_rows]
+        qmat = np.asarray([r["_kq_v"] for r in q_rows], dtype=float)
+        qnorm = np.linalg.norm(qmat, axis=1)
+        bq = spark.sparkContext.broadcast((qids, qmat, qnorm))
+
+        def _score_topk(batches):
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            qids_l, qm, qn = bq.value
+            d = qm.shape[1]
+            nq = len(qids_l)
+            qarr = pa.array(qids_l)
+            for batch in batches:
+                if batch.num_rows == 0:
+                    continue
+                # re-order the batch by neighbor id ONCE so that row
+                # position is id-rank: the k-boundary tie-break (cosine
+                # ties resolve by neighbor id ASC) becomes pure integer
+                # work for any id type
+                ids0 = batch.column(0)
+                perm = pc.sort_indices(ids0)
+                ids = ids0.take(perm)
+                vl = batch.column(1).take(perm)
+                off = np.asarray(vl.offsets)
+                base = off[0]
+                off = (off - base).astype(np.int64)
+                lens = np.diff(off)
+                ok = lens == d
+                rows_ok = np.flatnonzero(ok)
+                flat = np.asarray(vl.values, dtype=float)[
+                    base : base + (off[-1] if len(off) else 0)
+                ]
+                out_idx, out_q, out_cos, out_null = [], [], [], []
+                if len(rows_ok):
+                    mat = flat[
+                        np.repeat(off[:-1][ok], d)
+                        + np.tile(np.arange(d), len(rows_ok))
+                    ].reshape(len(rows_ok), d)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cn = np.linalg.norm(mat, axis=1)
+                        cos = np.round((mat @ qm.T) / np.outer(cn, qn), 6)
+                    kq = min(kk, len(rows_ok))
+                    # sort key: cosine DESC with NaN FIRST (Spark's DESC
+                    # treats NaN as greatest) -> ascending -cos with NaN
+                    # mapped to -inf
+                    key = np.where(np.isnan(cos), -np.inf, -cos)
+                    for qi in range(nq):
+                        kcol = key[:, qi]
+                        if kq < len(kcol):
+                            p = np.argpartition(kcol, kq - 1)[:kq]
+                            b = kcol[p].max()
+                            less = np.flatnonzero(kcol < b)
+                            need = kq - len(less)
+                            tpos = np.flatnonzero(kcol == b)
+                            if len(tpos) > need:
+                                # ties at the boundary: the smallest
+                                # POSITIONS are the smallest neighbor ids
+                                tpos = np.partition(tpos, need - 1)[:need]
+                            sel = np.concatenate([less, tpos])
+                        else:
+                            sel = np.arange(len(kcol))
+                        order = np.lexsort((sel, kcol[sel]))
+                        sel = sel[order]
+                        out_idx.append(rows_ok[sel])
+                        out_q.append(np.full(len(sel), qi))
+                        out_cos.append(cos[sel, qi])
+                        out_null.append(np.zeros(len(sel), bool))
+                bad = np.flatnonzero(~ok)
+                if len(bad):
+                    # dimension-mismatched rows keep the old zip-fold
+                    # semantics: NULL cosine, ranked after every number by
+                    # the final window; emit them all (pathological edge)
+                    for qi in range(nq):
+                        out_idx.append(bad)
+                        out_q.append(np.full(len(bad), qi))
+                        out_cos.append(np.full(len(bad), 0.0))
+                        out_null.append(np.ones(len(bad), bool))
+                if not out_idx:
+                    continue
+                sel = np.concatenate(out_idx)
+                qidx = np.concatenate(out_q)
+                cosv = np.concatenate(out_cos)
+                isnull = np.concatenate(out_null)
+                yield pa.record_batch(
+                    [
+                        qarr.take(pa.array(qidx.astype("int64"))),
+                        ids.take(pa.array(sel.astype("int64"))),
+                        pa.array(cosv, type=pa.float64(), mask=isnull),
+                    ],
+                    names=[qid_field.name, "neighbor_id", "cosine"],
+                )
+
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_kc_v")
+        ).where(F.col("_kc_v").isNotNull())
+        partial = c.mapInArrow(_score_topk, schema=out_schema)
+        # final exact rank over <= k x n_batches survivors per query; the
+        # ordering contract is the old window's: cosine DESC (NaN first,
+        # NULLs last), neighbor id ASC
+        w = Window.partitionBy("query_id").orderBy(*rank_order)
+        return (
+            partial.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= kk)
+        )
+
+    # ---- IVF path: candidate pairs from probed cells ----
     qsel = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("_kq_v"),
     ).where(F.col("_kq_v").isNotNull()).withColumn(
         "_kq_n", norm_expr(F.col("_kq_v"))
     )
-    if centroids is None:
-        pairs = c.join(F.broadcast(qsel), F.lit(True))
-    else:
-        ca = ivf_assign(
-            corpus, centroids, vec_col=vec_col
-        ).select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("_kc_v"),
-            "_cell",
-        ).where(F.col("_cell").isNotNull()).withColumn(
-            "_kc_n", norm_expr(F.col("_kc_v"))
-        )
-        qp = (
-            ivf_probe_cells(qsel, centroids, "_kq_v", n_probe)
-            .select("query_id", "_kq_v", "_kq_n",
-                    F.explode("_cells").alias("_cell"))
-        )
-        pairs = ca.join(qp, "_cell").drop("_cell")
+    # norms are hoisted to PER-ROW columns below the join: computed per
+    # PAIR they cost a dim-length fold twice per scored candidate
+    ca = ivf_assign(
+        corpus, centroids, vec_col=vec_col
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_kc_v"),
+        "_cell",
+    ).where(F.col("_cell").isNotNull()).withColumn(
+        "_kc_n", norm_expr(F.col("_kc_v"))
+    )
+    qp = (
+        ivf_probe_cells(qsel, centroids, "_kq_v", n_probe)
+        .select("query_id", "_kq_v", "_kq_n",
+                F.explode("_cells").alias("_cell"))
+    )
+    pairs = ca.join(qp, "_cell").drop("_cell")
     scored = pairs.select(
         "query_id",
         "neighbor_id",
@@ -475,10 +616,15 @@ def knn_join(
             6,
         ).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    w1 = Window.partitionBy("query_id", "_p").orderBy(*rank_order)
+    partial = (
+        scored.withColumn("_p", F.spark_partition_id())
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= kk)
+        .drop("_p", "_r1")
     )
+    w2 = Window.partitionBy("query_id").orderBy(*rank_order)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= int(k))
+        partial.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= kk)
     )
