@@ -3570,6 +3570,80 @@ def test_temperature_weights_rebalances_mixture(spark):
     assert wz["empty"] == 0.0
 
 
+def test_xxh64_numpy_matches_spark(spark):
+    """The vectorized XXH64 replicas must be bit-exact vs the JVM
+    expressions for every composition the Arrow operators use: long,
+    chained longs, int-literal-seeded chains, and int+array<long>."""
+    import numpy as np
+
+    from validation_engine import _xxh64 as X
+
+    vals = [0, 1, -1, 42, 2**62, -(2**62), 123456789123456789, -98765]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    va = np.array(vals, dtype=np.int64).astype(np.uint64)
+
+    got = [r[0] for r in df.select(F.xxhash64("v")).collect()]
+    assert got == X.to_signed(X.hash_long(va, X.SEED)).tolist()
+
+    got = [r[0] for r in df.select(F.xxhash64("v", "v")).collect()]
+    assert got == X.to_signed(
+        X.hash_long(va, X.hash_long(va, X.SEED))
+    ).tolist()
+
+    for i in (0, 5, 15):
+        got = [r[0] for r in df.select(F.xxhash64(F.lit(i), "v")).collect()]
+        assert got == X.to_signed(X.hash_long(va, X.hash_int(i, X.SEED))).tolist()
+
+    df2 = spark.createDataFrame(
+        [(v, [v, v + 1]) for v in vals], "v long, a array<bigint>"
+    )
+    got = [r[0] for r in df2.select(F.xxhash64(F.lit(3), "a")).collect()]
+    h = X.hash_long(va, X.hash_int(3, X.SEED))
+    h = X.hash_long(va + np.uint64(1), h)
+    assert got == X.to_signed(h).tolist()
+
+
+def test_band_keys_arrow_matches_expression(spark, corpus):
+    """The round-9 Arrow fast path of _band_keys must emit the SAME
+    (id, band-key) rows as the previous pure-expression formulation
+    (token_shingle_hashes -> minhash fold -> xxhash64 band key), short
+    documents and empty texts included."""
+    from validation_engine.dedup import (
+        _band_keys, minhash_signature_from_hashes, token_shingle_hashes,
+    )
+
+    docs = corpus["files"].limit(400).select(
+        F.xxhash64("repo", "path", "commit").alias("id"),
+        F.col("content").alias("text"),
+    )
+    extra = spark.createDataFrame(
+        [(1, "one two"), (2, ""), (3, "a b c d e"), (4, "x"), (5, "x")],
+        "id long, text string",
+    )
+    docs = docs.unionByName(extra)
+    k, n_hashes, bands, rows = 3, 16, 4, 4
+
+    got = _band_keys(docs, "id", "text", k, n_hashes, bands).collect()
+
+    sig = minhash_signature_from_hashes(F.col("_sh"), n_hashes)
+    with_sig = docs.select(
+        F.col("id").alias("_id"),
+        token_shingle_hashes("text", k).alias("_sh"),
+    ).select("_id", sig.alias("_sig"))
+    exp = with_sig.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(b, F.slice("_sig", b * rows + 1, rows)),
+            )
+        ).alias("bkey"),
+    ).collect()
+    assert sorted((r["_id"], r["bkey"]) for r in got) == sorted(
+        (r["_id"], r["bkey"]) for r in exp
+    )
+
+
 def test_knn_join_brute_matches_numpy_per_query(spark, emb):
     """knn_join (brute): every query row's neighbor list equals the exact
     numpy ranking (cosine desc, id-asc ties), ranks are 1..k, and NULL

@@ -1,0 +1,75 @@
+"""Vectorized bit-exact replicas of Spark's ``xxhash64`` primitives.
+
+Spark evaluates ``xxhash64(c1, c2, ...)`` as a left fold: the running
+64-bit hash (seed 42) is re-seeded through ``XXH64.hashInt`` /
+``XXH64.hashLong`` per child, and an ``array<long>`` child folds its
+elements the same way.  These numpy replicas let Arrow-side operators
+(MinHash banding, window hashing) compute the SAME hash values the JVM
+expressions produce — outputs stay byte-identical when a pipeline moves a
+stage across the Python boundary (pinned by
+``tests/test_ops.py::test_xxh64_numpy_matches_spark``).
+
+All functions take/return ``np.uint64`` arrays (or scalars) and rely on
+numpy's wrapping unsigned arithmetic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_P1 = np.uint64(0x9E3779B185EBCA87)
+_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_P3 = np.uint64(0x165667B19E3779F9)
+_P4 = np.uint64(0x85EBCA77C2B2AE63)
+_P5 = np.uint64(0x27D4EB2F165667C5)
+SEED = np.uint64(42)
+
+_64 = np.uint64(64)
+
+
+def _rotl(x, r: int):
+    r = np.uint64(r)
+    return (x << r) | (x >> (_64 - r))
+
+
+def _fmix(h):
+    h = h ^ (h >> np.uint64(33))
+    h = h * _P2
+    h = h ^ (h >> np.uint64(29))
+    h = h * _P3
+    h = h ^ (h >> np.uint64(32))
+    return h
+
+
+def hash_long(value, seed):
+    """``XXH64.hashLong(value, seed)`` — value/seed uint64 array-likes."""
+    value = np.asarray(value, dtype=np.uint64)
+    h = np.asarray(seed, dtype=np.uint64) + _P5 + np.uint64(8)
+    h = h ^ (_rotl(value * _P2, 31) * _P1)
+    h = _rotl(h, 27) * _P1 + _P4
+    return _fmix(h)
+
+
+def hash_int(value, seed):
+    """``XXH64.hashInt(value, seed)`` — 4-byte input path (IntegerType)."""
+    v = np.asarray(value).astype(np.int64).astype(np.uint64) & np.uint64(
+        0xFFFFFFFF
+    )
+    h = np.asarray(seed, dtype=np.uint64) + _P5 + np.uint64(4)
+    h = h ^ (v * _P1)
+    h = _rotl(h, 23) * _P2 + _P3
+    return _fmix(h)
+
+
+def chain_longs(columns, seed=SEED):
+    """``xxhash64(c1, c2, ...)`` over LongType columns: left fold of
+    :func:`hash_long` with the running hash as seed."""
+    h = np.asarray(seed, dtype=np.uint64)
+    for c in columns:
+        h = hash_long(c, h)
+    return h
+
+
+def to_signed(h):
+    """uint64 -> the int64 value Spark reports."""
+    return np.asarray(h, dtype=np.uint64).view(np.int64)

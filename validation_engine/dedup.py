@@ -899,31 +899,127 @@ def _band_keys(
             F.col(id_col).alias("_id"), token_shingles(text_col, k).alias("_sh")
         )
         sig = minhash_signature(F.col("_sh"), n_hashes, True)
-    else:
-        with_sh = df.select(
-            F.col(id_col).alias("_id"),
-            token_shingle_hashes(text_col, k).alias("_sh"),
+        with_sig = with_sh.select("_id", sig.alias("_sig"))
+        # band key = md5 over (band index | that band's signature slice) —
+        # reproducible character-for-character by the DuckDB oracle
+        return with_sig.select(
+            "_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.xxhash64(b, F.slice("_sig", b * rows + 1, rows)),
+                )
+            ).alias("bkey"),
         )
-        sig = minhash_signature_from_hashes(F.col("_sh"), n_hashes)
-    with_sig = with_sh.select("_id", sig.alias("_sig"))
-    # band key = ONE xxhash64 over (band index, that band's signature
-    # slice) — an 8-byte long instead of the pre-round-7 "b,h1,..,hr"
-    # concat string (~50-80 B).  Band keys only need equality, and the
-    # gating exchanges carry every (doc, band) row TWICE in the salted
-    # ladder, so key width is the dominant shuffle cost; bucketing by a
-    # 64-bit hash of the band equals bucketing by the band itself up to
-    # hash collisions (the same accepted trade as token_shingle_hashes).
-    # Works for both hash families: xxhash64 hashes array contents
-    # (array<long> fast path, array<string> md5 oracle path).
-    return with_sig.select(
-        "_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(b, F.slice("_sig", b * rows + 1, rows)),
-            )
-        ).alias("bkey"),
+
+    # Fast path (round 9, guide §4.2): the JVM tokenizes and hashes each
+    # token once (the only string work); the k-window chain, the n_hashes
+    # min-fold and the band keys are computed vectorized in numpy inside
+    # ONE mapInArrow pass, using bit-exact XXH64 replicas
+    # (:mod:`validation_engine._xxh64`) — band keys come out IDENTICAL to
+    # the previous interpreted-HOF formulation (pinned by
+    # test_band_keys_arrow_matches_expression), which spent ~n_hashes
+    # interpreted hashes plus two array allocations per shingle per doc.
+    import pyarrow as pa
+
+    from . import _xxh64 as X
+
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(F.trim(F.lower(col)), r"\s+")
+    n = F.size(toks)
+    staged = df.select(
+        F.col(id_col).alias("_id"),
+        F.when(n >= k, F.transform(toks, lambda t: F.xxhash64(t))).alias("_th"),
+        # short-document convention (token_shingle_hashes): one hash of
+        # the whole lowered text is the single shingle
+        F.when(n < k, F.xxhash64(F.concat_ws(" ", toks))).alias("_w1"),
     )
+    id_field = staged.schema.fields[0]
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [id_field, T.StructField("bkey", T.LongType())]
+    )
+    kk, nh, nb, rws = int(k), int(n_hashes), int(bands), int(rows)
+
+    def _bands(batches):
+        import numpy as np
+
+        seeds = [X.hash_int(i, X.SEED) for i in range(nh)]
+        band_seeds = [X.hash_int(b, X.SEED) for b in range(nb)]
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            th = batch.column(1)
+            off = np.asarray(th.offsets)
+            base = off[0]
+            off = (off - base).astype(np.int64)
+            flat = np.asarray(th.values).astype(np.uint64) if len(
+                np.asarray(th.values)
+            ) else np.empty(0, np.uint64)
+            flat = flat[base : base + off[-1]] if len(off) else flat
+            lens = np.diff(off)
+            nrows = batch.num_rows
+            # k-window chained hashes (xxhash64(h_i..h_{i+k-1}))
+            npos = len(flat) - kk + 1
+            if npos > 0:
+                g = np.full(npos, X.SEED, dtype=np.uint64)
+                for j in range(kk):
+                    g = X.hash_long(flat[j : npos + j], g)
+                starts = np.arange(npos)
+                ends = np.repeat(off[1:], lens)
+                valid = starts + kk <= ends[:npos]
+                g = g[valid]
+                gdoc = np.repeat(np.arange(nrows), lens)[starts[valid]]
+            else:
+                g = np.empty(0, np.uint64)
+                gdoc = np.empty(0, np.int64)
+            w1 = batch.column(2)
+            w1_np = np.asarray(
+                w1.to_numpy(zero_copy_only=False), dtype="float64"
+            )
+            has_w = ~np.isnan(w1_np)
+            if has_w.any():
+                wdocs = np.flatnonzero(has_w)
+                wvals = (
+                    np.asarray(w1.fill_null(0).to_numpy(zero_copy_only=False))
+                    .astype(np.int64)[wdocs]
+                    .astype(np.uint64)
+                )
+                g = np.concatenate([g, wvals])
+                gdoc = np.concatenate([gdoc, wdocs])
+            if not len(g):
+                continue
+            order = np.argsort(gdoc, kind="stable")
+            g = g[order]
+            gdoc = gdoc[order]
+            seg = np.flatnonzero(np.diff(gdoc)) + 1
+            starts = np.concatenate([[0], seg])
+            doc_of_seg = gdoc[starts]
+            # Spark's least() folds in SIGNED int64 order — min over the
+            # signed view, then back to the bit pattern for band hashing
+            mins = np.empty((nh, len(starts)), dtype=np.uint64)
+            for i in range(nh):
+                d_signed = X.hash_long(g, seeds[i]).view(np.int64)
+                mins[i] = np.minimum.reduceat(d_signed, starts).view(np.uint64)
+            out_docs, out_keys = [], []
+            for b in range(nb):
+                h = np.full(len(starts), band_seeds[b], dtype=np.uint64)
+                for j in range(rws):
+                    h = X.hash_long(mins[b * rws + j], h)
+                out_docs.append(doc_of_seg)
+                out_keys.append(h)
+            docs_all = np.concatenate(out_docs)
+            keys_all = X.to_signed(np.concatenate(out_keys))
+            yield pa.record_batch(
+                [
+                    batch.column(0).take(pa.array(docs_all.astype("int64"))),
+                    pa.array(keys_all),
+                ],
+                names=[id_field.name, "bkey"],
+            )
+
+    return staged.mapInArrow(_bands, schema=out_schema)
 
 
 def minhash_lsh_candidates(
