@@ -625,10 +625,16 @@ def span_dedup(
             *[F.slice("_sd_th", j + 1, nn - (a - 1)) for j in range(a)]
         )
         ha = F.transform(za, lambda s: F.xxhash64(*[s[str(j)] for j in range(a)]))
+        # gate level 1 on nn < L, not nn < a: the level-1 array is a
+        # MATERIALIZED column (CollapseProject barrier below), so an
+        # nn < L doc used to pay ~n a-gram hashes that the nn < L gate on
+        # the final grams then threw away — on a mostly-short corpus
+        # (bench: 80% of docs under min_len tokens) that was most of the
+        # stage (round 9)
         lvl = base.select(
             F.col(id_col),
             "_sd_th",
-            F.when(nn < a, empty_longs).otherwise(ha).alias("_sd_ha"),
+            F.when(nn < L, empty_longs).otherwise(ha).alias("_sd_ha"),
         )
         parts = [
             F.slice("_sd_ha", 1 + j * a, nn - (L - 1)) for j in range(b)
@@ -638,6 +644,14 @@ def span_dedup(
             zipped, lambda s: F.xxhash64(*[s[str(j)] for j in range(b + r)])
         )
     window_hashes = F.when(nn < L, empty_longs).otherwise(grams)
+    # Order-preserving optimizer barrier (round 9): InferFiltersFromGenerate
+    # infers ``size(...) > 0`` under the posexplode and predicate pushdown
+    # substitutes the ENTIRE window-hash tree into that filter — every
+    # document's windows hashed twice (the decontaminate round-5 lesson;
+    # F.shuffle is not usable here because posexplode POSITIONS are the
+    # output).  A nondeterministic always-true gate keeps the value and
+    # order while blocking filter inference/pushdown, at one rand() per row.
+    window_hashes = F.when(F.rand() >= -1.0, window_hashes)
 
     exploded = lvl.select(
         F.col(id_col), F.posexplode(window_hashes).alias("_sd_pos", "_sd_h")
