@@ -918,7 +918,29 @@ def ngram_repetition(
     txt = F.col(text_col)
     staged = df.withColumn(toks_c, _tokens(F.lower(txt)))
     toks = F.col(toks_c)
-    staged = staged.withColumn(grams_c, _gram_strings(toks, n)).withColumn(
+    # grams as (hash, char-length) STRUCTS, not strings (round 9): the
+    # sort/run-length pass only needs gram EQUALITY (the 64-bit hash, the
+    # same collision bound every hash-join here accepts) and the gram's
+    # character count (carried, = token lengths + n-1 separators), so no
+    # ~100-byte concat string is allocated per position and the array_sort
+    # compares longs instead of strings.  One arrays_zip of n shifted
+    # slices replaces the per-position F.slice of _gram_strings.
+    nt = F.size(toks)
+    sep = F.lit(int(n - 1))
+    gram_structs = F.when(
+        nt < n, F.expr("cast(array() as array<struct<h:bigint,l:int>>)")
+    ).otherwise(
+        F.transform(
+            F.arrays_zip(*[F.slice(toks, j + 1, nt - (n - 1)) for j in range(n)]),
+            lambda s: F.struct(
+                F.xxhash64(*[s[str(j)] for j in range(n)]).alias("h"),
+                sum(
+                    [F.length(s[str(j)]) for j in range(n)], start=sep
+                ).alias("l"),
+            ),
+        )
+    )
+    staged = staged.withColumn(grams_c, gram_structs).withColumn(
         sorted_c, F.array_sort(F.col(grams_c))
     )
     srt = F.col(sorted_c)
@@ -962,7 +984,7 @@ def ngram_repetition(
                 nxt,
                 lambda s, e: F.struct(
                     (e - s).alias("cnt"),
-                    ((e - s) * F.length(F.element_at(srt, s))).alias("cover"),
+                    ((e - s) * F.element_at(srt, s)["l"]).alias("cover"),
                 ),
             )
         ),
