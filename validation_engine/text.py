@@ -1088,18 +1088,23 @@ def unigram_lm_score(
     ONE corpus scan (the tokenize+explode pass is the dominant cost at
     100 TB and must not be paid twice):
 
-    1. The scan aggregates per-(doc, token) term frequencies — one shuffle
-       of (id, token) pairs after map-side combine — and the tf frame is
-       persisted: it is the compressed token stream (one row per distinct
-       token per doc) both later phases read.
+    1. The scan computes per-doc term frequencies IN-ROW (sort the token
+       array, run-length the sorted stream — the ngram_repetition
+       machinery), so the corpus-sized (id, token) exchange of the
+       explode+groupBy formulation never happens; the per-doc (token, tf)
+       pair arrays are persisted as the compressed token stream both
+       later phases read (round 9).
     2. LM build: token totals aggregate OVER THE TF FRAME (no corpus
-       access); the vocabulary is capped to the ``vocab_size`` most
-       frequent tokens via a TakeOrdered k-heap and collected once — the
-       LM is a driver-side object of ≤ vocab_size rows, rebuilt as a
-       literal broadcast frame.
-    3. Scoring: the (tiny) LM broadcast-joins onto the persisted tf frame
-       and the per-document tf-weighted mean log-probability aggregates
-       with map-side partial sums.
+       access) — the exploded pairs partial-aggregate map-side down to
+       the per-partition vocabulary before the exchange; the vocabulary
+       is capped to the ``vocab_size`` most frequent tokens via a
+       TakeOrdered k-heap and collected once — the LM is a driver-side
+       object of ≤ vocab_size rows, rebuilt as a literal broadcast frame.
+    3. Scoring: the (tiny) LM broadcast-joins onto the exploded pairs of
+       the persisted tf frame; a document's pairs stay consecutive in
+       their partition, so the per-document tf-weighted mean
+       log-probability collapses map-side and the final exchange carries
+       one row per document.
 
     The per-document result (one fixed-width row per doc — tiny next to
     the corpus) is materialized eagerly (``localCheckpoint``) so the tf
@@ -1113,18 +1118,56 @@ def unigram_lm_score(
     """
     from pyspark import StorageLevel
 
-    tf = (
-        df.select(
-            F.col(id_col), F.explode(lower_tokens(F.col(text_col))).alias("_tok")
+    # in-row run-length tf: sorted token array folded into (token, count)
+    # structs — per-row arrays only, no corpus-wide exchange
+    srt_c, starts_c = "_ug_srt", "_ug_starts"
+    staged = df.select(
+        F.col(id_col),
+        F.array_sort(
+            F.filter(lower_tokens(F.col(text_col)), lambda t: F.length(t) > 0)
+        ).alias(srt_c),
+    )
+    srt = F.col(srt_c)
+    g = F.size(srt)
+    staged = staged.withColumn(
+        starts_c,
+        F.when(g <= 0, F.array().cast("array<int>")).otherwise(
+            F.filter(
+                F.sequence(F.lit(1), g),
+                lambda i: (i == 1)
+                | (
+                    F.element_at(srt, i)
+                    != F.element_at(srt, F.greatest(i - 1, F.lit(1)))
+                ),
+            )
+        ),
+    )
+    starts = F.col(starts_c)
+    ns = F.size(starts)
+    nxt = F.concat(
+        F.slice(starts, 2, F.greatest(ns - 1, F.lit(0))), F.array(g + 1)
+    )
+    pairs = F.when(ns <= 0, F.expr(
+        "cast(array() as array<struct<_tok:string,_tf:bigint>>)"
+    )).otherwise(
+        F.zip_with(
+            starts,
+            nxt,
+            lambda s0, e0: F.struct(
+                F.element_at(srt, s0).alias("_tok"),
+                (e0 - s0).cast("long").alias("_tf"),
+            ),
         )
-        .filter(F.length("_tok") > 0)
-        .groupBy(id_col, "_tok")
-        .agg(F.count(F.lit(1)).alias("_tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tf = staged.select(F.col(id_col), pairs.alias("_tfp")).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     try:
+        ex = tf.select(
+            F.col(id_col), F.explode("_tfp").alias("_p")
+        ).select(id_col, F.col("_p._tok").alias("_tok"), F.col("_p._tf").alias("_tf"))
         counts = (
-            tf.groupBy("_tok")
+            ex.groupBy("_tok")
             .agg(F.sum("_tf").alias("_n"))
             .filter(F.col("_n") >= int(min_count))
         )
@@ -1146,7 +1189,7 @@ def unigram_lm_score(
             "_tok string, _lp double",
         )
         scored = (
-            tf.join(F.broadcast(lm), "_tok", "left")
+            ex.join(F.broadcast(lm), "_tok", "left")
             .withColumn("_lp", F.coalesce(F.col("_lp"), F.lit(floor)))
             .groupBy(id_col)
             .agg(
