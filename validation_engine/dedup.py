@@ -1732,12 +1732,24 @@ def semantic_duplicates(
             else:
                 best = np.full(len(blk), -2.0)
                 best_j = np.zeros(len(blk), dtype=int)
+            # per-row checks against the block's newly-kept rows: a plain
+            # dot while few rows are kept; ONE block self-similarity
+            # matmul (indexed thereafter) once the kept set grows past the
+            # point where per-row matmuls dominate (round 9)
+            bs = None
             new_local: list = []
+            new_in_blk: list = []
             for bi in range(len(blk)):
                 b = best[bi]
                 b_idx = kept[best_j[bi]] if kept else -1
-                if new_local:
-                    sim2 = blk[bi] @ X[new_local].T
+                if new_in_blk:
+                    if bs is None and len(new_in_blk) > 32:
+                        bs = blk @ blk.T
+                    sim2 = (
+                        bs[bi, new_in_blk]
+                        if bs is not None
+                        else blk[bi] @ X[new_local].T
+                    )
                     j2 = int(sim2.argmax())
                     if sim2[j2] > b:
                         b = sim2[j2]
@@ -1749,6 +1761,7 @@ def semantic_duplicates(
                     d_cos.append(round(float(b), 6))
                 else:
                     new_local.append(gi)
+                    new_in_blk.append(bi)
             kept.extend(new_local)
         return pd.DataFrame({"id": d_id, "dup_of": d_of, "cosine": d_cos})
 
