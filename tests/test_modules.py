@@ -1123,6 +1123,27 @@ def test_compact_files_rejects_partitioned_tables(spark, tmp_path):
     assert stats["files_after"] == 1 and stats["rows"] == 50
 
 
+def test_compact_files_recovers_interrupted_swap(spark, tmp_path):
+    """Rename-first swap (round-9 ADVICE): a crash between the two swap
+    renames leaves the table only at <path>.old — a re-run must restore
+    it on entry and complete normally, with no manual rename."""
+    import os
+    import shutil
+
+    from validation_engine.io import compact_files
+
+    p = str(tmp_path / "t")
+    spark.range(200).repartition(8).write.parquet(p)
+    # simulate the crash window: table moved aside, path absent
+    shutil.move(p, p + ".old")
+    assert not os.path.exists(p)
+    stats = compact_files(spark, p, target_file_mb=64)
+    assert stats["rows"] == 200 and stats["files_after"] == 1
+    assert not os.path.exists(p + ".old")
+    assert not os.path.exists(p + ".compact")
+    assert spark.read.parquet(p).count() == 200
+
+
 def test_compact_files_csv_round_trips_headers(spark, tmp_path):
     """CSV compaction reads with header=true (symmetric with its write and
     read_dataset): without it every source file's header line would be

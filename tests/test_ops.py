@@ -3784,3 +3784,25 @@ def test_outlier_report_tukey_fences(spark):
     import pytest
     with pytest.raises(ValueError):
         outlier_report(df, [])
+
+
+def test_outlier_report_all_null_column(spark):
+    """A column whose values are all NULL (approxQuantile returns an empty
+    list) must yield a NULL-fence zero-count row, not an unpacking crash
+    (round-8 ADVICE); an entirely empty frame likewise."""
+    from validation_engine.stats import outlier_report
+
+    df = spark.createDataFrame(
+        [(float(i), None) for i in range(1, 11)], "v double, dead double"
+    )
+    rep = {r["column"]: r for r in
+           outlier_report(df, ["v", "dead"], relative_error=0.0).collect()}
+    d = rep["dead"]
+    assert d["q1"] is None and d["hi_fence"] is None
+    assert (d["n_below"], d["n_above"], d["n_rows"]) == (0, 0, 0)
+    assert d["outlier_rate"] == 0.0
+    assert rep["v"]["n_rows"] == 10
+
+    empty = spark.createDataFrame([], "v double")
+    rows = outlier_report(empty, ["v"], relative_error=0.0).collect()
+    assert len(rows) == 1 and rows[0]["q1"] is None and rows[0]["n_rows"] == 0

@@ -336,18 +336,30 @@ def compact_files(
     optional :func:`write_clustered` layout (``cluster_cols``/``zorder``)
     so compaction and clustering are a single rewrite, not two.
 
-    Swap protocol: the compacted copy is fully written to ``<path>.compact``
-    FIRST, then the original is removed and the copy renamed in — a crash
-    mid-swap never leaves a half-written table (either the original still
-    stands, or the complete copy exists beside/at the path; the stray
-    ``.compact`` dir is safe to re-run or rename by hand).  NOT safe
-    against concurrent writers, like every directory-table rewrite.
+    Swap protocol (rename-first, round-9 ADVICE): the compacted copy is
+    fully written to ``<path>.compact``; then the original renames to
+    ``<path>.old``, the copy renames in, and ``.old`` is deleted.  The
+    path is only ever absent for the instant between the two renames
+    (metadata ops — the previous protocol held the window open for a full
+    recursive delete), and a re-run self-heals every crash point: a
+    missing path with a ``.old`` beside it is restored on entry, stale
+    ``.compact``/``.old`` dirs are cleared.  NOT safe against concurrent
+    writers, like every directory-table rewrite.
+
+    ``rows`` is read from the COMPACTED table's metadata after the swap
+    (parquet: footer row counts, no data pages) — the previous
+    ``df.count()`` before the rewrite was a second full scan of the
+    source directory (round-9 ADVICE).
 
     Returns ``{files_before, files_after, bytes, rows}``.
     """
     from .checkpoint import hadoop_fs
 
     fs, hpath, jvm = hadoop_fs(path, spark)
+    old_h = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".old")
+    if not fs.exists(hpath) and fs.exists(old_h):
+        # a prior run crashed between its two swap renames — restore
+        fs.rename(old_h, hpath)
     children = list(fs.listStatus(hpath))
     subdirs = [st.getPath().getName() for st in children if st.isDirectory()]
     if subdirs:
@@ -373,7 +385,6 @@ def compact_files(
         # each source file's header row would be re-ingested as a data row
         reader = reader.option("header", True)
     df = reader.format(fmt).load(path)
-    rows = df.count()
     tmp = path.rstrip("/") + ".compact"
     tmp_h = jvm.org.apache.hadoop.fs.Path(tmp)
     if fs.exists(tmp_h):
@@ -387,8 +398,16 @@ def compact_files(
         if fmt == "csv":
             w = w.option("header", True)
         w.save(tmp)
-    fs.delete(hpath, True)
+    if fs.exists(old_h):
+        fs.delete(old_h, True)
+    fs.rename(hpath, old_h)
     fs.rename(tmp_h, hpath)
+    fs.delete(old_h, True)
+    # metadata-only for parquet (footer row counts); csv re-reads the
+    # compacted files, still cheaper than the pre-rewrite source scan
+    rows = spark.read.format(fmt).load(path).count() if fmt != "csv" else (
+        spark.read.option("header", True).format(fmt).load(path).count()
+    )
     files_after = sum(
         1 for st in fs.listStatus(hpath)
         if st.isFile() and not st.getPath().getName().startswith("_")

@@ -288,18 +288,31 @@ def outlier_report(
         raise ValueError("outlier_report needs at least one column")
     q = df.approxQuantile(cols, [0.25, 0.75], float(relative_error))
     fences = {}
-    for c, (q1, q3) in zip(cols, q):
+    for c, cq in zip(cols, q):
+        if len(cq) < 2:
+            # approxQuantile returns an empty list for an all-NULL column
+            # (or an empty frame): no quantiles exist, so emit NULL
+            # quantiles/fences and zero counts instead of crashing on
+            # tuple unpacking (round-8 ADVICE) — the docstring's promised
+            # NULL handling
+            fences[c] = (None, None, None, None)
+            continue
+        q1, q3 = cq
         iqr = q3 - q1
         fences[c] = (q1, q3, q1 - float(k) * iqr, q3 + float(k) * iqr)
     aggs = []
     for c in cols:
         _, _, lo, hi = fences[c]
-        aggs.append(
-            F.count(F.when(F.col(c) < F.lit(lo), 1)).alias(f"nb_{c}")
-        )
-        aggs.append(
-            F.count(F.when(F.col(c) > F.lit(hi), 1)).alias(f"na_{c}")
-        )
+        if lo is None:
+            aggs.append(F.lit(0).cast("long").alias(f"nb_{c}"))
+            aggs.append(F.lit(0).cast("long").alias(f"na_{c}"))
+        else:
+            aggs.append(
+                F.count(F.when(F.col(c) < F.lit(lo), 1)).alias(f"nb_{c}")
+            )
+            aggs.append(
+                F.count(F.when(F.col(c) > F.lit(hi), 1)).alias(f"na_{c}")
+            )
         aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
     row = df.agg(*aggs).collect()[0]
     spark = df.sparkSession
@@ -308,7 +321,12 @@ def outlier_report(
         q1, q3, lo, hi = fences[c]
         nb, na, nn = int(row[f"nb_{c}"]), int(row[f"na_{c}"]), int(row[f"nn_{c}"])
         out.append((
-            c, float(q1), float(q3), float(lo), float(hi), nb, na, nn,
+            c,
+            None if q1 is None else float(q1),
+            None if q3 is None else float(q3),
+            None if lo is None else float(lo),
+            None if hi is None else float(hi),
+            nb, na, nn,
             round((nb + na) / nn, 6) if nn else 0.0,
         ))
     return spark.createDataFrame(

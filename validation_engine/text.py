@@ -1979,7 +1979,12 @@ def warc_records(
     Fidelity contract (the :func:`strip_html` pattern — scale path, not
     a framing parser): records are split at line-start ``WARC/1.x``
     markers, and each record's payload is then trimmed to its declared
-    ``Content-Length`` when present (conservative — never pads).  A
+    ``Content-Length`` when present, then stripped of trailing
+    record-terminator newlines (round-9 ADVICE: WARC counts OCTETS while
+    ``substring`` counts characters, so a non-ASCII UTF-8 payload's
+    declared length over-extends into the terminator CRLFs — the strip
+    bounds the over-extension away; payload recovery is exact up to
+    trailing-newline normalization, in BOTH branches).  A
     payload that itself contains ``WARC/1.x`` at a line start therefore
     truncates there and emits a spurious tail record (its header
     regexes find nothing; gate on ``warc_type``/``target_uri``
@@ -2011,9 +2016,13 @@ def warc_records(
     # WET text; a conservative trim — never pads), else strip the
     # record-terminator newlines the split left behind
     clen = F.regexp_extract(head, r"(?m)^Content-Length:[ \t]*(\d+)", 1)
-    payload = F.when(
-        clen != "", F.substring(body, 1, clen.cast("int"))
-    ).otherwise(F.regexp_replace(body, r"(\r?\n)+$", ""))
+    payload = F.regexp_replace(
+        F.when(clen != "", F.substring(body, 1, clen.cast("int"))).otherwise(
+            body
+        ),
+        r"[\r\n]+$",
+        "",
+    )
     out = (
         df.select(
             F.col(id_col),
