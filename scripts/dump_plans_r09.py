@@ -1,0 +1,120 @@
+"""Dump .explain('formatted') plans for every query path the round-9
+optimization touched, from an arbitrary repo root (round-start tree for
+the *_before.txt files, HEAD for *_after.txt).
+
+Usage: python scripts/dump_plans_r09.py <repo_root> <out_dir> <suffix>
+"""
+
+import os
+import sys
+
+ROOT, OUT, SUF = sys.argv[1], sys.argv[2], sys.argv[3]
+sys.path.insert(0, ROOT)
+os.makedirs(OUT, exist_ok=True)
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from validation_engine.session import get_spark  # noqa: E402
+from validation_engine.datagen import spark_codefiles  # noqa: E402
+
+spark = get_spark("plans-r09", master="local[8]", shuffle_partitions=8)
+spark.sparkContext.setLogLevel("ERROR")
+
+docs = (
+    spark_codefiles(spark, 20_000, n_dup=100)
+    .select(F.xxhash64("repo", "path", "commit").alias("id"),
+            F.col("content").alias("text"))
+)
+
+
+def dump(name, df, note=None):
+    p = os.path.join(OUT, f"{name}_{SUF}.txt")
+    with open(p, "w") as f:
+        if note:
+            f.write("NOTE: " + note + "\n\n")
+        f.write(df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"))
+    print("wrote", p)
+
+
+EAGER_NOTE = (
+    "this operator is EAGER as of round 9 (internally persisted frames + "
+    "an eager localCheckpoint of the output, dropped before return), so "
+    "the caller-visible plan below is a scan of the materialized result; "
+    "the internal shape and its measurements are documented in "
+    "OPTIMIZATION_r09.md"
+)
+
+
+# 1. decontaminate (the bench/export shape: corpus-derived bench set with
+# short rows -> unified multi-width path)
+from validation_engine.text import decontaminate  # noqa: E402
+
+bench_set = docs.filter(F.col("id") % 97 == 0).select(F.col("text").alias("q"))
+dump("decontaminate", decontaminate(docs, "id", "text", bench_set, "q", n=13))
+
+# 2. minhash LSH fast path (bench shape)
+from validation_engine.dedup import minhash_lsh_candidates  # noqa: E402
+
+dump("minhash_lsh", minhash_lsh_candidates(
+    docs, "id", "text", k=3, n_hashes=16, bands=4, max_band_freq=50))
+
+# 3. knn_join brute + ivf
+from validation_engine.similarity import ivf_build, knn_join  # noqa: E402
+
+emb = docs.limit(2000).select(
+    "id",
+    F.array(*[(F.pmod(F.xxhash64("id", F.lit(i)), 2000) / 1000.0 - 1.0)
+              .alias(f"e{i}") for i in range(8)]).alias("embedding"),
+)
+queries = emb.limit(5).select(F.col("id").alias("qid"),
+                              F.col("embedding").alias("qvec"))
+dump("knn_join_brute", knn_join(
+    emb, queries, k=5, id_col="id", vec_col="embedding",
+    query_id_col="qid", query_vec_col="qvec"))
+cents = ivf_build(emb, n_centroids=4, sample_cap=500, order_col="id")
+dump("knn_join_ivf", knn_join(
+    emb, queries, k=5, id_col="id", vec_col="embedding",
+    query_id_col="qid", query_vec_col="qvec", centroids=cents))
+
+# 4. fork_pairs / set_minhash_pairs
+from validation_engine.dedup import fork_pairs  # noqa: E402
+
+filesb = spark_codefiles(spark, 10_000, n_dup=0).select("repo", "path", "content")
+forked = filesb.filter(
+    F.col("repo").isin([f"repo_{i:04d}" for i in range(5)])
+).withColumn("repo", F.concat(F.lit("fork_"), F.col("repo")))
+fp = fork_pairs(filesb.unionByName(forked), threshold=0.5, max_band_freq=50)
+dump("fork_pairs", fp, note=EAGER_NOTE if "localCheckpoint" in open(os.path.join(ROOT, "validation_engine/dedup.py")).read() else None)
+
+# 5. cross_dedup bloom
+from validation_engine.dedup import cross_dedup  # noqa: E402
+
+old_side = docs.filter(F.pmod(F.col("id"), 3) == 0)
+dump("cross_dedup_bloom", cross_dedup(docs, old_side, "id", "text", method="bloom"))
+
+# 6. span_dedup (mark mode)
+from validation_engine.dedup import span_dedup  # noqa: E402
+
+dump("span_dedup", span_dedup(docs, "id", "text", min_len=50))
+
+# 7. ngram_repetition
+from validation_engine.text import ngram_repetition  # noqa: E402
+
+dump("ngram_repetition", ngram_repetition(docs, "text", n=3)
+     .filter(F.col("ngram3_dup_char_frac") < 0.5))
+
+# 8. unigram_lm
+from validation_engine.text import unigram_lm_score  # noqa: E402
+
+dump("unigram_lm", unigram_lm_score(docs, "id", "text", vocab_size=50_000), note="unigram_lm_score has been eager (localCheckpoint) since round 4; the tf-stage shape is documented in OPTIMIZATION_r09.md")
+
+# 9. semantic dedup
+from validation_engine.dedup import semantic_dedup  # noqa: E402
+
+sem = emb
+dump("semantic_dedup", semantic_dedup(
+    sem, "id", "embedding", threshold=0.9, n_clusters=4, seed=1,
+    sample_cap=500))
+
+spark.stop()
