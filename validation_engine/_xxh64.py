@@ -43,22 +43,24 @@ def _fmix(h):
 
 def hash_long(value, seed):
     """``XXH64.hashLong(value, seed)`` — value/seed uint64 array-likes."""
-    value = np.asarray(value, dtype=np.uint64)
-    h = np.asarray(seed, dtype=np.uint64) + _P5 + np.uint64(8)
-    h = h ^ (_rotl(value * _P2, 31) * _P1)
-    h = _rotl(h, 27) * _P1 + _P4
-    return _fmix(h)
+    with np.errstate(over="ignore"):  # wrapping arithmetic is the point
+        value = np.asarray(value, dtype=np.uint64)
+        h = np.asarray(seed, dtype=np.uint64) + _P5 + np.uint64(8)
+        h = h ^ (_rotl(value * _P2, 31) * _P1)
+        h = _rotl(h, 27) * _P1 + _P4
+        return _fmix(h)
 
 
 def hash_int(value, seed):
     """``XXH64.hashInt(value, seed)`` — 4-byte input path (IntegerType)."""
-    v = np.asarray(value).astype(np.int64).astype(np.uint64) & np.uint64(
-        0xFFFFFFFF
-    )
-    h = np.asarray(seed, dtype=np.uint64) + _P5 + np.uint64(4)
-    h = h ^ (v * _P1)
-    h = _rotl(h, 23) * _P2 + _P3
-    return _fmix(h)
+    with np.errstate(over="ignore"):  # wrapping arithmetic is the point
+        v = np.asarray(value).astype(np.int64).astype(np.uint64) & np.uint64(
+            0xFFFFFFFF
+        )
+        h = np.asarray(seed, dtype=np.uint64) + _P5 + np.uint64(4)
+        h = h ^ (v * _P1)
+        h = _rotl(h, 23) * _P2 + _P3
+        return _fmix(h)
 
 
 def chain_longs(columns, seed=SEED):
