@@ -38,7 +38,7 @@ def main() -> None:
         "n_invalid": suite["n_invalid"],
     }
     os.makedirs("BENCH", exist_ok=True)
-    tag = os.environ.get("SF1_TAG", "r5")
+    tag = os.environ.get("SF1_TAG", "r9")
     with open(f"BENCH/sf1_suite_{tag}.json", "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))

@@ -298,7 +298,7 @@ def main() -> None:
             for op in big
         }
     os.makedirs("BENCH", exist_ok=True)
-    tag = os.environ.get("SF1_TEXT_TAG", "r7")
+    tag = os.environ.get("SF1_TEXT_TAG", "r9")
     with open(f"BENCH/sf1_text_{tag}.json", "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
