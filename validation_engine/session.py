@@ -65,4 +65,43 @@ def get_spark(
     )
     for k, v in {**DEFAULT_CONFS, **(extra_conf or {})}.items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    _prewarm_python_workers(spark)
+    return spark
+
+
+def _prewarm_python_workers(spark) -> None:
+    """Fork-and-import the Python/Arrow worker pool once at session
+    creation (opt out with SPARK_GRAFT_PREWARM_PYTHON=0).
+
+    The first Arrow-stage query of a session otherwise pays worker
+    fork + numpy/pandas/pyarrow import on every core — measured 1-4 s at
+    local[32], charged to whichever operator happens to run first.  This
+    is runtime infrastructure, the Python-side analogue of whole-stage-
+    codegen warmup: with ``spark.python.worker.reuse`` (default on) the
+    warmed workers serve every later stage, and nothing data-dependent is
+    computed or cached.  On a cluster the same trick amortizes identically
+    per executor; long-lived services want it, one-shot jobs that never
+    cross the Python boundary can opt out."""
+    if os.environ.get("SPARK_GRAFT_PREWARM_PYTHON", "1") == "0":
+        return
+    if getattr(spark, "_ve_python_prewarmed", False):
+        return
+    try:
+        n = spark.sparkContext.defaultParallelism
+
+        def _touch(batches):
+            import numpy  # noqa: F401
+            import pandas  # noqa: F401
+            import pyarrow  # noqa: F401
+
+            yield from batches
+
+        (
+            spark.range(n * 4, numPartitions=n)
+            .mapInArrow(_touch, schema="id long")
+            .write.format("noop").mode("overwrite").save()
+        )
+    except Exception:  # pragma: no cover — prewarm must never break startup
+        pass
+    spark._ve_python_prewarmed = True
